@@ -1,0 +1,55 @@
+"""Loaders for the benchmark star-schema tables.
+
+Parquet-first: every query reads columnar parquet so Catalyst predicate
+pushdown / column pruning reach the scan (check with
+``df.explain("formatted")`` — ``PushedFilters`` + a narrow ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_loader_spark.session import tune_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table; pins session TZ to UTC first (determinism).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's vector
+    reader rejects; we read it as raw nanos (``nanosAsLong``) and rebuild a
+    TimestampType by integer-dividing to microseconds (``DIV`` keeps the
+    arithmetic in int64 — a double round-trip would lose precision at the
+    1.7e18 magnitude). Truncation-toward-zero matches DuckDB's ns→µs cast.
+    """
+    tune_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    picked = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in picked}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views (for the SQL-surface operators, e.g. GROUPING SETS)."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,13 @@
+"""The operator/query library.
+
+Importing this package registers every query into the registry; the driver
+contract (``__spark_entry__.py``) re-exports the registry dicts.
+"""
+
+from csv_loader_spark.queries.registry import all_oracles, all_queries, get
+
+# Import for registration side effects.
+from csv_loader_spark.queries import relational  # noqa: E402,F401
+from csv_loader_spark.queries import llm  # noqa: E402,F401
+
+__all__ = ["all_queries", "all_oracles", "get"]

@@ -1,0 +1,63 @@
+"""SparkSession construction tuned for this engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen to also be
+sane on a real multi-executor cluster: AQE on (runtime coalesce + skew-join
+handling), UTC session timezone (deterministic timestamp semantics — the
+reference's format-2 parse used the JVM default TZ, which we deliberately pin
+to UTC, see SURVEY.md §7.4), Arrow enabled for the pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "csv_loader_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count — at cluster scale
+    AQE coalesces post-shuffle partitions anyway, so the static number only
+    sets the upper bound for the local runs.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The verification driver hands us its own SparkSession; timestamp semantics
+    must still be deterministic (UTC), and AQE should be on. Only runtime SQL
+    confs are touched here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS); read as int64 (see io.tables).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet tables, then compares row count, column names, and an
+order-insensitive value comparison (exact for ints/strings, tolerant for
+floats). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from csv_loader_spark.io.tables import TABLES  # noqa: E402
+from csv_loader_spark.queries.registry import all_specs  # noqa: E402
+from csv_loader_spark.session import get_spark  # noqa: E402
+
+
+def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sc, dc = s[c], d[c]
+        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
+            sc = pd.to_numeric(sc, errors="coerce")
+            dc = pd.to_numeric(dc, errors="coerce")
+            bad = ~((sc.isna() & dc.isna()) | ((sc - dc).abs() <= 1e-9 + 1e-9 * dc.abs()))
+        else:
+            bad = ~((sc.isna() & dc.isna()) | (sc.astype(str) == dc.astype(str)))
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(
+                f"column {c}: {int(bad.sum())} mismatches, first at sorted-row {i}: "
+                f"spark={s[c][i]!r} duck={d[c][i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    con = duck_conn(sf_dir)
+    specs = all_specs()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, spec in specs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark side raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            ok = len(sdf) >= 0
+            print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            ddf = con.execute(spec.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: oracle SQL raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name} ({len(sdf)} spark rows, {len(ddf)} duck rows):")
+            for p in problems:
+                print(f"   {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
