@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Per-query time = plan + execute + collect to the driver (count() for large
+results), measured after a warm-up action so JVM/session startup isn't billed
+to the first query — matching how the DuckDB baseline is timed (per-query,
+warm process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_loader_spark.queries.registry import all_specs  # noqa: E402
+from csv_loader_spark.session import get_spark  # noqa: E402
+
+# Headline set: spans scan+agg, join shapes, windows, sessionize, dedup, KNN.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_topn_revenue",
+    "q05_nation_volume",
+    "q07_brand_volume",
+    "q13_window_topk",
+    "q21_monthly_orders",
+    "q23_sessionize",
+    "q26_distinct_exact",
+    "q28_dedup_exact",
+    "q35_knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # Warm-up: touch every table once so first-query time isn't file-listing.
+    specs["q01_pricing_summary"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
