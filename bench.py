@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from csv_loader_spark.io.tables import TABLES, load_table  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 from csv_loader_spark.session import get_spark  # noqa: E402
 
@@ -46,7 +47,11 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # Warm-up: touch every table once so first-query time isn't file-listing.
+    # Warm-up: touch every table once so no timed query pays file-listing /
+    # first-read / codegen-warmup costs (matches the warm-process DuckDB
+    # baseline methodology).
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     specs["q01_pricing_summary"].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}

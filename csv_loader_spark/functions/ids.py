@@ -28,8 +28,14 @@ def decimal_str_to_int64(col: Column | str) -> Column:
     width, divergence documented). pmod brings the value into [0, 2^64); the
     conditional subtraction reinterprets the top bit as the sign.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    as_dec = F.try_to_number(F.trim(c), F.lit("9" * 38))  # NULL if not numeric
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    # try_to_number('9'*38) accepts unsigned digit strings only; BigInteger
+    # accepts a leading sign — parse magnitude and sign separately.
+    magnitude = F.try_to_number(
+        F.when(c.rlike(r"^[+-]"), F.substring(c, 2, 2147483647)).otherwise(c),
+        F.lit("9" * 38),
+    )  # NULL if not numeric
+    as_dec = F.when(c.startswith("-"), -magnitude).otherwise(magnitude)
     two64 = F.lit(_TWO64).cast("decimal(38,0)")
     two63 = F.lit(_TWO63).cast("decimal(38,0)")
     low64 = F.pmod(as_dec, two64)

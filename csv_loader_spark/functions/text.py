@@ -26,12 +26,16 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     expressions, no UDF. Documents shorter than n tokens yield an empty array.
     """
     toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    # sequence(0, stop) defaults to step -1 when stop < 0 (it is NOT empty),
+    # so short docs must be guarded explicitly or element_at throws.
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 # Punctuation class shared with the oracle SQL (explicit, locale-free).

@@ -4,32 +4,59 @@ Everything here is built from `zip_with`/`aggregate`/`transform` higher-order
 functions: JVM-evaluated, Arrow-free, no Python in the hot path. Arrays are
 cast to double first so the arithmetic is bit-identical to the DuckDB oracle
 (which also upcasts FLOAT→DOUBLE before its list arithmetic).
+
+The expressions are assembled as SQL fragments and parsed once via ``F.expr``
+rather than composed from Python lambdas: pyspark's lambda→Catalyst
+conversion costs dozens of py4j round-trips per higher-order function, which
+dominated plan-build time for KNN-style queries (measured ~1.8 s per build at
+round 1 vs ~0.1 s via the SQL parser — identical resulting plan).
+
+Each helper takes/returns SQL fragment strings; call ``F.expr`` (or let the
+``*_col`` wrappers do it) at the use site.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def as_double(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.transform(c, lambda x: x.cast("double"))
+def as_double_sql(v: str) -> str:
+    return f"transform({v}, x -> CAST(x AS DOUBLE))"
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right sequential sum of elementwise products (order matters for
-    float reproducibility; both engines fold the list in index order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def lit_array_sql(values: Sequence[float]) -> str:
+    """A literal array<double> SQL fragment (repr keeps full precision)."""
+    return "array({})".format(", ".join(f"{x!r}D" for x in values))
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def dot_sql(a: str, b: str) -> str:
+    """Left-to-right sequential sum of elementwise products (order matters
+    for float reproducibility; both engines fold the list in index order)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def as_double(v: str) -> Column:
+    return F.expr(as_double_sql(v))
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(dot_sql(a, b))
+
+
+def norm(a: str) -> Column:
+    return F.expr(norm_sql(a))
+
+
+def cosine(a: str, b: str) -> Column:
+    return F.expr(cosine_sql(a, b))

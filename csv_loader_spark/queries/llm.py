@@ -468,14 +468,25 @@ def q35_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see q36_ann_lsh for the sub-linear path).
     """
     e = load_table(spark, sf_dir, "embeddings")
+    # Norms are precomputed per vector BEFORE the pair join: each corpus norm
+    # is evaluated once instead of once per query pair (|Q|× less interpreted
+    # higher-order-function work; identical double arithmetic, so the oracle
+    # hash is unchanged).
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), VEC.as_double("embedding").alias("cv")
+    ).withColumn("cn", VEC.norm("cv"))
+    queries = (
+        e.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), VEC.as_double("embedding").alias("qv"))
+        .withColumn("qn", VEC.norm("qv"))
     )
-    queries = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), VEC.as_double("embedding").alias("qv")
-    )
+    # The corpus parquet is one small file → one input partition; the
+    # broadcast-nested-loop pair computation would otherwise run on a single
+    # core. Spread it across the cluster (no-op at real scale where the scan
+    # already has many partitions).
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-    sim = VEC.cosine(F.col("qv"), F.col("cv"))
+    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         pairs.select("query_id", "neighbor_id", sim.alias("sim"))
@@ -513,19 +524,25 @@ def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "embeddings")
     planes = _hyperplanes()
-    v = VEC.as_double("embedding")
+    v_sql = VEC.as_double_sql("embedding")
     bits = [
-        F.when(VEC.dot(v, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+        F.when(F.expr(VEC.dot_sql(v_sql, VEC.lit_array_sql(p))) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
         for p in planes
     ]
     sig = F.concat(*[b.cast("string") for b in bits]).alias("bucket")
-    tagged = e.select(F.col("vec_id"), v.alias("v"), sig)
+    tagged = e.select(F.col("vec_id"), F.expr(v_sql).alias("v"), sig).withColumn(
+        "vn", VEC.norm("v")
+    )
     a = tagged.select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
     ).filter(F.col("query_id") < _KNN_QUERIES)
-    b = tagged.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket")
+    b = tagged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("vn").alias("cn"), "bucket"
+    )
     cand = a.join(b, ["bucket"]).filter(F.col("neighbor_id") != F.col("query_id"))
-    sim = VEC.cosine(F.col("qv"), F.col("cv"))
+    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         cand.select("query_id", "neighbor_id", sim.alias("sim"))

@@ -737,8 +737,10 @@ def q19_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") % 5).alias("size_mod"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
         F.round(F.sqrt("p_retailprice"), 4).alias("price_sqrt"),
-        F.floor("p_retailprice").alias("price_floor"),
-        F.ceil("p_retailprice").alias("price_ceil"),
+        # Spark floor/ceil return BIGINT while DuckDB's return DOUBLE; cast so
+        # the driver's value-hash sees identical representations (900.0 == 900.0).
+        F.floor("p_retailprice").cast("double").alias("price_floor"),
+        F.ceil("p_retailprice").cast("double").alias("price_ceil"),
     )
 
 

@@ -50,7 +50,21 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sc, dc = s[c], d[c]
-        if pd.api.types.is_float_dtype(sc) or pd.api.types.is_float_dtype(dc):
+        # The driver's gate hashes stringified values with NO cross-dtype
+        # coercion: int 900 vs float 900.0 is a FAIL there. Mirror that —
+        # an int column on one side and a float column on the other is a
+        # hard failure even if the numeric values agree.
+        s_int = pd.api.types.is_integer_dtype(sc)
+        d_int = pd.api.types.is_integer_dtype(dc)
+        s_flt = pd.api.types.is_float_dtype(sc)
+        d_flt = pd.api.types.is_float_dtype(dc)
+        if (s_int and d_flt) or (s_flt and d_int):
+            problems.append(
+                f"column {c}: dtype divergence spark={sc.dtype} duck={dc.dtype} "
+                f"(driver value-hash would mismatch: e.g. 900 vs 900.0)"
+            )
+            continue
+        if s_flt or d_flt:
             sc = pd.to_numeric(sc, errors="coerce")
             dc = pd.to_numeric(dc, errors="coerce")
             bad = ~((sc.isna() & dc.isna()) | ((sc - dc).abs() <= 1e-9 + 1e-9 * dc.abs()))
