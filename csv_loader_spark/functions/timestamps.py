@@ -41,8 +41,13 @@ def parse_time_to_millis(col: Column | str) -> Column:
         F.try_to_timestamp(base, F.lit("yyyy-MM-dd HH:mm:ssX")),
         # format 2: no offset → session TZ (pinned UTC)
         F.try_to_timestamp(base, F.lit("yyyy-MM-dd HH:mm:ss")),
-        # format 3: general ISO-8601 ("2016-06-02T14:03:22Z", date-only, ...)
-        F.try_to_timestamp(base),
+        # format 3: general ISO-8601 ("2016-06-02T14:03:22Z", date-only, ...).
+        # Spark's bare try_to_timestamp also accepts time-only strings like
+        # "08:30:15" (today's date) — the reference's ISO-8601 parser does
+        # not, so require a leading date.
+        F.when(
+            base.rlike(r"^\d{4}-\d{2}-\d{2}"), F.try_to_timestamp(base)
+        ),
     )
     frac_str = F.regexp_extract(c, _FRAC_RE, 1)
     # reference: Double.parseDouble("0." + frac) * 1000, truncated toward zero

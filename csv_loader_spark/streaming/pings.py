@@ -1,0 +1,127 @@
+"""Streaming ping ingestion (SURVEY §7.2 M3): readStream → parse chain →
+foreachBatch HTTP sink, with checkpointed exactly-once source tracking.
+
+The reference is a one-shot single-pass loader: a crash mid-file restarts
+from scratch under a NEW sourceId (CsvLoader.java:63), and its only
+backpressure is "the read loop blocks inside the POST retry" (:162,:200-233).
+Structured Streaming upgrades both for free: the checkpoint makes source
+progress exactly-once (re-run resumes, no re-send of completed batches), and
+micro-batch scheduling gives the same blocking backpressure per batch.
+
+Metrics (op 17): the reference prints cumulative records + dual exact
+distinct-vehicle counts per flushed batch from unbounded in-memory HashSets
+(:105-106,:165) — fine for one city's vehicles, not for 100 TB. Default here
+is the same exact dual count maintained driver-side (reference parity);
+pass ``metrics="approx"`` to keep state bounded via per-batch
+approx_count_distinct merged as a running max (HLL-style cardinality at
+scale), or ``metrics=None`` to skip.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from csv_loader_spark.io.pings import RAW_SCHEMA, project_pings
+from csv_loader_spark.sinks.http import BATCH_SIZE, RETRY_INTERVAL_S, post_partition
+
+
+def stream_pings(
+    spark: SparkSession, src_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental CSV source over a directory (new files = new data), same
+    parse chain as batch ``read_pings`` — one code path, two execution modes."""
+    reader = spark.readStream.schema(RAW_SCHEMA).option("encoding", "UTF-8")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.csv(src_dir, header=False, mode="PERMISSIVE", multiLine=True)
+    return project_pings(raw)
+
+
+@dataclass
+class IngestMetrics:
+    """Driver-side running metrics, printed per micro-batch like the
+    reference's progress line (CsvLoader.java:165)."""
+
+    records: int = 0
+    vehicles_str: set = field(default_factory=set)
+    vehicle_ids: set = field(default_factory=set)
+    approx_vehicles: int = 0
+    approx_ids: int = 0
+
+    def line(self, exact: bool) -> str:
+        if exact:
+            nv, ni = len(self.vehicles_str), len(self.vehicle_ids)
+        else:
+            nv, ni = self.approx_vehicles, self.approx_ids
+        return (
+            f"{self.records / 1e6:.2f}M records loaded, "
+            f"{nv} unique vehicles ({ni} unique ids)"
+        )
+
+
+def write_stream_http(
+    pings: DataFrame,
+    url: str,
+    source_id: int,
+    checkpoint_dir: str,
+    *,
+    batch_size: int = BATCH_SIZE,
+    retry_interval: float = RETRY_INTERVAL_S,
+    max_retries: int | None = None,
+    metrics: str | None = "exact",
+    available_now: bool = False,
+) -> tuple[StreamingQuery, IngestMetrics]:
+    """foreachBatch → per-partition envelope POSTs (executor-side).
+
+    ``available_now=True`` drains everything currently in the source then
+    stops — the batch-equivalent trigger used by tests and backfills.
+    """
+    state = IngestMetrics()
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        def _send(rows):
+            post_partition(
+                rows,
+                url,
+                source_id,
+                batch_size=batch_size,
+                retry_interval=retry_interval,
+                max_retries=max_retries,
+            )
+
+        batch_df.persist()
+        try:
+            batch_df.foreachPartition(_send)
+            if metrics == "exact":
+                # reference-parity dual distinct (unbounded, like :105-106)
+                ids = batch_df.select("vehicle_id_str", "vehicle_id").collect()
+                state.records += len(ids)
+                state.vehicles_str.update(r[0] for r in ids)
+                state.vehicle_ids.update(r[1] for r in ids)
+                print(state.line(exact=True), file=sys.stderr)
+            elif metrics == "approx":
+                row = batch_df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("vehicle_id_str").alias("av"),
+                    F.approx_count_distinct("vehicle_id").alias("ai"),
+                ).collect()[0]
+                state.records += row["n"]
+                state.approx_vehicles = max(state.approx_vehicles, row["av"])
+                state.approx_ids = max(state.approx_ids, row["ai"])
+                print(state.line(exact=False), file=sys.stderr)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        pings.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), state
