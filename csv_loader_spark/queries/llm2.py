@@ -1,0 +1,360 @@
+"""LLM-pipeline operators, part 2: SimHash near-dup, embedding-cosine
+near-dup, IVF-style ANN, TF-IDF keyword extraction.
+
+Same portability discipline as part 1: every hash is md5-derived so the
+sketches are bit-reproducible in DuckDB; every float is rounded identically
+on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from csv_loader_spark.functions import vectors as VEC
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup detection
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_SIMHASH_BANDS = 4  # 4 bands × 4 bits; hamming ≤ 3 ⇒ ≥1 band identical (pigeonhole)
+_SIMHASH_MAX_HAMMING = 3
+
+# Portable hex-nibble parse (both engines): value of md5(token)'s first 4
+# hex chars as an int in [0, 65536).
+_HEX = "0123456789abcdef"
+
+
+def _hash16_sql(tok: str) -> str:
+    """First 16 bits of md5(token) via instr arithmetic — engine-portable
+    (instr(str, needle) exists with identical semantics in Spark SQL and
+    DuckDB; Spark's conv() has no DuckDB twin)."""
+    terms = [
+        f"(instr('{_HEX}', substr(md5({tok}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sigs_sql() -> str:
+    """Per-doc 16-bit SimHash from distinct tokens: bit i of the fingerprint
+    is set iff sum over tokens of ±1 (bit i of hash16(token)) is >= 0."""
+    bit_scores = ", ".join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIMHASH_BITS))
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {_hash16_sql("tok")} AS h FROM toks
+    ),
+    scores AS (
+      SELECT doc_id, {bit_scores} FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM scores
+    )
+    """
+
+
+@query(
+    "q53_simhash",
+    oracle=f"""
+    WITH {_simhash_sigs_sql()},
+    bands AS (
+      SELECT doc_id, b.band, (fp >> (b.band * 4)) & 15 AS bkey, fp
+      FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {_SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "llm"),
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signature from md5-hashed distinct
+    tokens, banded LSH candidate join (4 bands × 4 bits — pigeonhole-exact
+    for hamming ≤ 3), xor+bit_count verify.
+
+    Scale: signatures are one agg pass; candidates come from equi-joins on
+    (band, band-key) buckets, never an all-pairs product. The md5 token hash
+    keeps the sketch engine-portable (oracle-checkable)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    )
+    h = F.expr(_hash16_sql("tok")).alias("h")
+    hashed = toks.select("doc_id", h)
+    scores = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h").cast("int"), i) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    sigs = scores.select("doc_id", fp.cast("long").alias("fp"))
+
+    band_ids = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
+    bands = sigs.crossJoin(F.broadcast(band_ids)).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(fp, band * 4) % 16").alias("bkey"),
+        "fp",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.filter(hamming <= _SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_DUP_THRESHOLD = 0.40  # tuned to the synthetic corpus (max pair sim ~0.51)
+
+
+@query(
+    "q54_cosine_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                 / (a.nrm * b.nrm), 4) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+          / (a.nrm * b.nrm) >= {_COS_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def q54_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — the exact
+    verify stage of an embedding-dedup pipeline.
+
+    Scale: written as the all-pairs verify because the oracle needs exact
+    recall; at 100 TB the pair space comes from LSH buckets (q36's
+    hyperplane signatures) and THIS operator verifies only candidates —
+    same expressions, pre-filtered input. Threshold 0.40 is tuned to the
+    synthetic corpus (no true dups; max pair sim ≈ 0.51)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    n = e.withColumn("nrm", VEC.norm("v")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    sim = VEC.dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= _COS_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("sim", 4).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN (deterministic centroids → cell probe → re-rank)
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROIDS = 8  # vec_id < 8 serve as deterministic "centroids"
+_IVF_QUERIES = 20
+_IVF_K = 5
+
+
+@query(
+    "q55_ivf_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_IVF_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, cid, v, nrm FROM (
+        SELECT n.vec_id, c.cid, n.v, n.nrm,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(n.v) + 1),
+                                                  i -> n.v[i] * c.cv[i]))
+                          / (n.nrm * c.cn) DESC, c.cid) AS rk
+        FROM n CROSS JOIN cent c
+      ) WHERE rk = 1
+    )
+    SELECT query_id, neighbor_id, cosine_sim, n_rank FROM (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
+                   / (q.nrm * x.nrm), 4) AS cosine_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
+                        / (q.nrm * x.nrm) DESC, x.vec_id) AS INTEGER) AS n_rank
+      FROM assign q JOIN assign x ON q.cid = x.cid AND q.vec_id <> x.vec_id
+      WHERE q.vec_id < {_IVF_QUERIES}
+    ) WHERE n_rank <= {_IVF_K}
+    """,
+    tags=("similarity", "ann", "ivf", "llm"),
+)
+def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroid set (first {_IVF_CENTROIDS}
+    vectors — a stand-in for k-means, which would be non-deterministic),
+    assign every vector to its max-cosine centroid cell, probe the query's
+    own cell, exact re-rank top-k inside it.
+
+    Scale: assignment is a broadcast join against |C| centroids (one corpus
+    scan); the probe join is an equi-join on cell id — the inverted-file
+    trick that bounds candidate count to the cell size. Fully deterministic
+    → oracle-checkable, unlike library k-means."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    n = e.withColumn("nrm", VEC.norm("v")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cent = (
+        n.filter(F.col("vec_id") < _IVF_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+    csim = VEC.dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "v", "nrm")
+    )
+    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    x = assign.select(
+        F.col("vec_id").alias("neighbor_id"), "cid", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    )
+    sim = VEC.dot("qv", "xv") / (F.col("qn") * F.col("xn"))
+    w_rank = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        q.join(x, (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("sim", sim)
+        .withColumn("n_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("n_rank") <= _IVF_K)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("cosine_sim"), "n_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOP = 3
+
+
+@query(
+    "q56_tfidf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((nd.n_docs + 1.0) / (d.df + 1.0)), 4) AS tfidf
+      FROM tf t JOIN df d USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf, n_rank FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS INTEGER) AS n_rank
+      FROM scored
+    ) WHERE n_rank <= {_TFIDF_TOP}
+    """,
+    tags=("text", "tfidf", "llm"),
+)
+def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{_TFIDF_TOP} keywords per document: raw term counts ×
+    smoothed idf = tf·ln((N+1)/(df+1)), deterministic (score, term) ranking.
+
+    Scale: two shuffles ((doc,term) count, then term df) + a broadcast of
+    the df table; no driver-side vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # one scalar to the driver; a literal in the plan
+    tfidf = F.round(
+        F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+    ).alias("tfidf")
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf)
+        .withColumn("n_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("n_rank") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tfidf", "n_rank")
+    )
