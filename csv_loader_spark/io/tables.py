@@ -28,6 +28,14 @@ TABLES = (
 )
 
 
+# Plan cache: spark.read.parquet re-lists the file and re-reads the footer
+# on every call (~50-100 ms of driver time per table); multi-table queries
+# were paying this 4-6× per plan build. DataFrames are immutable logical
+# plans, so reuse within a session is safe. Keyed by the session object id
+# (a new session gets fresh plans).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table; pins session TZ to UTC first (determinism).
 
@@ -37,10 +45,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic in int64 — a double round-trip would lose precision at the
     1.7e18 magnitude). Truncation-toward-zero matches DuckDB's ns→µs cast.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-split granularity: the benchmark tables are single small
+        # parquet files, which at the 128 MB default become ONE input
+        # partition — a 1-task scan on a 32-core executor. 4 MB keeps local
+        # scans parallel. At cluster scale raise this back to 128-256 MB
+        # (SPARK_GRAFT_MAX_PARTITION_BYTES) — 4 MB over 100 TB would mean
+        # 25M tasks, pure scheduler overhead.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
