@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Design (the part that must be right at 100 TB):
+- media lives in a ``binary`` column next to typed metadata
+  (``media_type``, ``width``, ``height``, ``duration_ms``) — one row per
+  asset, co-partitioned with its document so joins are local;
+- every transform is ``mapInPandas`` over an iterator of Arrow batches:
+  executors stream batches, nothing materializes a partition in memory,
+  Python cost is amortized per-batch not per-row;
+- heavy decode libraries are imported INSIDE the UDF (executor-side),
+  gated, and stubbed deterministically when absent.
+
+This container ships no image/audio libraries, so ``decode_image`` is a
+clearly-marked STUB: header-sniffing + deterministic pseudo-decode from the
+payload bytes. The Spark-side contract — schemas, batch iteration,
+partitioning — is real and tested; swap ``_decode_one`` for PIL/ffmpeg in
+production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def attach_fake_media(documents: DataFrame) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows with deterministic fake payloads (the
+    UTF-8 text bytes) and metadata derived from doc_id. Stands in for a real
+    ``binaryFile`` source; the downstream plumbing is identical."""
+    return documents.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        (F.col("doc_id") % 30000).cast("int").alias("duration_ms"),
+    )
+
+
+def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
+    """STUB decode: a real implementation would be PIL/libvips here.
+
+    Gated import pattern shown for reality; the fallback derives a
+    deterministic pseudo-decode from the bytes so tests are stable."""
+    try:  # pragma: no cover - library absent in this container
+        from PIL import Image  # type: ignore  # noqa: F401
+
+        raise NotImplementedError(
+            "real decode path not wired in this environment"
+        )
+    except ImportError:
+        pass
+    mean = sum(payload) / len(payload) if payload else 0.0
+    return width or 0, height or 0, mean
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-asset features via Arrow-batched mapInPandas (FEATURE_SCHEMA).
+
+    Scale shape: one pass, no shuffle; Python sees pandas batches (default
+    ~10k rows), never single rows; output is columnar Arrow back to the JVM.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                _decode_one(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "content_sha256": [
+                        hashlib.sha256(bytes(p)).hexdigest() for p in pdf["payload"]
+                    ],
+                    # round half-AWAY-from-zero like SQL round(); Python's
+                    # built-in round() is banker's and diverges at .00005
+                    "mean_byte": [math.floor(d[2] * 1e4 + 0.5) / 1e4 for d in decoded],
+                    "decoded_width": [d[0] for d in decoded],
+                    "decoded_height": [d[1] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+    """'Video' frame sampling: slice the payload into ``frame_size``-byte
+    frames, keep every ``every_n``-th (FRAME_SCHEMA). A real implementation
+    would seek keyframes via ffmpeg — the fan-out shape (one row in, many
+    rows out through mapInPandas) is what matters here."""
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "frame_no": [], "frame_bytes": []}
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mtype != "video":
+                    continue
+                b = bytes(payload)
+                for i in range(0, len(b) // frame_size, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_bytes"].append(b[i * frame_size : (i + 1) * frame_size])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)

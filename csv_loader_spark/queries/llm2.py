@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 
 from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.ops.multimodal import attach_fake_media, extract_features
 from csv_loader_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -358,3 +359,42 @@ def q56_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rank") <= _TFIDF_TOP)
         .select("doc_id", "term", "tfidf", "n_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (Arrow-batched Python path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_media_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS c
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    mb AS (
+      SELECT doc_id, round(avg(c), 4) AS mean_byte FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE CAST(d.doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           octet_length(encode(d.text)) AS n_bytes,
+           sha256(d.text) AS content_sha256,
+           mb.mean_byte,
+           CAST(d.doc_id % 640 + 16 AS INTEGER) AS decoded_width,
+           CAST(d.doc_id % 480 + 16 AS INTEGER) AS decoded_height
+    FROM documents d JOIN mb USING (doc_id)
+    """,
+    tags=("multimodal", "pandas_udf", "llm"),
+)
+def q59_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature pipeline through the REAL Python path:
+    binary payload + typed metadata → Arrow-batched mapInPandas →
+    (bytes, sha256, mean byte, decoded dims). The decode step is a
+    deterministic stub (no image libs in this container — ops/multimodal.py);
+    everything around it — schema, batching, Arrow transfer — is production
+    shape, and the oracle recomputes the same features in SQL (the corpus is
+    pure ASCII, so byte stats == char stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(d))
