@@ -1,0 +1,236 @@
+"""Relational operator library, part 3: window-frame variants, funnel and
+retention analytics, skew-salted join, approximate percentiles.
+
+The funnel/retention pair are the event-sequence shapes a training-data
+pipeline runs constantly (user journeys, cohort decay); the salted join is
+the skew toolkit made oracle-checkable (same result as the plain join, by
+construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.ops.skew import salted_join
+from csv_loader_spark.queries.registry import query
+
+
+@query(
+    "q60_window_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS avg_all,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+             AS price_quartile,
+           round(percent_rank() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice, o_orderkey), 4)
+             AS pct_rank,
+           round(cume_dist() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice, o_orderkey), 4)
+             AS cume,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_order
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window", "frames"),
+)
+def q60_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame battery: bounded ROWS frame, unbounded frame, ntile,
+    percent_rank, cume_dist, first_value — one shuffle on the partition key
+    serves every function (all share the same partitioning)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    by_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum("o_totalprice").over(by_date.rowsBetween(-2, 0)), 2
+        ).alias("sum_last3"),
+        F.round(
+            F.avg("o_totalprice").over(
+                by_date.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+            ),
+            4,
+        ).alias("avg_all"),
+        F.ntile(4).over(by_price).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(by_price), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(by_price), 4).alias("cume"),
+        F.first("o_orderkey").over(
+            by_date.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("first_order"),
+    )
+
+
+@query(
+    "q61_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+    tags=("funnel", "sequence", "agg"),
+)
+def q61_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): each stage keeps the
+    earliest qualifying event strictly after the previous stage's.
+
+    Scale: three shuffles on user_id, each stage's frontier is one row per
+    surviving user — the standard iterative-frontier funnel, no event×event
+    self-join."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # one declarative plan (3 one-row aggregates cross-joined), no driver
+    # actions during build
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@query(
+    "q62_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    )
+    SELECT a.week AS week,
+           count(DISTINCT a.user_id) AS n_active,
+           count(DISTINCT b.user_id) AS n_retained,
+           round(CAST(count(DISTINCT b.user_id) AS DOUBLE)
+                 / count(DISTINCT a.user_id), 4) AS retention
+    FROM active a
+    LEFT JOIN active b ON b.user_id = a.user_id AND b.week = a.week + 1
+    GROUP BY a.week
+    """,
+    tags=("retention", "cohort", "agg"),
+)
+def q62_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: distinct (user, epoch-week) self-joined at
+    +1 week. Scale: the distinct frontier is tiny vs the event log; the
+    self-join shuffles on user_id only."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("long").alias("week"),
+    ).distinct()
+    a = active.alias("a")
+    b = active.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.week") == F.col("a.week") + 1),
+            "left",
+        )
+        .groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("n_active"),
+            F.countDistinct(F.col("b.user_id")).alias("n_retained"),
+            F.round(
+                F.countDistinct(F.col("b.user_id")).cast("double")
+                / F.countDistinct(F.col("a.user_id")),
+                4,
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "q63_salted_join",
+    oracle="""
+    SELECT e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value * c.c_acctbal), 2) AS weighted
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salt"),
+)
+def q63_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit, oracle-checked: an n=8 deterministic salted join
+    (ops/skew.py) produces bit-identical results to the plain join the
+    oracle runs. Salt is hashed from event_id (high cardinality), the dim
+    side is exploded ×8 — a hot user_id spreads over 8 shuffle partitions.
+
+    On THIS data the plain broadcast join is faster; the query exists to
+    prove the rewrite is semantics-preserving (the precondition for using
+    it when one key owns 30% of a 100 TB fact table)."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(
+        e, c, fact_key="user_id", dim_key="c_custkey", salt_source="event_id", n_salts=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") * F.col("c_acctbal")), 2).alias("weighted"),
+    )
+
+
+@query(
+    "q64_approx_percentile",
+    oracle=None,  # sketch-based: implementation-defined values → rows-only
+    tags=("agg", "approx", "percentile"),
+)
+def q64_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy 10000) per
+    return flag — the scale path where q40's exact percentile (full sort per
+    group) is too expensive. Mergeable sketch → one shuffle of sketch
+    state, never raw values. Rows-only check: sketch internals are
+    engine-specific (exact q40 is the value-checked twin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.approx_percentile("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99"),
+    )
