@@ -218,6 +218,57 @@ def q63_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q65_time_rollup",
+    oracle="""
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'), 'ALL')
+             AS hour,
+           CAST(grouping(date_trunc('day', ts)) + grouping(date_trunc('hour', ts))
+                AS INTEGER) AS lvl,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    tags=("rollup", "window_time", "hypertable", "agg"),
+)
+def q65_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-hierarchy rollup: hour → day → grand total in
+    one pass (the batch form of a continuous aggregate; Spark plans ROLLUP
+    as a single expand+agg, so the fact table is scanned once).
+
+    Scale: at 100 TB this is the materialized-view refresh query — partition
+    the sink by `day` and it backfills incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    # pre-project the truncations: F.grouping() resolves against attribute
+    # names, not against expression-aliased grouping columns
+    pre = e.select(
+        F.date_trunc("day", F.col("ts")).alias("_day"),
+        F.date_trunc("hour", F.col("ts")).alias("_hour"),
+        "value",
+    )
+    return (
+        pre.rollup("_day", "_hour")
+        .agg(
+            (F.grouping("_day") + F.grouping("_hour"))
+            .cast("int")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("_day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce(
+                F.date_format("_hour", "yyyy-MM-dd HH:mm:ss"), F.lit("ALL")
+            ).alias("hour"),
+            "lvl",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),

@@ -1,0 +1,63 @@
+"""Streaming event analytics: the windowed/watermarked aggregations whose
+batch-mode twins live in queries/relational.py (q22 tumbling, q52 sliding).
+
+One transformation function serves both execution modes — the DataFrame API
+is mode-agnostic, so the BATCH oracle checks of q22/q52/q57 also validate
+the logic these streaming queries run; q57_stream_tumbling additionally
+executes the streaming path for real (availableNow → memory sink) under the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_loader_spark.session import tune_session
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Incremental parquet source over an events directory; normalizes the
+    TIMESTAMP(NANOS) ts column exactly like the batch loader."""
+    tune_session(spark)
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` is set) event-time window counts
+    with a late-data watermark. Works on both batch and streaming frames;
+    state per open window is one partial aggregate, GC'd by the watermark."""
+    win = (
+        F.window("ts", window) if slide is None else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
