@@ -14,7 +14,9 @@ from pyspark.sql import Window as W
 
 from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.ops.graph import connected_components
 from csv_loader_spark.ops.multimodal import attach_fake_media, extract_features
+from csv_loader_spark.queries.llm import _SHINGLE_CTE, _shingled
 from csv_loader_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -398,3 +400,105 @@ def q59_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure ASCII, so byte stats == char stats)."""
     d = load_table(spark, sf_dir, "documents")
     return extract_features(attach_fake_media(d))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / split + dup clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q66_deterministic_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_hash16_sql("CAST(doc_id AS VARCHAR)")} AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 52429 THEN 'train'
+                WHEN bucket < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    WHERE bucket % 2 = 0
+    """,
+    tags=("sampling", "split", "llm"),
+)
+def q66_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling + train/val/test split by hash bucket (md5 of
+    the id → 16-bit bucket; 80/10/10 split; keep even buckets = a stable
+    50% sample). THE way to sample training data: engine-independent,
+    seed-free, stable under re-partitioning and re-runs — rand()-based
+    sampling is none of those. Portable across engines (oracle runs the
+    identical arithmetic)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_hash16_sql("CAST(doc_id AS STRING)")).alias("bucket")
+    b = d.select("doc_id", bucket)
+    split = (
+        F.when(F.col("bucket") < 52429, F.lit("train"))
+        .when(F.col("bucket") < 58982, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return b.filter(F.col("bucket") % 2 == 0).select("doc_id", "bucket", split.alias("split"))
+
+
+@query(
+    "q67_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a
+      JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "iterative", "llm"),
+)
+def q67_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list → duplicate CLUSTERS via iterative min-label
+    propagation (ops/graph.py) — the step that turns pairwise Jaccard ≥ 0.5
+    evidence into keep-one-per-component dedup decisions.
+
+    Iterative (non-single-SQL) on the Spark side: join+agg per round,
+    lineage truncated via localCheckpoint, converges in diameter rounds.
+    The oracle computes the same fixpoint with a recursive CTE."""
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    edges = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

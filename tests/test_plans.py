@@ -1,0 +1,65 @@
+"""Physical-plan assertions: the scale properties the queries claim
+(pushdown, column pruning, broadcast strategy, window top-k pushdown) are
+checked here so a regression in plan shape fails CI, not just a benchmark.
+"""
+
+import pytest
+
+from csv_loader_spark.queries.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = all_specs()[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    # date filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 16-column table, 7-column query: pruned read schema, no l_orderkey etc.
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q02_scan_prunes_columns(spark):
+    plan = _plan(spark, "q02_filter_project")
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "p_name" not in read_schema or "struct<" in read_schema
+
+
+def test_q03_broadcasts_dim_side(spark):
+    plan = _plan(spark, "q03_topn_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q05_single_fact_shuffle(spark):
+    plan = _plan(spark, "q05_nation_volume")
+    # every dim join is broadcast…
+    assert plan.count("BroadcastHashJoin") >= 4
+    # …and the only hash-partition exchanges belong to the final aggregate,
+    # not to any join input
+    assert "SortMergeJoin" not in plan
+
+
+def test_q13_window_topk_pushes_group_limit(spark):
+    plan = _plan(spark, "q13_window_topk")
+    # rank-filter is recognized and applied before/inside the sort, so the
+    # window never materializes full partitions
+    assert "WindowGroupLimit" in plan
+
+
+def test_q35_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "q35_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.index("BroadcastExchange") > plan.index("BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize("name", ["q44_exists_subquery"])
+def test_exists_decorrelates_to_joins(spark, name):
+    plan = _plan(spark, name)
+    # Catalyst decorrelated EXISTS/NOT EXISTS into semi/anti joins — no
+    # per-row subquery execution survives in the physical plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
