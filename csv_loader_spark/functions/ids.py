@@ -35,7 +35,10 @@ def decimal_str_to_int64(col: Column | str) -> Column:
         F.when(c.rlike(r"^[+-]"), F.substring(c, 2, 2147483647)).otherwise(c),
         F.lit("9" * 38),
     )  # NULL if not numeric
-    as_dec = F.when(c.startswith("-"), -magnitude).otherwise(magnitude)
+    # NB: `-magnitude` (Column.__neg__) loses precision on wide decimals
+    # (routes through double); 0 - x stays exact decimal(38,0) arithmetic
+    zero = F.lit(0).cast("decimal(38,0)")
+    as_dec = F.when(c.startswith("-"), zero - magnitude).otherwise(magnitude)
     two64 = F.lit(_TWO64).cast("decimal(38,0)")
     two63 = F.lit(_TWO63).cast("decimal(38,0)")
     low64 = F.pmod(as_dec, two64)

@@ -269,6 +269,60 @@ def q65_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q68_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n, round(sum(value), 2) AS sv
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(a.n, 0) AS n_events,
+           coalesce(a.sv, 0.0) AS sum_value,
+           (a.hour IS NULL) AS is_gap
+    FROM hours h LEFT JOIN agg a ON a.hour = h.hour
+    """,
+    tags=("timeseries", "gap_fill", "agg"),
+)
+def q68_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series with explicit gap rows: generate the full
+    hour spine (sequence + explode) and left-join the hourly aggregate —
+    the standard shape for feeding models that need contiguous time steps.
+
+    Scale: the spine is hours-between-bounds (tiny) and broadcasts into the
+    join; the fact side aggregates before joining, so the big table is
+    touched once."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    agg = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("ahour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv")
+    )
+    return (
+        spine.join(agg, spine["hour"] == agg["ahour"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+            F.col("ahour").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),
