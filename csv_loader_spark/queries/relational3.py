@@ -323,6 +323,71 @@ def q68_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q69_json_keys",
+    oracle="""
+    SELECT event_type, k AS prop_key, count(*) AS n
+    FROM (
+      SELECT event_type, unnest(json_keys(props)) AS k FROM events
+    )
+    GROUP BY event_type, k
+    """,
+    tags=("json", "map", "agg"),
+)
+def q69_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured introspection: enumerate JSON property keys per event
+    type (the schema-discovery pass run before promoting JSON blobs into
+    typed columns). json_object_keys → explode → count; one scan, one
+    shuffle of (type, key) partials."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type", F.explode(F.json_object_keys("props")).alias("prop_key")
+        )
+        .groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q70_array_functions",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 100
+    )
+    SELECT vec_id,
+           len(v) AS n_dims,
+           round(v[1], 4) AS first_dim,
+           round(v[len(v)], 4) AS last_dim,
+           round(v[1] + v[2] + v[3] + v[4], 4) AS sum_first4,
+           round(list_max(v), 4) AS v_max,
+           round(list_min(v), 4) AS v_min,
+           round(list_sort(v)[2], 4) AS second_smallest,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM e
+    """,
+    tags=("array", "scalar"),
+)
+def q70_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over embedding vectors: indexing, slice-sum,
+    min/max, sort, filter-count — all JVM higher-order expressions (built
+    via the SQL parser, csv_loader_spark/functions/vectors.py rationale)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    return e.selectExpr(
+        "vec_id",
+        f"size({v}) AS n_dims",
+        f"round(element_at({v}, 1), 4) AS first_dim",
+        f"round(element_at({v}, size({v})), 4) AS last_dim",
+        f"round(aggregate(slice({v}, 1, 4), 0.0D, (a, x) -> a + x), 4) AS sum_first4",
+        f"round(array_max({v}), 4) AS v_max",
+        f"round(array_min({v}), 4) AS v_min",
+        f"round(element_at(array_sort({v}), 2), 4) AS second_smallest",
+        f"CAST(size(filter({v}, x -> x > 0)) AS INT) AS n_positive",
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),
