@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.io.tables import load_table, register_views
 from csv_loader_spark.ops.skew import salted_join
 from csv_loader_spark.queries.registry import query
 
@@ -384,6 +384,40 @@ def q70_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(array_min({v}), 4) AS v_min",
         f"round(element_at(array_sort({v}), 2), 4) AS second_smallest",
         f"CAST(size(filter({v}, x -> x > 0)) AS INT) AS n_positive",
+    )
+
+
+@query(
+    "q71_lateral_topk",
+    oracle="""
+    SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+    tags=("lateral", "subquery", "topk"),
+)
+def q71_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers per nation by balance.
+    Catalyst rewrites the per-row subquery into a join + windowed rank —
+    same physical shape as q13's window top-k, but declared the SQL-standard
+    LATERAL way (the per-nation limit never materializes full partitions)."""
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, round(c.c_acctbal, 2) AS acctbal
+        FROM nation n, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
     )
 
 
