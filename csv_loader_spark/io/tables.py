@@ -31,9 +31,11 @@ TABLES = (
 # Plan cache: spark.read.parquet re-lists the file and re-reads the footer
 # on every call (~50-100 ms of driver time per table); multi-table queries
 # were paying this 4-6× per plan build. DataFrames are immutable logical
-# plans, so reuse within a session is safe. Keyed by the session object id
-# (a new session gets fresh plans).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# plans, so reuse within a session is safe. Keyed by the live session
+# OBJECT (not id() — ids are reused after GC and a stale plan bound to a
+# dead session would poison the cache); pinning the handful of sessions a
+# process creates is a bounded, acceptable cost.
+_TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -45,7 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic in int64 — a double round-trip would lose precision at the
     1.7e18 magnitude). Truncation-toward-zero matches DuckDB's ns→µs cast.
     """
-    key = (id(spark), sf_dir, name)
+    key = (spark, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

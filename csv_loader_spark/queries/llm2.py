@@ -442,6 +442,44 @@ def q66_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q72_ann_recall",
+    oracle=None,  # evaluates the impl-defined q36 ANN → rows-only by nature
+    tags=("similarity", "ann", "evaluation", "llm"),
+)
+def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the hyperplane-LSH ANN (q36) against brute-force ground
+    truth (q35), per query vector plus a summary row (query_id = -1).
+
+    The 'measure, don't guess' artifact for the approximate path: ANN
+    speedups are only worth their recall loss if you can SEE the loss.
+    Deterministic (both inputs are), but its values quantify the
+    implementation-defined q36 → rows-only check."""
+    from csv_loader_spark.queries.registry import get
+
+    truth = get("q35_knn_bruteforce").fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = get("q36_ann_lsh").fn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = truth.join(
+        ann, (truth["query_id"] == ann["aq"]) & (truth["neighbor_id"] == ann["an"]), "left"
+    )
+    per_query = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("an").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+    overall = hit.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.count(F.lit(1)).alias("k"),
+        F.count("an").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+    return per_query.unionAll(overall)
+
+
+@query(
     "q67_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
