@@ -510,30 +510,50 @@ def _hyperplanes(dim: int = 64, n: int = 8) -> list[list[float]]:
     return planes
 
 
+# Multi-table LSH geometry: P(two vectors at angle θ share one table's
+# b-bit signature) = (1-θ/π)^b; with L independent tables the union recall
+# is 1-(1-p)^L. For this corpus's top-5 neighbors (cos ≈ 0.3-0.5, θ ≈
+# 60-72°) L=16, b=6 gives ~0.5-0.8 recall; a single 8-bit table measured
+# 0.01-0.02 (q72_ann_recall is the meter).
+_LSH_TABLES = 16
+_LSH_BITS = 6
+
+
 @query(
     "q36_ann_lsh",
     oracle=None,  # LSH recall set is implementation-defined → rows-only check
     tags=("similarity", "ann", "lsh", "llm"),
 )
 def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane (SimHash) LSH: 8-bit signature buckets →
-    candidates share a bucket → exact cosine re-rank within bucket, top-k.
+    """ANN via multi-table random-hyperplane LSH: 16 independent 6-bit
+    signature tables; candidates = pairs sharing ANY table's bucket; exact
+    cosine re-rank of the deduped union, top-k.
 
-    Scale: the bucket join replaces the all-pairs product; signature
-    computation is one JVM-side pass. Recall tunable via #planes/#tables.
-    """
+    Scale: the (table, bucket) equi-join replaces the all-pairs product;
+    the corpus is replicated ×L in the index (the classic LSH space-for-
+    recall trade — tune L/b per corpus; q72_ann_recall measures it).
+    Signature computation is one JVM-side pass over the scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
+    planes = _hyperplanes(n=_LSH_TABLES * _LSH_BITS)
     v_sql = VEC.as_double_sql("embedding")
-    bits = [
-        F.when(F.expr(VEC.dot_sql(v_sql, VEC.lit_array_sql(p))) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
+
+    def table_sig(t: int):
+        bits = [
+            F.when(
+                F.expr(VEC.dot_sql("v", VEC.lit_array_sql(planes[t * _LSH_BITS + i])))
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for i in range(_LSH_BITS)
+        ]
+        return F.concat(F.lit(f"{t}:"), *[b.cast("string") for b in bits])
+
+    tagged = (
+        e.select(F.col("vec_id"), F.expr(v_sql).alias("v"))
+        .withColumn("vn", VEC.norm("v"))
+        .withColumn(
+            "bucket", F.explode(F.array(*[table_sig(t) for t in range(_LSH_TABLES)]))
         )
-        for p in planes
-    ]
-    sig = F.concat(*[b.cast("string") for b in bits]).alias("bucket")
-    tagged = e.select(F.col("vec_id"), F.expr(v_sql).alias("v"), sig).withColumn(
-        "vn", VEC.norm("v")
     )
     a = tagged.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("vn").alias("qn"), "bucket"
@@ -541,7 +561,12 @@ def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tagged.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("vn").alias("cn"), "bucket"
     )
-    cand = a.join(b, ["bucket"]).filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+    )
     sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
