@@ -80,12 +80,21 @@ def _extract_first_zip_entry(path: str, workdir: str | None = None) -> str:
     return out_path
 
 
-def read_pings_raw(spark: SparkSession, path: str) -> DataFrame:
+def read_pings_raw(
+    spark: SparkSession, path: str, *, multiline: bool = True
+) -> DataFrame:
     """Suffix-dispatch source (ops 2-5): plain / .gz / .zip-first-entry → raw
     11-column string DataFrame (absent trailing fields are NULL).
 
     Spark decompresses .gz by extension natively; .zip is staged driver-side.
     Suffix match is case-insensitive like the reference (:84,:90).
+
+    ``multiline=True`` (default) is full RFC 4180: quoted fields may embed
+    newlines, exactly like the reference's commons-csv — but it makes every
+    file a single task (records can span split boundaries). At 100 TB, if
+    the producer guarantees no embedded newlines (GPS pings never have
+    them), pass ``multiline=False`` for splittable parallel scans — the
+    one semantics-vs-scale switch in this source.
     """
     lower = path.lower()
     if lower.endswith(".zip"):
@@ -96,7 +105,7 @@ def read_pings_raw(spark: SparkSession, path: str) -> DataFrame:
         header=False,
         mode="PERMISSIVE",
         encoding="UTF-8",
-        multiLine=True,  # RFC 4180 quoted fields may embed newlines
+        multiLine=multiline,
     )
 
 
