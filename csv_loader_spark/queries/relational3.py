@@ -422,6 +422,97 @@ def q71_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q73_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col, count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_v, CAST(max(doc_id) AS VARCHAR) AS max_v
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*) - count(lang), count(DISTINCT lang),
+           min(lang), max(lang) FROM documents
+    UNION ALL
+    SELECT 'source', count(*) - count(source), count(DISTINCT source),
+           min(source), max(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    tags=("profiling", "agg"),
+)
+def q73_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling: per-column null count / distinct count / min-max —
+    the pre-ingestion audit pass of a training-data pipeline, generated from
+    the schema (one wide aggregate per column batch, single scan each).
+
+    Scale: exact distinct per column shuffles per column; at 100 TB switch
+    the distinct leg to approx_count_distinct (q27's primitive)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def profile(col: str) -> DataFrame:
+        return d.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_null"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("string").alias("min_v"),
+            F.max(col).cast("string").alias("max_v"),
+        )
+
+    out = None
+    for c in ("doc_id", "lang", "source", "n_chars"):
+        p = profile(c)
+        out = p if out is None else out.unionAll(p)
+    return out
+
+
+@query(
+    "q74_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id, length(s) AS n_events,
+           regexp_matches(s, 'v.*c.*p') AS did_funnel,
+           regexp_matches(s, 'ee') AS double_error
+    FROM seq
+    """,
+    tags=("sequence", "regexp", "agg"),
+)
+def q74_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching: encode each user's time-ordered
+    event types as a character string, then regex over it (v.*c.*p =
+    view→click→purchase in order; ee = consecutive errors) — the
+    MATCH_RECOGNIZE-lite idiom. Deterministic via the (ts, event_id) sort
+    inside the aggregation.
+
+    Scale: one shuffle on user_id; per-user strings stay tiny (#events)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        F.col("s").rlike("v.*c.*p").alias("did_funnel"),
+        F.col("s").rlike("ee").alias("double_error"),
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),
