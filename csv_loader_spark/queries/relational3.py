@@ -513,6 +513,41 @@ def q74_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q75_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           bucket * 25000.0 AS lo,
+           (bucket + 1) * 25000.0 AS hi,
+           count(*) AS n
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("histogram", "agg"),
+)
+def q75_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor arithmetic (engine-portable, unlike
+    width_bucket/histogram built-ins) — one scan, partial+final agg of at
+    most #buckets rows per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25000.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),

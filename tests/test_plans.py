@@ -63,3 +63,23 @@ def test_exists_decorrelates_to_joins(spark, name):
     # Catalyst decorrelated EXISTS/NOT EXISTS into semi/anti joins — no
     # per-row subquery execution survives in the physical plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine exposes planner control: per-join strategy hints override
+    the size-based default (the escape hatch when statistics mislead)."""
+    from csv_loader_spark.io.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    merge = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"])
+    assert "SortMergeJoin" in merge._jdf.queryExecution().executedPlan().toString()
+    shuffle_hash = li.join(
+        o.hint("shuffle_hash"), li["l_orderkey"] == o["o_orderkey"]
+    )
+    assert (
+        "ShuffledHashJoin"
+        in shuffle_hash._jdf.queryExecution().executedPlan().toString()
+    )
+    bcast = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
