@@ -14,7 +14,11 @@ from pyspark.sql import Window as W
 
 from csv_loader_spark.io.tables import load_table, register_views
 from csv_loader_spark.ops.skew import salted_join
+from csv_loader_spark.queries.llm2 import _hash16_sql as _hash16
 from csv_loader_spark.queries.registry import query
+
+# md5-hex → 16-bit bucket, identical SQL on both engines (llm2.py owns it)
+_HASH16_IMPORT = _hash16("CAST(doc_id AS VARCHAR)")
 
 
 @query(
@@ -544,6 +548,74 @@ def q75_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("bucket") + 1) * 25000.0).alias("hi"),
             "n",
         )
+    )
+
+
+@query(
+    "q76_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS n_click,
+             count(*) FILTER (WHERE event_type = 'view')  AS n_view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, n FROM wide
+    UNPIVOT (n FOR metric IN (n_click, n_view, n_purchase))
+    """,
+    tags=("unpivot", "melt", "agg"),
+)
+def q76_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-user counters back to long (metric, value)
+    rows — the inverse of q38's pivot, via the native unpivot operator (a
+    generate, not a shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_click", "n_view", "n_purchase"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
+
+
+@query(
+    "q77_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_HASH16_IMPORT} AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 6554 WHEN 'fr' THEN 16384
+                             ELSE 32768 END
+    GROUP BY lang
+    """,
+    tags=("sampling", "stratified", "llm"),
+)
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-language rates (10% en, 25%
+    fr, 50% others) via the same md5-bucket primitive as q66 — per-group
+    downsampling/upweighting for training-mix control, reproducible across
+    engines and re-partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_hash16("CAST(doc_id AS STRING)"))
+    rate = (
+        F.when(F.col("lang") == "en", 6554)
+        .when(F.col("lang") == "fr", 16384)
+        .otherwise(32768)
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"), rate.alias("cut"))
+        .filter(F.col("bucket") < F.col("cut"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
 
 
