@@ -40,6 +40,32 @@ def test_id_truncation_randomized(spark):
     assert got == expected
 
 
+def test_word_shingles_randomized(spark):
+    from csv_loader_spark.functions.text import word_shingles
+
+    rng = random.Random(99)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    cases = [" ".join(rng.choices(vocab, k=rng.randint(0, 8))) for _ in range(120)]
+
+    def model(text, n=3):
+        toks = text.lower().split()
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "text"])
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", word_shingles("text", 3).alias("sh")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == model(c), repr(c)
+
+
 def test_timestamp_parse_randomized(spark):
     rng = random.Random(7)
     cases = []
