@@ -167,6 +167,10 @@ def q58_ping_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sf_dir tables aren't used: this entry pins the PARSE semantics, the
     one surface the star-schema queries can't reach. File/compression
     sources are covered by tests/test_pings_ingest.py."""
+    # q58 reads no tables, so pin the session TZ here (every other query
+    # gets it via load_table → tune_session); format-2 timestamps parse in
+    # session TZ and the golden values assume UTC.
+    tune_session(spark)
     padded = [row + (None,) * (11 - len(row)) for row in _RAW_ROWS]
     raw = spark.createDataFrame(padded, RAW_SCHEMA)
     return project_pings(raw)
