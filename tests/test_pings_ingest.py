@@ -71,6 +71,19 @@ def test_zip_source_first_entry_only(spark, tmp_path):
     assert _by_id(df) == _expected(NARROW_ROWS)
 
 
+def test_directory_of_csvs(spark, tmp_path):
+    """A directory (or glob) of ping files reads as one dataset — the
+    many-input-files shape the 100 TB path requires (SCALE.md)."""
+    d = tmp_path / "pings"
+    d.mkdir()
+    write_narrow_csv(str(d / "part1.csv"))
+    with open(d / "part2.csv", "w") as f:
+        f.write("2015-06-01 10:00:00+00,901,10.0,20.0\n")
+    df = read_pings(spark, str(d))
+    assert df.count() == len(NARROW_ROWS) + 1
+    assert 901 in _by_id(df)
+
+
 def test_ordered_per_vehicle(spark, tmp_path):
     from csv_loader_spark.io.pings import ordered_per_vehicle
 
