@@ -83,6 +83,10 @@ def start_hourly_rollup(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value").alias("sum_value"),
             )
+            # materialize BEFORE the write: the plan reads out_path and the
+            # write overwrites out_path — lazy evaluation during the
+            # overwrite would race the delete of its own input files
+            merged = merged.localCheckpoint(eager=True)
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             merged.write.mode("overwrite").partitionBy("day").parquet(out_path)
             _record_applied(out_path, batch_id)
