@@ -620,6 +620,46 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q78_hll_mergeable",
+    oracle=None,  # DataSketches HLL internals are engine-specific → rows-only
+    tags=("agg", "approx", "sketch", "hll"),
+)
+def q78_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct sketches — the property that makes distinct-count
+    scale: per-day HLL sketches (one pass) union into the overall count
+    without touching raw data again. Emits per-day estimate vs exact and
+    the merged overall row (day='ALL') — rel_err shows the sketch error
+    being paid for the single-pass mergeability.
+
+    Scale: sketch state is KB per group vs the full value set; re-use the
+    stored sketches for any rollup (day→week→all) with hll_union_agg."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    per_day = e.groupBy(day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    daily = per_day.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est"),
+        "exact",
+    )
+    overall = per_day.agg(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).crossJoin(e.agg(F.countDistinct("user_id").alias("exact")))
+    out = daily.unionAll(overall.select("day", "est", "exact"))
+    return out.select(
+        "day",
+        "est",
+        "exact",
+        F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 4).alias(
+            "rel_err"
+        ),
+    )
+
+
+@query(
     "q64_approx_percentile",
     oracle=None,  # sketch-based: implementation-defined values → rows-only
     tags=("agg", "approx", "percentile"),
