@@ -75,6 +75,35 @@ def test_transport_error_retries_then_succeeds(http_server):
     assert rec.payloads[-1] == b"p2"
 
 
+def test_transport_failure_after_receipt_duplicates_envelope(http_server):
+    """At-least-once parity (CsvLoader.java:226-233): if the POST reaches
+    the server but the response is lost, the sender retries and the server
+    receives the SAME envelope twice — duplicates are the reference's
+    documented behavior on transport errors, reproduced here."""
+    url, rec = http_server
+    rec.fail_next_with = [-1]  # sentinel: receive body, then drop connection
+    original_do_post = rec.do_POST
+
+    def do_post_with_drop(self):
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        if type(self).fail_next_with and type(self).fail_next_with[0] == -1:
+            type(self).fail_next_with.pop(0)
+            type(self).payloads.append(body)  # server DID process it...
+            self.connection.close()  # ...but the response never arrives
+            return
+        type(self).payloads.append(body)
+        self.send_response(200)
+        self.end_headers()
+
+    rec.do_POST = do_post_with_drop
+    try:
+        status = post_bytes(url, b"envelope-X", retry_interval=0.05, max_retries=3)
+        assert status == 200
+        assert rec.payloads == [b"envelope-X", b"envelope-X"]  # duplicate
+    finally:
+        rec.do_POST = original_do_post
+
+
 def test_write_http_from_dataframe(spark, http_server):
     url, rec = http_server
     df = spark.createDataFrame(
