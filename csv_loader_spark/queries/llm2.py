@@ -480,6 +480,87 @@ def q72_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q79_dedup_keep_best",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' '))
+               AS fp,
+             length(text) AS quality
+      FROM documents
+    )
+    SELECT fp,
+           arg_max(doc_id, quality + doc_id * 0.0000001) AS keep_doc_id,
+           count(*) AS n_copies,
+           max(quality) AS best_quality
+    FROM scored
+    GROUP BY fp
+    """,
+    tags=("dedup", "llm"),
+)
+def q79_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per content fingerprint keep the BEST
+    copy, not the first (survivor = max quality, doc_id as deterministic
+    tie-break folded into the score) — real pipelines rank duplicates by
+    quality before dropping. Same hash-groupBy scale shape as q28."""
+    d = load_table(spark, sf_dir, "documents")
+    from csv_loader_spark.functions import text as TXT
+
+    quality = F.length("text")
+    score = quality + F.col("doc_id") * 0.0000001  # unique → deterministic arg_max
+    return d.select(
+        TXT.fingerprint("text").alias("fp"),
+        "doc_id",
+        quality.alias("quality"),
+        score.alias("score"),
+    ).groupBy("fp").agg(
+        F.max_by("doc_id", "score").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("quality").alias("best_quality"),
+    )
+
+
+@query(
+    "q80_mix_report",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+      FROM documents GROUP BY lang, source
+    )
+    SELECT lang, source, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) AS share_overall,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4)
+             AS share_in_lang,
+           round(CAST(chars AS DOUBLE) / n, 2) AS avg_chars
+    FROM counts
+    """,
+    tags=("reporting", "window", "agg"),
+)
+def q80_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report: document share by (lang, source) with overall
+    and within-language ratios — windows OVER an aggregate (the grouped
+    rows, thousands not billions, are what the unpartitioned window sees)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    w_all = W.partitionBy()
+    w_lang = W.partitionBy("lang")
+    return counts.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_all), 4).alias(
+            "share_overall"
+        ),
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_lang), 4).alias(
+            "share_in_lang"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("n"), 2).alias("avg_chars"),
+    )
+
+
+@query(
     "q67_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
