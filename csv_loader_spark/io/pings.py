@@ -25,6 +25,10 @@ Documented divergences from the reference (SURVEY §7.4):
   survive here that the reference drops, only when fields 2/3 are also valid
   doubles. Recorded, not observable in any fixture corpus.
 - format-2 timestamps (no offset) use UTC, not the JVM default TZ.
+- a UTF-8 BOM is stripped by Spark's CSV reader, so a BOM-prefixed first
+  row parses normally here; the reference would prepend the BOM to the
+  timestamp string, fail the parse, and drop that one row. Strictly more
+  data retained; noted.
 """
 
 from __future__ import annotations
@@ -106,6 +110,8 @@ def read_pings_raw(
         mode="PERMISSIVE",
         encoding="UTF-8",
         multiLine=multiline,
+        escape='"',  # RFC 4180 doubled-quote escaping ("" inside a quoted
+        # field), like commons-csv; Spark's default escape is backslash
     )
 
 

@@ -38,7 +38,9 @@ def stream_pings(
     reader = spark.readStream.schema(RAW_SCHEMA).option("encoding", "UTF-8")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.csv(src_dir, header=False, mode="PERMISSIVE", multiLine=True)
+    raw = reader.csv(
+        src_dir, header=False, mode="PERMISSIVE", multiLine=True, escape='"'
+    )
     return project_pings(raw)
 
 

@@ -71,6 +71,23 @@ def test_zip_source_first_entry_only(spark, tmp_path):
     assert _by_id(df) == _expected(NARROW_ROWS)
 
 
+def test_rfc4180_dialect_details(spark, tmp_path):
+    """CRLF records, quoted numeric fields, doubled-quote escaping, and the
+    documented BOM divergence (we keep the row; reference drops it)."""
+    p = tmp_path / "rfc.csv"
+    with open(p, "wb") as f:
+        f.write("﻿".encode())  # BOM — stripped by Spark (divergence doc'd)
+        f.write(b"2015-06-01 08:30:15+00,1,40.0,-74.0\r\n")  # CRLF
+        f.write(b'"2015-06-01 08:30:16+00","2","41.5","-75.5"\r\n')  # quoted fields
+        f.write(b'2015-06-01 08:30:17+00,"say ""hi""",40.0,-74.0\n')  # "" escape
+    df = read_pings(spark, str(p))
+    got = _by_id(df)
+    assert set(got) == {1, 2}  # the embedded-quote id row is non-numeric → drop
+    assert got[2] == (1433147416000, 41.5, -75.5)
+    raw = read_pings_raw(spark, str(p)).collect()
+    assert raw[2]["_c1"] == 'say "hi"'  # RFC 4180 unescaping, like commons-csv
+
+
 def test_directory_of_csvs(spark, tmp_path):
     """A directory (or glob) of ping files reads as one dataset — the
     many-input-files shape the 100 TB path requires (SCALE.md)."""
