@@ -1,0 +1,103 @@
+"""CLI entry point — reference-parity surface (CsvLoader.java:31-70, op 1).
+
+The reference:  java -jar csv-loader.jar -f pings.csv [-u URL]
+Here:           python -m csv_loader_spark -f pings.csv [-u URL] [options]
+
+Same contract: -f required and must exist; -u defaults to the reference's
+default endpoint (CsvLoader.java:45 — NB the reference's own help text
+:40 shows a stale URL; the code default is authoritative); sourceId is a
+random 64-bit id per load (:63). Extensions beyond the reference: --stream
+(incremental directory ingestion with checkpoint), --kinesis, --dry-run
+(parse + metrics only), --batch-size / --retry-interval knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+DEFAULT_URL = "http://localhost:4567/locationUpdate"  # CsvLoader.java:45
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv_loader_spark",
+        description="Load a vehicle-ping CSV and POST protobuf envelopes.",
+    )
+    p.add_argument("-f", "--file", required=True, help="input CSV (.csv/.gz/.zip) or directory")
+    p.add_argument("-u", "--url", default=DEFAULT_URL, help=f"sink URL (default {DEFAULT_URL})")
+    p.add_argument("--kinesis", metavar="STREAM", help="send to a Kinesis stream instead of HTTP")
+    p.add_argument("--stream", action="store_true", help="incremental (Structured Streaming) mode over a directory")
+    p.add_argument("--checkpoint", help="checkpoint dir for --stream")
+    p.add_argument("--dry-run", action="store_true", help="parse + metrics only, no send")
+    p.add_argument("--batch-size", type=int, default=10_001, help="rows per envelope (reference: 10,001)")
+    p.add_argument("--retry-interval", type=float, default=5.0, help="seconds between transport retries (reference: 5)")
+    p.add_argument("--max-retries", type=int, default=None, help="cap transport retries (default: forever, like the reference)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not os.path.exists(args.file):
+        # reference behavior: message + return, no stack trace (:59-61)
+        print(f"file not found: {args.file}", file=sys.stderr)
+        return 1
+
+    from csv_loader_spark.io.pings import distinct_vehicle_counts, read_pings
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("csv_loader_cli")
+    source_id = random.getrandbits(63)  # per-load session id (op 12, :63)
+
+    if args.stream:
+        from csv_loader_spark.streaming.pings import stream_pings, write_stream_http
+
+        ckpt = args.checkpoint or os.path.join(
+            args.file.rstrip("/") + "_checkpoint"
+        )
+        pings = stream_pings(spark, args.file)
+        query, _metrics = write_stream_http(
+            pings,
+            args.url,
+            source_id,
+            ckpt,
+            batch_size=args.batch_size,
+            retry_interval=args.retry_interval,
+            max_retries=args.max_retries,
+            available_now=True,
+        )
+        query.awaitTermination()
+        return 0
+
+    pings = read_pings(spark, args.file)
+    if args.dry_run:
+        row = distinct_vehicle_counts(pings).collect()[0]
+    elif args.kinesis:
+        from csv_loader_spark.sinks.kinesis import write_kinesis
+
+        write_kinesis(pings, args.kinesis)
+        row = distinct_vehicle_counts(pings).collect()[0]
+    else:
+        from csv_loader_spark.sinks.http import write_http
+
+        write_http(
+            pings,
+            args.url,
+            source_id,
+            batch_size=args.batch_size,
+            retry_interval=args.retry_interval,
+            max_retries=args.max_retries,
+        )
+        row = distinct_vehicle_counts(pings).collect()[0]
+    # reference progress-line format (CsvLoader.java:165)
+    print(
+        "%.2fM records loaded, %d unique vehicles (%d unique ids)"
+        % (row["n_records"] / 1e6, row["n_vehicles"], row["n_ids"])
+    )
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via main() in tests
+    sys.exit(main())
