@@ -561,6 +561,163 @@ def q80_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q81_text_clean",
+    oracle=r"""
+    WITH noisy AS (
+      -- deterministically inject the noise classes the cleaner removes
+      -- (the corpus itself is clean synthetic text)
+      SELECT doc_id,
+             text || ' visit https://example.com/' || doc_id ||
+             ' or mail bot' || doc_id || '@spam.io  end' AS raw
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(raw,
+               'https?://\S+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+      FROM noisy
+    )
+    SELECT doc_id,
+           length(raw) AS n_raw,
+           length(clean) AS n_clean,
+           md5(clean) AS clean_md5
+    FROM cleaned
+    """,
+    tags=("text", "cleaning", "llm"),
+)
+def q81_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning for pretraining: scrub URLs and emails, collapse
+    whitespace — pure JVM regexp chain, verified byte-for-byte via md5 of
+    the cleaned text. Noise is injected deterministically (the synthetic
+    corpus has none) so the scrub provably fires on every row."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" visit https://example.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or mail bot"),
+        F.col("doc_id").cast("string"),
+        F.lit("@spam.io  end"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(raw, r"https?://\S+", " "),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(raw).alias("n_raw"),
+        F.length(clean).alias("n_clean"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+@query(
+    "q82_char_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      FROM documents WHERE doc_id < 50
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(s) - 3),
+                                          i -> substr(s, CAST(i AS INTEGER), 4)))
+               AS gs
+      FROM t WHERE length(s) >= 4
+    )
+    SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams
+    """,
+    tags=("text", "ngram", "llm"),
+)
+def q82_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 4-gram shingles (distinct) — the tokenizer-free granularity
+    used when word boundaries are unreliable (CJK, code). Same
+    sequence+transform construction as word shingles, over characters."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    t = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
+    grams = F.array_distinct(
+        F.expr("transform(sequence(1, length(s) - 4), i -> substr(s, i, 4))")
+    )
+    return t.select("doc_id", grams.alias("gs")).select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    )
+
+
+@query(
+    "q83_curation_pipeline",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, text,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(t, ' ')) AS fp,
+             len(t) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio
+      FROM toks
+    ),
+    survivors AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM survivors
+    WHERE rn = 1                  -- exact-dedup survivor
+      AND lang IN ('en', 'fr')    -- language filter
+      AND n_tokens BETWEEN 20 AND 2000
+      AND punct_ratio < 0.1       -- quality filter
+    """,
+    tags=("curation", "pipeline", "dedup", "quality", "llm"),
+)
+def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a full curation pipeline as ONE declarative plan —
+    tokenize → quality features → exact-dedup survivor election → language
+    + length + punctuation filters → kept documents. Catalyst fuses the
+    scalar stages; the only shuffles are the dedup window and nothing else.
+
+    Scale: this is the shape of a real pretraining-data job; every stage is
+    a column expression over one scan plus one fingerprint-partitioned
+    window."""
+    d = load_table(spark, sf_dir, "documents")
+    from csv_loader_spark.functions import text as TXT
+
+    toks = TXT.tokens("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TXT.fingerprint("text").alias("fp"),
+        F.size(toks).alias("n_tokens"),
+        (TXT.punct_count("text").cast("double") / F.length("text")).alias(
+            "punct_ratio"
+        ),
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(
+            (F.col("rn") == 1)
+            & F.col("lang").isin("en", "fr")
+            & F.col("n_tokens").between(20, 2000)
+            & (F.col("punct_ratio") < 0.1)
+        )
+        .select("doc_id", "lang", "n_tokens")
+    )
+
+
+@query(
     "q67_dup_clusters",
     oracle=f"""
     WITH RECURSIVE {_SHINGLE_CTE},
