@@ -629,7 +629,7 @@ def q81_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grams AS (
       SELECT doc_id,
-             list_distinct(list_transform(range(1, length(s) - 3),
+             list_distinct(list_transform(range(1, length(s) - 2),
                                           i -> substr(s, CAST(i AS INTEGER), 4)))
                AS gs
       FROM t WHERE length(s) >= 4
@@ -641,12 +641,18 @@ def q81_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q82_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 4-gram shingles (distinct) — the tokenizer-free granularity
     used when word boundaries are unreliable (CJK, code). Same
-    sequence+transform construction as word shingles, over characters."""
+    sequence+transform construction as word shingles, over characters.
+
+    The last 4-gram starts at length-3, so the index sequence is
+    1..length-3 INCLUSIVE on Spark (`sequence(1, length-3)`) and
+    end-exclusive `range(1, length-2)` on DuckDB. The `length >= 4` guard
+    keeps Spark's sequence stop >= 1 — `sequence(1, 0)` would yield a
+    DESCENDING [1, 0], not an empty array (CLAUDE.md trap)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     t = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(s) - 4), i -> substr(s, i, 4))")
+        F.expr("transform(sequence(1, length(s) - 3), i -> substr(s, i, 4))")
     )
     return t.select("doc_id", grams.alias("gs")).select(
         "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")

@@ -234,9 +234,9 @@ def q48_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(l_quantity), 4)  AS sd_qty,
            round(stddev_pop(l_quantity), 4)   AS sdp_qty,
            round(var_samp(l_quantity), 4)     AS var_qty,
-           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-           round(covar_pop(l_discount, l_tax), 4)            AS cov_disc_tax
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cov_qty_price,
+           round(covar_pop(l_discount, l_tax), 4) + 0.0            AS cov_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -245,17 +245,27 @@ def q48_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q49_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/corr/covar) — Spark's
     single-pass merge-able implementations; identical definitions to the
-    oracle, 4dp rounding absorbs accumulation-order noise."""
+    oracle, 4dp rounding absorbs accumulation-order noise.
+
+    The sign-capable stats (corr/covar) are normalized with ``+ 0.0`` on
+    BOTH engines: DuckDB's round() preserves IEEE negative zero while
+    Spark's F.round (BigDecimal) yields +0.0, and the driver's stringified
+    hash treats "-0.0" != "0.0". Adding +0.0 maps -0.0 -> +0.0 and is an
+    exact no-op for every other value (incl. null/NaN)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.stddev_pop("l_quantity"), 4).alias("sdp_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "cov_qty_price"
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "corr_qty_price"
         ),
-        F.round(F.covar_pop("l_discount", "l_tax"), 4).alias("cov_disc_tax"),
+        (
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)
+        ).alias("cov_qty_price"),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 4) + F.lit(0.0)).alias(
+            "cov_disc_tax"
+        ),
     )
 
 

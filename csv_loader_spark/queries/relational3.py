@@ -24,14 +24,21 @@ _HASH16_IMPORT = _hash16("CAST(doc_id AS VARCHAR)")
 @query(
     "q60_window_frames",
     oracle="""
+    WITH b AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                  ) * 100 AS BIGINT) * 100 AS a,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+      WHERE o_custkey < 100
+    )
     SELECT o_orderkey, o_custkey,
            round(sum(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum_last3,
-           round(avg(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
-             AS avg_all,
+           ((2 * a + n) // (2 * n)) / 10000.0 AS avg_all,
            CAST(ntile(4) OVER (PARTITION BY o_custkey
                                ORDER BY o_totalprice, o_orderkey) AS INTEGER)
              AS price_quartile,
@@ -45,36 +52,52 @@ _HASH16_IMPORT = _hash16("CAST(doc_id AS VARCHAR)")
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              AS first_order
-    FROM orders
-    WHERE o_custkey < 100
+    FROM b
     """,
     tags=("window", "frames"),
 )
 def q60_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-frame battery: bounded ROWS frame, unbounded frame, ntile,
     percent_rank, cume_dist, first_value — one shuffle on the partition key
-    serves every function (all share the same partitioning)."""
+    serves every function (all share the same partitioning).
+
+    avg_all dodges TWO cross-engine float traps the exact-string gate
+    exposed: (1) avg over doubles is accumulation-order-sensitive, and
+    (2) even on the bit-identical double 160954.70375 (really …749999),
+    Spark's F.round rounds the shortest decimal repr (→ .7038) while
+    DuckDB rounds the binary value (→ .7037). So the average is computed
+    entirely in integers: exact cent sum × 100, then half-up division
+    (2a+n) div (2n), then /10000.0 — both engines produce the identical
+    double."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     by_date = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     by_price = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    full_frame = by_date.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    b = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(full_frame) * 100
+        )
+        .cast("long")
+        .alias("_cents"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("_n"),
+    )
+    return b.select(
         "o_orderkey",
         "o_custkey",
         F.round(
             F.sum("o_totalprice").over(by_date.rowsBetween(-2, 0)), 2
         ).alias("sum_last3"),
-        F.round(
-            F.avg("o_totalprice").over(
-                by_date.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-            ),
-            4,
+        (
+            F.expr("(2 * _cents * 100 + _n) div (2 * _n)") / F.lit(10000.0)
         ).alias("avg_all"),
         F.ntile(4).over(by_price).cast("int").alias("price_quartile"),
         F.round(F.percent_rank().over(by_price), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(by_price), 4).alias("cume"),
-        F.first("o_orderkey").over(
-            by_date.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("first_order"),
+        F.first("o_orderkey").over(full_frame).alias("first_order"),
     )
 
 

@@ -2,10 +2,19 @@
 
 Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, column names, and an
-order-insensitive value comparison (exact for ints/strings, tolerant for
-floats). Usage:
+order-insensitive EXACT stringified value comparison — the same contract as
+the driver's value hash (no dtype coercion, no float tolerance: int 900 vs
+float 900.0 fails, and -0.0 vs 0.0 fails). This exact mode is the default
+precisely because the old float-tolerant compare passed q49_stats_agg
+locally while the driver's hash failed it twice (negative zero after
+round(covar_pop, 4)).
 
-    python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage:
+
+    python tools/check_oracle.py [--tolerant] [sf_dir] [query_name ...]
+
+``--tolerant`` restores the old 1e-9-relative float compare — useful only
+for triaging WHERE a value diverges, never for declaring a query done.
 """
 
 from __future__ import annotations
@@ -31,6 +40,30 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _stringify(v) -> str:
+    """Driver-style cell rendering: plain str(), nulls collapsed to one
+    token (Spark hands back None for null objects and NaN for null floats;
+    the two must compare equal the way a hash of per-column sorted string
+    lists treats them)."""
+    if v is None:
+        return "<null>"
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):  # arrays/lists: isna is elementwise
+        pass
+    return str(v)
+
+
+def normalize_exact(df: pd.DataFrame) -> pd.DataFrame:
+    """Stringify every cell, then sort rows by all columns — exact-match
+    compare domain, mirroring the driver's order-insensitive value hash."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        df[c] = df[c].map(_stringify)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -39,7 +72,34 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def compare_exact(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Default gate: exact stringified compare, no float tolerance.
+
+    This is deliberately STRICTER than helpful-looking alternatives:
+    -0.0 vs 0.0, 900 vs 900.0, 1-ulp post-round drift, and float32-vs-64
+    renderings all fail here because they fail the driver's hash."""
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = normalize_exact(spark_pdf), normalize_exact(duck_pdf)
+    for c in s.columns:
+        bad = s[c] != d[c]
+        if bad.any():
+            i = bad.idxmax()
+            problems.append(
+                f"column {c}: {int(bad.sum())} exact-string mismatches, first at "
+                f"sorted-row {i}: spark={s[c][i]!r} duck={d[c][i]!r}"
+            )
+    return problems
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Legacy tolerant compare (--tolerant): 1e-9-relative float slack.
+    Kept only as a triage aid — it passes values the driver fails."""
     problems = []
     if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
         problems.append(f"columns differ: {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}")
@@ -80,8 +140,11 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--tolerant"]
+    tolerant = "--tolerant" in sys.argv[1:]
+    cmp_fn = compare if tolerant else compare_exact
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("check_oracle")
     con = duck_conn(sf_dir)
     specs = all_specs()
@@ -109,7 +172,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        problems = compare(sdf, ddf)
+        problems = cmp_fn(sdf, ddf)
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} spark rows, {len(ddf)} duck rows):")
