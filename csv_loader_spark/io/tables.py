@@ -47,11 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     arithmetic in int64 — a double round-trip would lose precision at the
     1.7e18 magnitude). Truncation-toward-zero matches DuckDB's ns→µs cast.
     """
+    # tune_session runs on EVERY call, cache hit or miss: timestamp
+    # rendering happens at collect time under the session's then-current
+    # timezone, so a driver that flips the TZ between queries would
+    # otherwise silently change results served from the plan cache.
+    tune_session(spark)
     key = (spark, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    tune_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

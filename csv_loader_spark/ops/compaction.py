@@ -28,6 +28,34 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Make a previous crashed run harmless before starting a new one.
+
+    The swap sequence is: write tmp → rename(path, backup) →
+    rename(tmp, path) → rmtree(backup). A crash can leave exactly three
+    observable states, each with one safe recovery:
+
+    - backup exists, path MISSING: crashed mid-swap — roll back
+      (rename backup → path); any tmp is an unswapped rewrite, drop it.
+    - backup exists, path exists: crashed after the swap completed but
+      before cleanup — the new data is live; just drop the backup.
+    - tmp exists (no backup): crashed during/after the rewrite, before
+      any rename — drop the stale tmp.
+
+    tmp and backup are siblings of ``path`` so every rename stays on one
+    filesystem (os.rename is atomic there; cross-fs it would raise EXDEV).
+    """
+    tmp = path.rstrip("/") + "._compacting"
+    backup = path.rstrip("/") + "._precompact"
+    if os.path.exists(backup):
+        if os.path.exists(path):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -40,6 +68,7 @@ def compact_parquet(
 
     Local-filesystem implementation (os.walk + atomic rename); on object
     stores the same shape runs against the FileSystem API."""
+    _recover_interrupted_swap(path)
     n_files = max(1, math.ceil(_dir_bytes(path) / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     out = df.repartition(n_files)
