@@ -25,6 +25,17 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="csv_loader_spark",
         description="Load a vehicle-ping CSV and POST protobuf envelopes.",
+        epilog=(
+            "Wire-format note: envelopes use standard protobuf wire encoding "
+            "with engine-defined field numbers (VehicleMessageEnvelope{1: "
+            "sourceId, 2: messages}, VehicleMessage{1: vehicleId, 2: "
+            "locations}, VehicleLocation{1: lat, 2: lon, 3: timestamp}) — "
+            "declaration order of the reference's builder calls. The "
+            "io.opentraffic ExchangeFormat .proto is not vendored here, so "
+            "byte-level compatibility with an opentraffic receiver is NOT "
+            "guaranteed; verify against your receiver's .proto (or regenerate "
+            "with it) before pointing this at a real traffic-engine endpoint."
+        ),
     )
     p.add_argument("-f", "--file", required=True, help="input CSV (.csv/.gz/.zip) or directory")
     p.add_argument("-u", "--url", default=DEFAULT_URL, help=f"sink URL (default {DEFAULT_URL})")

@@ -15,7 +15,10 @@ Two layers here:
 2. ``encode_envelope``/``decode_envelope`` — the batch wire format, a
    hand-rolled protobuf-wire encoder (varint + fixed64 little-endian +
    length-delimited submessages; the standard public encoding). Field
-   numbers are engine-defined (the reference's .proto isn't in its tree):
+   numbers are engine-defined (the reference's .proto isn't in its tree),
+   so byte-level compatibility with an io.opentraffic receiver is NOT
+   guaranteed — this divergence is stated user-facing in README.md
+   ("Wire-format compatibility") and the CLI --help epilog:
    VehicleLocation{1:lat fixed64, 2:lon fixed64, 3:timestamp varint},
    VehicleMessage{1:vehicle_id varint, 2:locations message},
    Envelope{1:source_id varint, 2:messages message}.

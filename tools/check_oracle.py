@@ -11,14 +11,19 @@ round(covar_pop, 4)).
 
 Usage:
 
-    python tools/check_oracle.py [--tolerant] [sf_dir] [query_name ...]
+    python tools/check_oracle.py [--tolerant] [--json PATH] [sf_dir] [query_name ...]
 
 ``--tolerant`` restores the old 1e-9-relative float compare — useful only
 for triaging WHERE a value diverges, never for declaring a query done.
+``--json PATH`` additionally writes a driver-shaped per-query record
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) — the
+per-round LOCALGATE artifact covering the queries the driver's 50-query
+cap never reaches.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 import traceback
@@ -140,8 +145,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--tolerant"]
-    tolerant = "--tolerant" in sys.argv[1:]
+    args = sys.argv[1:]
+    tolerant = "--tolerant" in args
+    json_path = None
+    if "--json" in args:
+        json_path = args[args.index("--json") + 1]
+        del args[args.index("--json") : args.index("--json") + 2]
+    argv = [a for a in args if a != "--tolerant"]
     cmp_fn = compare if tolerant else compare_exact
     sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     only = set(argv[1:])
@@ -149,20 +159,32 @@ def main() -> int:
     con = duck_conn(sf_dir)
     specs = all_specs()
     n_pass = n_fail = n_rowsonly = 0
+    records: dict[str, dict] = {}
     for name, spec in specs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        records[name] = rec
         try:
             sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark side raised")
             traceback.print_exc()
+            rec["err"] = "spark_raised"
             n_fail += 1
             continue
+        rec["spark_rows"] = len(sdf)
         if spec.oracle is None:
-            ok = len(sdf) >= 0
             print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
+            rec["err"] = "no_oracle"
             n_rowsonly += 1
             continue
         try:
@@ -170,9 +192,14 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
+            rec["err"] = "oracle_raised"
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(ddf)
         problems = cmp_fn(sdf, ddf)
+        rec["rows_match"] = len(sdf) == len(ddf)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
+        rec["hash_match"] = not problems
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} spark rows, {len(ddf)} duck rows):")
@@ -182,6 +209,16 @@ def main() -> int:
             n_pass += 1
             print(f"PASS {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_path:
+        payload = {
+            "sf_dir": sf_dir,
+            "mode": "tolerant" if tolerant else "exact",
+            "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly},
+            "queries": records,
+        }
+        with open(json_path, "w") as fh:
+            json.dump(payload, fh, indent=2)
+        print(f"wrote {json_path}")
     return 1 if n_fail else 0
 
 
