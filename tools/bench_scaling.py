@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from csv_loader_spark.session import get_spark  # noqa: E402
 
-MULTIPLIERS = (1, 4, 10)
+MULTIPLIERS = (1, 10, 30, 100)
 
 # Same SQL text on both engines (ANSI subset both parse identically).
 # Only the FACT side is multiplied — dims stay x1 so join output scales
