@@ -23,8 +23,10 @@ import shutil
 import tempfile
 
 from csv_loader_spark.io.pings import RAW_SCHEMA, project_pings
+from csv_loader_spark.io.tables import load_table
 from csv_loader_spark.queries.registry import query
 from csv_loader_spark.session import tune_session
+from csv_loader_spark.streaming.trips import segment_trips
 
 _STREAM_STAGE: dict[str, str] = {}
 
@@ -174,3 +176,56 @@ def q58_ping_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     padded = [row + (None,) * (11 - len(row)) for row in _RAW_ROWS]
     raw = spark.createDataFrame(padded, RAW_SCHEMA)
     return project_pings(raw)
+
+
+@query(
+    "q84_trip_segmentation",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lag(epoch_us(ts)) OVER w AS prev_us,
+             lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                  THEN 0 ELSE abs(cents - prev_cents) END AS step_cents
+      FROM flagged
+    ),
+    trips AS (
+      SELECT *,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS trip_seq
+      FROM marked
+    )
+    SELECT user_id, trip_seq,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           count(*) AS n_events,
+           CAST(sum(step_cents) AS BIGINT) / 100.0 AS travel
+    FROM trips
+    GROUP BY user_id, trip_seq
+    """,
+    tags=("session", "stateful", "trips"),
+)
+def q84_trip_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip segmentation (30-min gap, |Δvalue| travel accumulated in exact
+    integer cents) — the batch twin of the transformWithStateInPandas
+    streaming operator (streaming/trips.py); streaming-equals-batch is
+    asserted by tests/test_transform_with_state.py."""
+    trips = segment_trips(load_table(spark, sf_dir, "events"), gap_minutes=30)
+    return trips.select(
+        "user_id",
+        "trip_seq",
+        F.unix_micros("trip_start").alias("start_us"),
+        F.unix_micros("trip_end").alias("end_us"),
+        "n_events",
+        "travel",
+    )
