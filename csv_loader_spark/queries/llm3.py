@@ -1,0 +1,272 @@
+"""Training-data curation, batch 3: benchmark decontamination, PII
+scrubbing, and repetition-based quality signals (q85-q87).
+
+These extend the LLM-pipeline surface (SURVEY.md §2.3 / llm.py, llm2.py)
+with three ops every large-corpus pipeline runs before training:
+
+- q85: eval-set DECONTAMINATION — flag corpus docs sharing word n-grams
+  with a held-out eval split. Candidate generation is an equi-join on the
+  gram (the same inverted-index shape as q33/q34), never an all-pairs
+  product; at 100 TB the gram join is the cost and high-df grams are the
+  skew watch (stop-list, as in llm.py).
+- q86: PII SCRUB — regex replacement of emails/phones with typed tags,
+  plus per-doc match counts and a post-scrub fingerprint. The synthetic
+  corpus contains no PII, so the query INJECTS deterministic PII derived
+  from doc_id (same expression in Spark and the oracle) and then proves
+  the scrubber removes exactly that. Patterns avoid lookaround so Java
+  regex (Spark) and RE2 (DuckDB) agree.
+- q87: REPETITION QUALITY (gopher-style): duplicate-word fraction,
+  top-word fraction, duplicate-3-gram fraction per doc. One explode +
+  two aggregations; all JVM-side expressions.
+
+All three are exact-oracle checked (no rows-only carve-outs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# q85: eval-set decontamination (word 4-grams)
+# ---------------------------------------------------------------------------
+
+# 4-gram CTE: same tokenization as llm.py's _SHINGLE_CTE, one word wider.
+_GRAM4_CTE = r"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+               AS grams
+      FROM toks
+      WHERE len(t) >= 4
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(grams) AS g FROM sh
+    )
+"""
+
+
+@query(
+    "q85_decontamination",
+    oracle=f"""
+    WITH {_GRAM4_CTE}
+    SELECT c.doc_id,
+           count(DISTINCT e.doc_id) AS n_eval_docs,
+           count(DISTINCT c.g) AS n_shared_grams
+    FROM exploded c
+    JOIN exploded e ON c.g = e.g
+    WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    GROUP BY c.doc_id
+    """,
+    tags=("decontamination", "dedup", "llm"),
+)
+def q85_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id % 10 ≠ 0) that share
+    ≥1 distinct word 4-gram with the held-out eval split (doc_id % 10 = 0);
+    per doc, how many eval docs it collides with and on how many grams.
+
+    Scale: explode grams → equi-join on the gram → two count-distincts.
+    Cost is Σ(docs-per-gram²) like every inverted-index candidate join;
+    no cross product at any size. In production the eval side is a small
+    broadcast (benchmarks are ~1e4 docs, corpus is 1e10)."""
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", TXT.word_shingles("text", 4).alias("grams"))
+        .filter(F.size("grams") >= 1)
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    corpus = grams.filter(F.col("doc_id") % 10 != 0)
+    eval_g = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    return (
+        corpus.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86: PII scrub (emails / phone numbers), deterministic injected fixture
+# ---------------------------------------------------------------------------
+
+# Lookaround-free patterns, identical semantics in Java regex and RE2.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def scrub_pii(col: F.Column) -> F.Column:
+    """Replace emails then phones with typed placeholder tags (JVM-side)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+@query(
+    "q86_pii_scrub",
+    oracle=rf"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM injected
+    """,
+    tags=("pii", "cleaning", "llm"),
+)
+def q86_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count emails/phones per doc and fingerprint the
+    scrubbed text. The corpus is synthetic and PII-free, so docs with
+    doc_id % 7 = 0 get a deterministic email + phone appended (same
+    expression on both engines) — the fingerprints then prove the scrubber
+    removed exactly the injected spans and nothing else.
+
+    Scale: three regexp passes per row, all inside whole-stage codegen;
+    no shuffle at all (embarrassingly parallel over the scan)."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select("doc_id", injected.alias("text")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrubbed_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87: repetition-based quality (gopher-style signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q87_repetition_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, unnest(t) AS w FROM toks
+    ),
+    per_word AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+    ),
+    word_stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c
+      FROM per_word GROUP BY doc_id
+    ),
+    gram_stats AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END AS n_grams,
+             CASE WHEN len(t) >= 3 THEN
+               len(list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+             ELSE 0 END AS n_distinct_grams
+      FROM toks
+    )
+    SELECT w.doc_id,
+           w.n_words,
+           round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_words, 4) AS dup_word_frac,
+           round(CAST(w.top_c AS DOUBLE) / w.n_words, 4) AS top_word_frac,
+           CASE WHEN g.n_grams > 0 THEN
+             round(1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 4)
+           ELSE 0.0 END AS dup_3gram_frac
+    FROM word_stats w JOIN gram_stats g ON w.doc_id = g.doc_id
+    """,
+    tags=("quality", "text", "llm"),
+)
+def q87_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals per doc: duplicate-word fraction,
+    top-word fraction, duplicate-3-gram fraction — the classic filters for
+    degenerate/templated text in pretraining corpora.
+
+    Scale: one explode + (doc, word) partial-agg + per-doc agg for the word
+    stats; the gram stats never explode (array expressions compute counts
+    in place). Both shuffles key on doc_id/word — no skew beyond natural
+    word frequency, bounded by per-doc token counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TXT.tokens("text").alias("t"))
+
+    per_word = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    n = F.size("t")
+    grams = F.expr(
+        "transform(sequence(0, size(t) - 3), "
+        "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    gram_stats = toks.select(
+        "doc_id",
+        F.when(n >= 3, n - 2).otherwise(F.lit(0)).alias("n_grams"),
+        F.when(n >= 3, F.size(F.array_distinct(grams)))
+        .otherwise(F.lit(0))
+        .alias("n_distinct_grams"),
+    )
+
+    return (
+        word_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            F.round(F.col("top_c").cast("double") / F.col("n_words"), 4).alias(
+                "top_word_frac"
+            ),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    1.0
+                    - F.col("n_distinct_grams").cast("double") / F.col("n_grams"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_3gram_frac"),
+        )
+    )
