@@ -83,3 +83,27 @@ def test_join_strategy_hints_are_honored(spark):
     )
     bcast = li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q84_trips_no_global_sort(spark):
+    plan = _plan(spark, "q84_trip_segmentation")
+    # per-user windows + agg: partitioned window, partial+final agg,
+    # and no global Sort outside the window's per-partition sort
+    assert "Window" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global ordering
+
+
+def test_q85_decontamination_is_equi_join(spark):
+    plan = _plan(spark, "q85_decontamination")
+    # candidate generation must be an equi-join on the gram — any
+    # cartesian/nested-loop shape here would be quadratic at scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_q86_pii_scrub_has_no_shuffle(spark):
+    plan = _plan(spark, "q86_pii_scrub")
+    # row-local regex work: the whole query must stay embarrassingly
+    # parallel over the scan — one Exchange would mean a planner regression
+    assert "Exchange" not in plan
