@@ -270,3 +270,51 @@ def q87_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_3gram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q88: decontaminated corpus (the removal half of q85's detection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q88_remove_contaminated",
+    oracle=f"""
+    WITH {_GRAM4_CTE},
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM exploded c
+      JOIN exploded e ON c.g = e.g
+      WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(lower(d.text)), '\\s+'))) AS BIGINT)
+             AS n_tokens
+    FROM documents d
+    WHERE d.doc_id % 10 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    GROUP BY d.source
+    """,
+    tags=("decontamination", "cleaning", "llm"),
+)
+def q88_remove_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated training corpus: drop every corpus doc flagged by the
+    q85 gram-overlap detector (LEFT ANTI join on doc_id) and report the
+    surviving per-source document/token mix — detection (q85) and removal
+    (q88) together are the standard decontamination pipeline.
+
+    Scale: the contaminated set is tiny relative to the corpus (it is
+    bounded by eval-adjacent docs), so the anti-join broadcasts; everything
+    else is one scan + one agg."""
+    d = load_table(spark, sf_dir, "documents")
+    contaminated = q85_decontamination(spark, sf_dir).select("doc_id")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return (
+        corpus.join(contaminated, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TXT.tokens("text"))).alias("n_tokens"),
+        )
+    )
