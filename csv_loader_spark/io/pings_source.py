@@ -45,7 +45,12 @@ import zipfile
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from csv_loader_spark.io.pings import RAW_SCHEMA
 
@@ -89,6 +94,19 @@ def _open_text(path: str) -> io.TextIOBase:
     return open(path, encoding="utf-8", newline="")
 
 
+def _read_ping_file(path: str) -> Iterator[tuple]:
+    """Tokenize one file into padded 11-field tuples; runs on the executor."""
+    with _open_text(path) as stream:
+        # csv module is RFC 4180 by default: "" escaping inside quoted
+        # fields, quoted embedded newlines — commons-csv behavior.
+        for rec in csv.reader(stream):
+            if not rec:
+                continue
+            row = [f if f != "" else None for f in rec[:N_FIELDS]]
+            row += [None] * (N_FIELDS - len(row))
+            yield tuple(row)
+
+
 class PingsReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         path = options.get("path")
@@ -100,19 +118,56 @@ class PingsReader(DataSourceReader):
         return [PingFilePartition(p) for p in self._files]
 
     def read(self, partition: PingFilePartition) -> Iterator[tuple]:
-        with _open_text(partition.path) as stream:
-            # csv module is RFC 4180 by default: "" escaping inside quoted
-            # fields, quoted embedded newlines — commons-csv behavior.
-            for rec in csv.reader(stream):
-                if not rec:
-                    continue
-                row = [f if f != "" else None for f in rec[:N_FIELDS]]
-                row += [None] * (N_FIELDS - len(row))
-                yield tuple(row)
+        yield from _read_ping_file(partition.path)
+
+
+class PingsStreamReader(DataSourceStreamReader):
+    """Streaming flavor: discover newly landed ping files per micro-batch.
+
+    Offsets are the sorted list of files already processed — the same
+    ledger Spark's own FileStreamSource keeps in its checkpoint (file
+    streams are exactly-once at FILE granularity; a file is either fully
+    in a batch or not yet seen). A production landing zone would compact
+    the ledger by retention age; at the reference's scale (one archive
+    per upload) the list is small. Decompression/tokenization still run
+    executor-side in :meth:`read`.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("pings source requires a path: .load(<path>)")
+        self._path = path
+
+    def _current_files(self) -> list[str]:
+        try:
+            return _list_input_files(self._path)
+        except FileNotFoundError:  # empty dir: stream waits for data
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(set(self._current_files()))}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        new = sorted(set(end["seen"]) - set(start["seen"]))
+        return [PingFilePartition(p) for p in new]
+
+    def read(self, partition: PingFilePartition) -> Iterator[tuple]:
+        yield from _read_ping_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class PingsDataSource(DataSource):
-    """spark.read.format("pings").load(path) after register()."""
+    """spark.read.format("pings").load(path) after register().
+
+    Also streams: spark.readStream.format("pings").load(dir) tails the
+    directory for newly landed archives (see PingsStreamReader).
+    """
 
     @classmethod
     def name(cls) -> str:
@@ -123,6 +178,9 @@ class PingsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return PingsReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return PingsStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

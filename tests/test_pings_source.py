@@ -84,3 +84,45 @@ def test_pings_reader_partition_listing_errors():
     with pytest.raises(FileNotFoundError):
         PingsReader({"path": "/nonexistent/glob*.csv"})
     assert PingsDataSource.name() == "pings"
+
+
+def test_pings_source_streams_newly_landed_files(spark, tmp_path):
+    import time
+    import zipfile as zf_mod
+
+    register(spark)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    n1 = write_narrow_csv(str(landing / "a.csv"))
+
+    stream = spark.readStream.format("pings").load(str(landing))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pings_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        def wait_rows(n, timeout=60):
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                if spark.table("pings_stream").count() >= n:
+                    return spark.table("pings_stream").count()
+                time.sleep(0.5)
+            return spark.table("pings_stream").count()
+
+        assert wait_rows(n1) == n1
+
+        # a zip archive lands mid-stream: next batch picks it up,
+        # decompressed on the executor; decoy second entry still ignored
+        with zf_mod.ZipFile(str(landing / "b.zip"), "w") as zf:
+            zf.writestr("data.csv", "2015-06-01 08:30:15+00,777,1.0,2.0\n")
+            zf.writestr("decoy.csv", "2015-06-01 08:30:15+00,888,0.0,0.0\n")
+        total = wait_rows(n1 + 1)
+        assert total == n1 + 1
+        vids = {r["_c1"] for r in spark.table("pings_stream").collect()}
+        assert "777" in vids and "888" not in vids
+    finally:
+        q.stop()
