@@ -22,16 +22,25 @@ def token_count(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>.
 
-    Built from `sequence` + `transform` over the token array — pure Catalyst
-    expressions, no UDF. Documents shorter than n tokens yield an empty array.
+    Built as ``transform(arrays_zip(slice(toks,1,m), …, slice(toks,n,m)))``
+    — pure Catalyst expressions, no UDF. The zip-of-shifted-slices shape
+    matters for PERFORMANCE, not just style: higher-order lambdas are
+    interpreted (no whole-stage codegen), and any outer expression the
+    lambda references is RE-EVALUATED per element — the previous
+    ``element_at(toks, i+k)`` formulation re-ran the whole ``split()`` n
+    times per gram (~34 s to shingle 5k docs at sf0.1). Here the lambda
+    touches only its own variable, the slices/zip evaluate once per row,
+    and the same explode runs in ~1.7 s (20×).
+
+    Documents shorter than n tokens yield an empty array.
     """
     toks = tokens(col)
-    # sequence(0, stop) defaults to step -1 when stop < 0 (it is NOT empty),
-    # so short docs must be guarded explicitly or element_at throws.
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    # gram count = len - n + 1; clamped at 0 because slice() errors on a
+    # negative length (belt to the when() guard's suspenders)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m) for k in range(n)])
     grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
+        zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")

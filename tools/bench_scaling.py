@@ -103,12 +103,109 @@ def run_duckdb(sf_dir: str, m: int) -> dict[str, float]:
     return out
 
 
+# --- LLM-op scaling: decontamination (corpus xM vs FIXED eval set) --------
+# The gram SQL is not engine-portable (list_transform vs transform), so this
+# section times each engine's OWN implementation of q85 — value equality of
+# the two is already proven by the exact-match oracle gate at sf0.01. The
+# corpus side is documents unioned xM with doc_ids remapped per copy (so
+# dedup keys stay unique); the eval split stays x1, like a real benchmark
+# suite against a growing corpus. Output size grows ~linearly in M.
+
+_DECONTAM_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM {corpus}
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+               AS grams
+      FROM toks WHERE len(t) >= 4
+    ),
+    exploded AS (SELECT doc_id, unnest(grams) AS g FROM sh)
+    SELECT c.doc_id,
+           count(DISTINCT e.doc_id) AS n_eval_docs,
+           count(DISTINCT c.g) AS n_shared_grams
+    FROM exploded c
+    JOIN exploded e ON c.g = e.g
+    WHERE c.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    GROUP BY c.doc_id
+"""
+
+
+def run_spark_decontam(sf_dir: str, m: int) -> float:
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.functions import text as TXT
+
+    spark = get_spark("bench_scaling")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # eval split (doc_id % 10 = 0) stays x1; corpus copies get remapped ids
+    # that keep % 10 != 0 (offset is a multiple of 10).
+    parts = [docs]
+    for k in range(1, m):
+        parts.append(
+            docs.filter(F.col("doc_id") % 10 != 0).select(
+                (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"), "text"
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionAll(p)
+    grams = (
+        corpus.select("doc_id", TXT.word_shingles("text", 4).alias("grams"))
+        .filter(F.size("grams") >= 1)
+        .select("doc_id", F.explode("grams").alias("g"))
+    )
+    c = grams.filter(F.col("doc_id") % 10 != 0)
+    e = grams.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "g"
+    )
+    out = (
+        c.join(e, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
+    out.count()  # prime
+    t0 = time.perf_counter()
+    out.count()
+    return round(time.perf_counter() - t0, 4)
+
+
+def run_duckdb_decontam(sf_dir: str, m: int) -> float:
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    doc = os.path.join(sf_dir, "documents.parquet")
+    union = " UNION ALL ".join(
+        [f"SELECT doc_id, text FROM '{doc}'"]
+        + [
+            f"SELECT doc_id + {k * 1_000_000} AS doc_id, text FROM '{doc}' "
+            f"WHERE doc_id % 10 <> 0"
+            for k in range(1, m)
+        ]
+    )
+    con.execute(f"CREATE VIEW docs_m AS {union}")
+    sql = _DECONTAM_ORACLE.format(corpus="docs_m")
+    con.execute(sql).fetchall()  # prime
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     results = {}
     for m in MULTIPLIERS:
         s = run_spark(sf_dir, m)
         d = run_duckdb(sf_dir, m)
+        s["decontam"] = run_spark_decontam(sf_dir, m)
+        d["decontam"] = run_duckdb_decontam(sf_dir, m)
         results[str(m)] = {
             "spark": s,
             "duckdb": d,
