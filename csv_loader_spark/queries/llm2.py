@@ -643,16 +643,24 @@ def q82_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     used when word boundaries are unreliable (CJK, code). Same
     sequence+transform construction as word shingles, over characters.
 
-    The last 4-gram starts at length-3, so the index sequence is
-    1..length-3 INCLUSIVE on Spark (`sequence(1, length-3)`) and
-    end-exclusive `range(1, length-2)` on DuckDB. The `length >= 4` guard
-    keeps Spark's sequence stop >= 1 — `sequence(1, 0)` would yield a
-    DESCENDING [1, 0], not an empty array (CLAUDE.md trap)."""
+    The last 4-gram starts at length-3 (`length >= 4` guarded on both
+    engines; DuckDB's `range` is end-exclusive). Built as a transform over
+    arrays_zip of 4 shifted char slices, NOT `i -> substr(s, i, 4)`: an
+    interpreted HOF lambda re-evaluates outer references per element, so
+    the substr form re-runs the whole regexp_replace normalization once
+    per gram (same trap as word_shingles — see functions/text.py)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     t = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
     grams = F.array_distinct(
-        F.expr("transform(sequence(1, length(s) - 3), i -> substr(s, i, 4))")
+        F.expr(
+            "transform(arrays_zip("
+            "slice(split(s, ''), 1, length(s) - 3), "
+            "slice(split(s, ''), 2, length(s) - 3), "
+            "slice(split(s, ''), 3, length(s) - 3), "
+            "slice(split(s, ''), 4, length(s) - 3)), "
+            "x -> concat(x['0'], x['1'], x['2'], x['3']))"
+        )
     )
     return t.select("doc_id", grams.alias("gs")).select(
         "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")

@@ -234,17 +234,14 @@ def q87_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("top_c"),
     )
 
-    n = F.size("t")
-    grams = F.expr(
-        "transform(sequence(0, size(t) - 3), "
-        "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
-    )
-    gram_stats = toks.select(
+    n = F.size(TXT.tokens("text"))
+    # word_shingles is already distinct and uses the zip-of-slices shape
+    # (a lambda indexing the inlined token alias would re-split the text
+    # per gram — the interpreted-HOF trap, see functions/text.py)
+    gram_stats = d.select(
         "doc_id",
         F.when(n >= 3, n - 2).otherwise(F.lit(0)).alias("n_grams"),
-        F.when(n >= 3, F.size(F.array_distinct(grams)))
-        .otherwise(F.lit(0))
-        .alias("n_distinct_grams"),
+        F.size(TXT.word_shingles("text", 3)).alias("n_distinct_grams"),
     )
 
     return (
