@@ -89,7 +89,7 @@ def q85_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_id"), "g"
     )
     return (
-        corpus.join(eval_g, "g")
+        corpus.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("eval_id").alias("n_eval_docs"),

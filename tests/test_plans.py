@@ -96,10 +96,12 @@ def test_q84_trips_no_global_sort(spark):
 def test_q85_decontamination_is_equi_join(spark):
     plan = _plan(spark, "q85_decontamination")
     # candidate generation must be an equi-join on the gram — any
-    # cartesian/nested-loop shape here would be quadratic at scale
+    # cartesian/nested-loop shape here would be quadratic at scale — and
+    # the eval-gram side is explicitly broadcast, so the corpus side never
+    # shuffles for the join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "BroadcastHashJoin" in plan
 
 
 def test_q86_pii_scrub_has_no_shuffle(spark):

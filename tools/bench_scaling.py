@@ -165,7 +165,7 @@ def run_spark_decontam(sf_dir: str, m: int) -> float:
         F.col("doc_id").alias("eval_id"), "g"
     )
     out = (
-        c.join(e, "g")
+        c.join(F.broadcast(e), "g")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("eval_id").alias("n_eval_docs"),
