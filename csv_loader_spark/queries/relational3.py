@@ -699,3 +699,60 @@ def q64_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", 0.95, 10000).alias("p95"),
         F.approx_percentile("l_extendedprice", 0.99, 10000).alias("p99"),
     )
+
+
+@query(
+    "q89_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS start_us,
+           max(epoch_us(ts)) + 1800000000 AS end_us,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("session", "window_time"),
+)
+def q89_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE F.session_window (30-min gap) — the
+    built-in primitive behind streaming session aggregation, exercised in
+    batch where its result is oracle-checkable. Boundary semantics verified
+    empirically: an event at exactly last+gap MERGES (new session only when
+    the gap is strictly exceeded), and window.end = last_event + gap — the
+    oracle mirrors both. q23 computes the same sessions with lag/cumsum;
+    this entry pins the primitive the streaming path uses.
+
+    Scale: session_window is a single hash-agg with session merge — no
+    window-function sort over full partitions; state per open session only
+    in streaming."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
