@@ -315,3 +315,80 @@ def q88_remove_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.size(TXT.tokens("text"))).alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q90/q91: BPE-ish tokenization + vocabulary induction
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, simplified to the lookaround-free core so Java
+# regex (Spark) and RE2 (DuckDB) agree byte-for-byte: runs of letters,
+# runs of digits, runs of other non-space symbols.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+@query(
+    "q90_bpe_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+           round(CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS DOUBLE)
+                 / len(string_split_regex(trim(lower(text)), '\s+')), 4)
+             AS bpe_per_word
+    FROM documents
+    """,
+    tags=("tokenize", "text", "llm"),
+)
+def q90_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, both ways the prompt of a data pipeline needs it:
+    whitespace words AND a BPE-ish pretokenizer regex (letter runs / digit
+    runs / symbol runs — the lookaround-free core of the GPT-2 pattern),
+    plus their ratio (the classic tokens-per-word cost estimate).
+
+    Scale: two regexes per row, no shuffle, whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(TXT.tokens("text"))
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("bpe_per_word"),
+    )
+
+
+@query(
+    "q91_vocab_topk",
+    oracle=rf"""
+    SELECT t AS token, count(*) AS freq
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS t
+      FROM documents
+    )
+    GROUP BY t
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    tags=("tokenize", "vocab", "llm"),
+)
+def q91_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary induction: top-100 BPE-ish tokens by frequency
+    (deterministic tie-break on the token) — the counting pass every
+    BPE/unigram vocab trainer starts from.
+
+    Scale: explode → partial+final agg on the token → TakeOrderedAndProject
+    for the limit; the token-frequency skew (Zipf) lives entirely in the
+    pre-aggregated map side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(BPE_RE), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
