@@ -392,3 +392,55 @@ def q91_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q92: temperature-scaled sampling weights for the training mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n_docs,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS total,
+             CAST(max(n_docs) OVER () AS BIGINT) AS n_max
+      FROM counts
+    )
+    SELECT source, n_docs,
+           round(CAST(n_docs AS DOUBLE) / total, 4) AS share,
+           round(sqrt(CAST(n_docs AS DOUBLE) / n_max), 4) AS t2_rel_weight
+    FROM tot
+    """,
+    tags=("mixing", "sampling", "llm"),
+)
+def q92_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights (T=2) per source: the standard
+    rebalancing that up-weights small sources by sampling ∝ share^(1/T).
+    Weights are expressed RELATIVE TO THE LARGEST source — sqrt(n/n_max)
+    on two exact integers — rather than normalized over all sources,
+    because a normalizing Σ·sqrt(p) is a float sum whose addend order (and
+    so last ulp) is engine- and partition-dependent; the relative form is
+    bit-deterministic on both engines. Integer window sums (total, n_max)
+    are exact.
+
+    Scale: one agg to ~|sources| rows, then windows over that tiny frame."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = W.partitionBy()
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+        ).alias("share"),
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double") / F.max("n_docs").over(w)), 4
+        ).alias("t2_rel_weight"),
+    )
