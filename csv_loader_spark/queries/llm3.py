@@ -484,3 +484,80 @@ def q93_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
     )
     return per_query.unionAll(overall)
+
+
+# ---------------------------------------------------------------------------
+# q94: winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WIN_W = 8  # window of consecutive gram hashes per fingerprint pick
+_HEX = "0123456789abcdef"
+
+
+def _hash32_sql(expr: str) -> str:
+    """First 32 bits of md5(expr) via instr arithmetic — engine-portable
+    (same construction as llm2._hash16_sql, twice the width so winnowing
+    fingerprints rarely collide)."""
+    # CAST to BIGINT before the multiply: instr is INT and 15 * 16^7
+    # overflows 32 bits, which ANSI mode (Spark 4 default) makes an error
+    terms = [
+        f"CAST(instr('{_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q94_winnowing",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
+      FROM documents WHERE doc_id < 100
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, {_hash32_sql("substr(s, CAST(i AS INTEGER), 4)")} AS h,
+             length(s) - 3 AS n_grams
+      FROM t, LATERAL unnest(range(1, length(s) - 2)) AS u(i)
+      WHERE length(s) >= 4
+    ),
+    mins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp
+      FROM grams
+      WHERE pos <= n_grams - {_WIN_W - 1}
+    )
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+    """,
+    tags=("fingerprint", "rolling-hash", "llm"),
+)
+def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style rolling-hash fingerprinting): hash every char
+    4-gram, slide a window of {_WIN_W} consecutive hashes, keep each
+    window's minimum — the classic guarantee that any shared substring of
+    length ≥ w+k-1 between two documents shares a fingerprint. Output is
+    the distinct (doc_id, fp) set.
+
+    Built entirely from row operations — posexplode positions, row-level
+    substr/md5, and a ROWS-frame window min — so nothing touches an
+    interpreted HOF lambda and the rolling min is whole-stage codegen over
+    a doc-partitioned sort. Portable hash = first 32 bits of md5 via
+    instr arithmetic (conv() has no DuckDB twin)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    from pyspark.sql import Window as W
+
+    s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    t = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
+    grams = t.select(
+        "doc_id",
+        (F.length("s") - 3).alias("n_grams"),
+        F.posexplode(F.sequence(F.lit(1), F.length("s") - 3)).alias("_i", "pos"),
+        F.expr(_hash32_sql("substr(s, CAST(pos AS INTEGER), 4)")).alias("h"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    mins = (
+        grams.filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .select("doc_id", F.min("h").over(w).cast("long").alias("fp"))
+    )
+    return mins.distinct()
