@@ -561,3 +561,61 @@ def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.min("h").over(w).cast("long").alias("fp"))
     )
     return mins.distinct()
+
+
+# ---------------------------------------------------------------------------
+# q96: winnowing near-dup join (shared-substring detection)
+# ---------------------------------------------------------------------------
+
+
+def _q94_oracle() -> str:
+    from csv_loader_spark.queries.registry import get
+
+    return get("q94_winnowing").oracle
+
+
+@query(
+    "q96_winnow_neardup",
+    oracle=None,  # assigned below — needs q94 registered first
+    tags=("dedup", "rolling-hash", "llm"),
+)
+def q96_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints (≥2): the
+    detector whole-doc hashing can't be — two documents sharing any long
+    enough substring (w+k-1 chars) share fingerprints even when the rest
+    of the text differs (partial overlap / quotation / template reuse).
+
+    Scale: equi-join on the fingerprint — inverted-index cost like every
+    candidate generator here; fingerprint density (~1/w of grams) keeps
+    the index a fraction of corpus size."""
+    from csv_loader_spark.queries.registry import get
+
+    fps = get("q94_winnowing").fn(spark, sf_dir)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+# late-bind q96's oracle from q94's registered SQL (single source of truth)
+from csv_loader_spark.queries import registry as _reg  # noqa: E402
+
+_q96 = _reg._REGISTRY["q96_winnow_neardup"]
+_reg._REGISTRY["q96_winnow_neardup"] = type(_q96)(
+    _q96.name,
+    _q96.fn,
+    f"""
+    WITH fps AS ({_q94_oracle()})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    _q96.tags,
+    _q96.doc,
+)

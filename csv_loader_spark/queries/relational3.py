@@ -756,3 +756,39 @@ def q89_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "q95_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through Spark 4's VARIANT type: parse_json once,
+    typed variant_get extraction, then a plain aggregate — the open-format
+    path for schema-on-read columns that beats per-access string parsing
+    (get_json_object re-parses the string per call; VARIANT parses once
+    into a binary form and extraction is a field lookup). q20/q69 cover
+    the classic string-path functions; this pins the Spark-4-native one.
+
+    Scale: parse cost is once per row in the scan projection; the agg is
+    the usual partial/final pair."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
