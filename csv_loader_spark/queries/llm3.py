@@ -202,10 +202,16 @@ def q86_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT w.doc_id,
            w.n_words,
-           round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_words, 4) AS dup_word_frac,
-           round(CAST(w.top_c AS DOUBLE) / w.n_words, 4) AS top_word_frac,
+           -- integer half-up division, not round(double,4): both engines
+           -- round the SAME exact rational, dodging the .00005-boundary
+           -- shortest-repr-vs-binary divergence (see q60_window_frames)
+           ((2 * (w.n_words - w.n_distinct) * 10000 + w.n_words)
+              // (2 * w.n_words)) / 10000.0 AS dup_word_frac,
+           ((2 * w.top_c * 10000 + w.n_words) // (2 * w.n_words)) / 10000.0
+             AS top_word_frac,
            CASE WHEN g.n_grams > 0 THEN
-             round(1.0 - CAST(g.n_distinct_grams AS DOUBLE) / g.n_grams, 4)
+             ((2 * CAST(g.n_grams - g.n_distinct_grams AS BIGINT) * 10000
+                 + g.n_grams) // (2 * CAST(g.n_grams AS BIGINT))) / 10000.0
            ELSE 0.0 END AS dup_3gram_frac
     FROM word_stats w JOIN gram_stats g ON w.doc_id = g.doc_id
     """,
@@ -249,19 +255,26 @@ def q87_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_words",
-            F.round(
-                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 4
+            # integer half-up division (q60's pattern): both engines round
+            # the same exact rational instead of a possibly-divergent double
+            (
+                F.expr(
+                    "(2 * (n_words - n_distinct) * 10000 + n_words)"
+                    " div (2 * n_words)"
+                )
+                / 10000.0
             ).alias("dup_word_frac"),
-            F.round(F.col("top_c").cast("double") / F.col("n_words"), 4).alias(
-                "top_word_frac"
-            ),
+            (
+                F.expr("(2 * top_c * 10000 + n_words) div (2 * n_words)")
+                / 10000.0
+            ).alias("top_word_frac"),
             F.when(
                 F.col("n_grams") > 0,
-                F.round(
-                    1.0
-                    - F.col("n_distinct_grams").cast("double") / F.col("n_grams"),
-                    4,
-                ),
+                F.expr(
+                    "(2 * CAST(n_grams - n_distinct_grams AS BIGINT) * 10000"
+                    " + n_grams) div (2 * CAST(n_grams AS BIGINT))"
+                )
+                / 10000.0,
             )
             .otherwise(F.lit(0.0))
             .alias("dup_3gram_frac"),
@@ -330,13 +343,17 @@ BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
 @query(
     "q90_bpe_token_stats",
     oracle=rf"""
-    SELECT doc_id,
-           len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
-           round(CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS DOUBLE)
-                 / len(string_split_regex(trim(lower(text)), '\s+')), 4)
-             AS bpe_per_word
-    FROM documents
+    WITH c AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           -- integer half-up division (see q60): same exact rational both engines
+           ((2 * n_bpe_tokens * 10000 + n_ws_tokens) // (2 * n_ws_tokens))
+             / 10000.0 AS bpe_per_word
+    FROM c
     """,
     tags=("tokenize", "text", "llm"),
 )
@@ -354,7 +371,18 @@ def q90_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws.alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),
-        F.round(bpe.cast("double") / ws, 4).alias("bpe_per_word"),
+    ).select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        # integer half-up division (q60's pattern), not round(double, 4)
+        (
+            F.expr(
+                "(2 * CAST(n_bpe_tokens AS BIGINT) * 10000 + n_ws_tokens)"
+                " div (2 * CAST(n_ws_tokens AS BIGINT))"
+            )
+            / 10000.0
+        ).alias("bpe_per_word"),
     )
 
 
@@ -412,7 +440,10 @@ def q91_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     )
     SELECT source, n_docs,
-           round(CAST(n_docs AS DOUBLE) / total, 4) AS share,
+           -- share: integer half-up division (see q60); t2_rel_weight keeps
+           -- round-on-double (sqrt output is irrational — no exact form; the
+           -- operands n_docs/n_max are bit-identical both engines)
+           ((2 * n_docs * 10000 + total) // (2 * total)) / 10000.0 AS share,
            round(sqrt(CAST(n_docs AS DOUBLE) / n_max), 4) AS t2_rel_weight
     FROM tot
     """,
@@ -434,14 +465,22 @@ def q92_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = W.partitionBy()
-    return counts.select(
+    tot = counts.select(
         "source",
         "n_docs",
-        F.round(
-            F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 4
+        F.sum("n_docs").over(w).alias("total"),
+        F.max("n_docs").over(w).alias("n_max"),
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        # share via integer half-up division (q60's pattern); the sqrt
+        # weight stays round-on-double (no exact integer form exists)
+        (
+            F.expr("(2 * n_docs * 10000 + total) div (2 * total)") / 10000.0
         ).alias("share"),
         F.round(
-            F.sqrt(F.col("n_docs").cast("double") / F.max("n_docs").over(w)), 4
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_max")), 4
         ).alias("t2_rel_weight"),
     )
 
@@ -522,13 +561,16 @@ def _hash32_sql(expr: str) -> str:
       WHERE length(s) >= 4
     ),
     mins AS (
-      SELECT doc_id,
+      -- window over ALL gram rows so trailing windows see the full w hashes;
+      -- the window-start filter comes AFTER (a pre-filter would truncate the
+      -- last w-1 windows and break the shared-substring guarantee at doc ends)
+      SELECT doc_id, pos, n_grams,
              min(h) OVER (PARTITION BY doc_id ORDER BY pos
                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS fp
       FROM grams
-      WHERE pos <= n_grams - {_WIN_W - 1}
     )
     SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+    WHERE pos <= n_grams - {_WIN_W - 1}
     """,
     tags=("fingerprint", "rolling-hash", "llm"),
 )
@@ -556,9 +598,16 @@ def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_hash32_sql("substr(s, CAST(pos AS INTEGER), 4)")).alias("h"),
     )
     w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    # Window min over ALL gram rows first, THEN keep only window-start
+    # positions: a pre-filter would drop the last w-1 grams from every
+    # window and truncate trailing windows below w hashes, breaking the
+    # shared-substring >= w+k-1 guarantee near document ends.
     mins = (
-        grams.filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
-        .select("doc_id", F.min("h").over(w).cast("long").alias("fp"))
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min("h").over(w).cast("long").alias("fp")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (_WIN_W - 1))
+        .select("doc_id", "fp")
     )
     return mins.distinct()
 

@@ -705,7 +705,7 @@ def q64_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_session_window",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -714,7 +714,7 @@ def q64_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS sid
       FROM flagged
@@ -761,13 +761,19 @@ def q89_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q95_variant_json",
     oracle="""
-    SELECT event_type,
-           count(*) AS n,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
-             AS sum_k,
-           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
-    FROM events
-    GROUP BY event_type
+    WITH a AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k
+      FROM events
+      GROUP BY event_type
+    )
+    -- integer half-up division (see q60); k is never null in this data so
+    -- count(*) == count(k) and the quotient is the exact avg
+    SELECT event_type, n, sum_k,
+           ((2 * sum_k * 10000 + n) // (2 * n)) / 10000.0 AS avg_k
+    FROM a
     """,
     tags=("json", "variant"),
 )
@@ -789,6 +795,14 @@ def q95_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").cast("long").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_k",
+            # integer half-up division (q60's pattern), not round(avg(), 4)
+            (F.expr("(2 * sum_k * 10000 + n) div (2 * n)") / 10000.0).alias(
+                "avg_k"
+            ),
         )
     )
