@@ -176,14 +176,13 @@ _COS_DUP_THRESHOLD = 0.40  # tuned to the synthetic corpus (max pair sim ~0.51)
     tags=("dedup", "similarity", "llm"),
 )
 def q54_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — the exact
-    verify stage of an embedding-dedup pipeline.
-
-    Scale: written as the all-pairs verify because the oracle needs exact
-    recall; at 100 TB the pair space comes from LSH buckets (q36's
-    hyperplane signatures) and THIS operator verifies only candidates —
-    same expressions, pre-filtered input. Threshold 0.40 is tuned to the
-    synthetic corpus (no true dups; max pair sim ≈ 0.51)."""
+    """Embedding-cosine near-duplicate pairs (sim ≥ threshold) — the
+    ORACLE METER, not the default path. All-pairs on purpose: it defines
+    exact ground truth that q98 measures q97's recall against (0.9322 at
+    sf0.01). Run q97_lsh_cosine_dedup for actual dedup — same verify
+    expression, LSH-bucketed candidates, inverted-index cost instead of
+    n². Threshold 0.40 is tuned to the synthetic corpus (no true dups;
+    max pair sim ≈ 0.51)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
