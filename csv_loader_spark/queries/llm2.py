@@ -208,10 +208,23 @@ def q54_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style ANN (deterministic centroids → cell probe → re-rank)
 # ---------------------------------------------------------------------------
 
-_IVF_CENTROIDS = 8  # vec_id < 8 serve as deterministic "centroids"
+from csv_loader_spark.functions.ivf_centroids import CENTROIDS as _IVF_CENT
+
+_IVF_CENTROIDS = len(_IVF_CENT)  # trained offline, frozen as literals
 _IVF_QUERIES = 20
 _IVF_K = 5
-_IVF_NPROBE = 3  # cells probed per query (recall 0.51@1 → 0.74@3, q93 meter)
+_IVF_NPROBE = 3  # cells probed per query (recall dial; q93 is the meter)
+_IVF_MASSIGN = 2  # cells each corpus vector is indexed under (space dial)
+
+
+def _ivf_cent_values_sql() -> str:
+    """The trained centroids as DuckDB VALUES rows (cid, cv) — same
+    full-precision repr trick as llm4's hyperplanes, so both engines load
+    bit-identical doubles."""
+    return ",\n      ".join(
+        "({}, [{}])".format(i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(_IVF_CENT)
+    )
 
 
 @query(
@@ -224,7 +237,18 @@ _IVF_NPROBE = 3  # cells probed per query (recall 0.51@1 → 0.74@3, q93 meter)
     n AS (
       SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
     ),
-    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {_IVF_CENTROIDS}),
+    centv(cid, cv0) AS (VALUES
+      {_ivf_cent_values_sql()}
+    ),
+    -- DuckDB types bare numeric literals DECIMAL; cast to DOUBLE before any
+    -- arithmetic (decimal*decimal overflows scale 38 on 17-digit reprs)
+    centd AS (
+      SELECT cid, list_transform(cv0, x -> CAST(x AS DOUBLE)) AS cv FROM centv
+    ),
+    cent AS (
+      SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+      FROM centd
+    ),
     ranked AS (
       SELECT n.vec_id, c.cid, n.v, n.nrm,
              row_number() OVER (
@@ -234,48 +258,60 @@ _IVF_NPROBE = 3  # cells probed per query (recall 0.51@1 → 0.74@3, q93 meter)
                         / (n.nrm * c.cn) DESC, c.cid) AS rk
       FROM n CROSS JOIN cent c
     ),
-    assign AS (SELECT vec_id, cid, v, nrm FROM ranked WHERE rk = 1),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rk <= {_IVF_MASSIGN}),
     qcells AS (
-      SELECT vec_id, cid, v, nrm FROM ranked
+      SELECT vec_id, cid FROM ranked
       WHERE rk <= {_IVF_NPROBE} AND vec_id < {_IVF_QUERIES}
+    ),
+    -- ids only through the probe join + dedup; vectors re-attach after
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, x.vec_id AS neighbor_id
+      FROM qcells q JOIN assign x ON q.cid = x.cid AND q.vec_id <> x.vec_id
     )
     SELECT query_id, neighbor_id, cosine_sim, n_rank FROM (
-      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+      SELECT c.query_id, c.neighbor_id,
              round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
                    / (q.nrm * x.nrm), 4) AS cosine_sim,
              CAST(row_number() OVER (
-               PARTITION BY q.vec_id
+               PARTITION BY c.query_id
                ORDER BY list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * x.v[i]))
-                        / (q.nrm * x.nrm) DESC, x.vec_id) AS INTEGER) AS n_rank
-      FROM qcells q JOIN assign x ON q.cid = x.cid AND q.vec_id <> x.vec_id
+                        / (q.nrm * x.nrm) DESC, c.neighbor_id) AS INTEGER) AS n_rank
+      FROM cand c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n x ON x.vec_id = c.neighbor_id
     ) WHERE n_rank <= {_IVF_K}
     """,
     tags=("similarity", "ann", "ivf", "llm"),
 )
 def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid set (first {_IVF_CENTROIDS}
-    vectors — a stand-in for k-means, which would be non-deterministic),
-    assign every vector to its max-cosine centroid cell, MULTI-PROBE the
-    query's top-{_IVF_NPROBE} cells, exact re-rank top-k over the union.
+    """IVF ANN with a TRAINED coarse quantizer: {_IVF_CENTROIDS} spherical
+    k-means centroids (tools/train_ivf_centroids.py — Lloyd iterations as
+    distributed DataFrame aggs, result frozen as literals in
+    functions/ivf_centroids.py, the shipped-index-artifact pattern).
+    Each corpus vector is indexed under its top-{_IVF_MASSIGN} cells
+    (multi-assignment — the standard IVF redundancy lever), queries
+    MULTI-PROBE their top-{_IVF_NPROBE} cells, candidates dedup to id
+    pairs, exact re-rank top-k.
 
     Scale: assignment is a broadcast join against |C| centroids (one corpus
-    scan); the probe join is an equi-join on cell id — the inverted-file
-    trick that bounds candidates to nprobe cell sizes. nprobe is the
-    recall/cost dial (0.51@1 → 0.74@3 on this corpus, measured by q93's
-    meter). Fully deterministic → oracle-checkable, unlike library
-    k-means."""
+    scan); the probe join is an equi-join on cell id carrying ONLY ids —
+    vectors re-attach by id equi-join after the dedup, so wide arrays never
+    ride the candidate shuffle (same shape as q97). Measured on this corpus
+    (q93 + offline sweep): k-means alone moved recall@5 0.74 → 0.74 at
+    nprobe=3 (the synthetic corpus is near-structureless, max pair sim
+    ~0.51, so better centroids can't help), while multi-assignment is the
+    lever that works: massign=2 gives 0.64@1 / 0.80@2 / 0.94@3 for a 2x
+    index and ~1.7x candidates. Frozen literal centroids keep the whole
+    path deterministic → oracle-checkable, unlike library k-means."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
     n = e.withColumn("nrm", VEC.norm("v")).repartition(
         spark.sparkContext.defaultParallelism
     )
-    cent = (
-        n.filter(F.col("vec_id") < _IVF_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-        )
-    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_IVF_CENT)], "cid INT, cv ARRAY<DOUBLE>"
+    ).withColumn("cn", VEC.norm("cv"))
     csim = VEC.dot("v", "cv") / (F.col("nrm") * F.col("cn"))
     w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
     ranked = (
@@ -283,22 +319,28 @@ def q55_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("csim", csim)
         .withColumn("rk", F.row_number().over(w_assign))
     )
-    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "cid", "v", "nrm")
+    assign = ranked.filter(F.col("rk") <= _IVF_MASSIGN).select(
+        F.col("vec_id").alias("neighbor_id"), "cid"
+    )
     q = ranked.filter(
         (F.col("rk") <= _IVF_NPROBE) & (F.col("vec_id") < _IVF_QUERIES)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cid").alias("qcid"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
+    ).select(F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid"))
+    cand = (
+        q.join(assign, (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    x = assign.select(
-        F.col("vec_id").alias("neighbor_id"), "cid", F.col("v").alias("xv"), F.col("nrm").alias("xn")
+    qv = n.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    xv = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("xv"), F.col("nrm").alias("xn")
     )
     sim = VEC.dot("qv", "xv") / (F.col("qn") * F.col("xn"))
     w_rank = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        q.join(x, (F.col("qcid") == F.col("cid")) & (F.col("query_id") != F.col("neighbor_id")))
+        cand.join(qv, "query_id")
+        .join(xv, "neighbor_id")
         .withColumn("sim", sim)
         .withColumn("n_rank", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("n_rank") <= _IVF_K)

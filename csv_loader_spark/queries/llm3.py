@@ -498,8 +498,11 @@ def q92_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q93_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the multi-probe IVF ANN (q55) against brute-force ground
     truth (q35), per query plus a summary row (query_id = -1) — the
-    'measure, don't guess' artifact for the second approximate path
-    (0.51 at nprobe=1 → 0.74 at the default nprobe=3 on this corpus)."""
+    'measure, don't guess' artifact for the second approximate path.
+    History this meter drove: 0.51@nprobe=1 / 0.74@3 with single
+    assignment; trained k-means centroids alone moved nothing (0.74@3 —
+    the corpus is near-structureless); massign=2 multi-assignment is what
+    lifted it to 0.94@3 (see q55's docstring)."""
     from csv_loader_spark.queries.registry import get
 
     truth = get("q35_knn_bruteforce").fn(spark, sf_dir).select(
