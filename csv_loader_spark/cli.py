@@ -26,15 +26,18 @@ def build_parser() -> argparse.ArgumentParser:
         prog="csv_loader_spark",
         description="Load a vehicle-ping CSV and POST protobuf envelopes.",
         epilog=(
-            "Wire-format note: envelopes use standard protobuf wire encoding "
-            "with engine-defined field numbers (VehicleMessageEnvelope{1: "
-            "sourceId, 2: messages}, VehicleMessage{1: vehicleId, 2: "
-            "locations}, VehicleLocation{1: lat, 2: lon, 3: timestamp}) — "
-            "declaration order of the reference's builder calls. The "
-            "io.opentraffic ExchangeFormat .proto is not vendored here, so "
-            "byte-level compatibility with an opentraffic receiver is NOT "
-            "guaranteed; verify against your receiver's .proto (or regenerate "
-            "with it) before pointing this at a real traffic-engine endpoint."
+            "Wire-format note: envelopes are spec-correct protobuf, verified "
+            "byte-for-byte against the official google.protobuf runtime "
+            "(tests/test_envelope_wire.py) for the layout "
+            "VehicleMessageEnvelope{1: sourceId, 2: messages}, "
+            "VehicleMessage{1: vehicleId, 2: locations}, VehicleLocation{1: "
+            "lat, 2: lon, 3: timestamp} — field numbers in declaration order "
+            "of the reference's builder calls, the protobuf convention. The "
+            "upstream io.opentraffic ExchangeFormat .proto is not vendored in "
+            "the reference tree (unfetchable from this build sandbox, see "
+            "SCALE.md), so if your receiver's .proto numbers fields "
+            "differently, re-map the three field-number constants in "
+            "sinks/envelope.py and re-run the wire tests."
         ),
     )
     p.add_argument("-f", "--file", required=True, help="input CSV (.csv/.gz/.zip) or directory")

@@ -31,6 +31,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Discover the vendored protobuf runtime BEFORE the JVM starts so the
+    # Python workers inherit it via PYTHONPATH — unblocks the
+    # transformWithStateInPandas protocol (see streaming/trips.py).
+    from csv_loader_spark.streaming.trips import ensure_protobuf
+
+    ensure_protobuf()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

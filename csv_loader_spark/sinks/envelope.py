@@ -14,14 +14,18 @@ Two layers here:
    ops would consume).
 2. ``encode_envelope``/``decode_envelope`` — the batch wire format, a
    hand-rolled protobuf-wire encoder (varint + fixed64 little-endian +
-   length-delimited submessages; the standard public encoding). Field
-   numbers are engine-defined (the reference's .proto isn't in its tree),
-   so byte-level compatibility with an io.opentraffic receiver is NOT
-   guaranteed — this divergence is stated user-facing in README.md
-   ("Wire-format compatibility") and the CLI --help epilog:
+   length-delimited submessages; the standard public encoding), verified
+   BYTE-FOR-BYTE against the official google.protobuf runtime in
+   tests/test_envelope_wire.py for the layout
    VehicleLocation{1:lat fixed64, 2:lon fixed64, 3:timestamp varint},
    VehicleMessage{1:vehicle_id varint, 2:locations message},
-   Envelope{1:source_id varint, 2:messages message}.
+   Envelope{1:source_id varint, 2:messages message} —
+   field numbers in declaration order of the reference's builder calls
+   (the protobuf convention). The upstream io.opentraffic ExchangeFormat
+   .proto is not vendored in the reference tree (fetch attempts logged in
+   SCALE.md); a differently-numbered upstream would need only these
+   constants re-mapped. README.md ("Wire-format compatibility") and the
+   CLI --help epilog state this user-facing.
    Pure Python, deterministic, dependency-free — runs inside
    foreachPartition on executors; cost is per-POST-batch, not per-element
    of the relational hot path.

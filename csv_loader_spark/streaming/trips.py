@@ -20,10 +20,14 @@ this is the extension-surface operator family from SURVEY.md §2.3.
   typed state variables, and timer management). The TWS protocol's
   Python worker requires the ``protobuf`` package
   (pyspark/sql/streaming/proto/StateMessage_pb2.py imports
-  ``google.protobuf``) — absent here, so the call is gated with an
-  actionable error; the fold/timer logic is shared with (and therefore
-  tested through) the runnable surfaces + a fake-state harness
-  (tests/test_transform_with_state.py).
+  ``google.protobuf``) — not pip-installed here, but
+  :func:`ensure_protobuf` discovers the runtime vendored inside the
+  image's google-cloud-sdk and exports it to the workers via PYTHONPATH,
+  so the LIVE path runs end-to-end in this sandbox
+  (tests/test_transform_with_state.py::test_trips_stream_tws_end_to_end);
+  environments with no runtime at all still get the actionable
+  ImportError, and the fold/timer logic stays shared with the
+  always-runnable surfaces + the fake-state harness.
 
 A trip CLOSES and is emitted when (a) a later event for the user arrives
 past the gap, or (b) the event-time watermark passes ``last_event + gap``
@@ -257,12 +261,47 @@ class TripProcessor(StatefulProcessor):
         pass
 
 
-def tws_available() -> bool:
-    """transformWithState's Python worker needs the protobuf package."""
+# A modern protobuf runtime (6.x) ships vendored inside the google-cloud-sdk
+# install present on this image; discovering it unblocks the TWS live path
+# without any pip install. PYTHONPATH is prepended so the JVM-launched Python
+# workers inherit it too (effective when set before the SparkSession starts —
+# session.get_spark calls ensure_protobuf() for exactly that reason).
+_VENDORED_PROTOBUF = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
+def ensure_protobuf() -> bool:
+    """Make google.protobuf importable (installed or vendored); True if so."""
+    import os
+    import sys
+
+    try:
+        if importlib.util.find_spec("google.protobuf") is not None:
+            return True
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        pass
+    if not os.path.isdir(os.path.join(_VENDORED_PROTOBUF, "google", "protobuf")):
+        return False
+    if _VENDORED_PROTOBUF not in sys.path:
+        sys.path.insert(0, _VENDORED_PROTOBUF)
+        importlib.invalidate_caches()
+    pp = os.environ.get("PYTHONPATH", "")
+    if _VENDORED_PROTOBUF not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _VENDORED_PROTOBUF + (os.pathsep + pp if pp else "")
+        )
+    # The vendored runtime (6.32) is one minor behind pyspark's TWS gencode
+    # (6.33); the gencode's builder API is unchanged between them, and
+    # protobuf's own sanctioned escape hatch exists for exactly this:
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
     try:
         return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # no 'google' namespace package at all
+    except ModuleNotFoundError:
         return False
+
+
+def tws_available() -> bool:
+    """transformWithState's Python worker needs the protobuf package."""
+    return ensure_protobuf()
 
 
 def segment_trips_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -1,9 +1,11 @@
 """Trip segmentation across execution surfaces: applyInPandasWithState
 end-to-end (gap-split, timeout close, state carry), streaming-equals-batch
-on real table data, and the transformWithStateInPandas StatefulProcessor
-logic (timer bookkeeping, stale-timer guard) through a fake-state harness —
-the TWS protocol itself can't run here (needs google.protobuf, see
-streaming/trips.py docstring) and is gated + skip-tested."""
+on real table data, the transformWithStateInPandas StatefulProcessor
+logic (timer bookkeeping, stale-timer guard) through a fake-state harness,
+AND the live TWS protocol end-to-end (RocksDB state store) — runnable
+since ensure_protobuf() discovers the image's vendored google.protobuf
+runtime (streaming/trips.py). The gate test covers the truly-absent
+case and skips when the runtime is present."""
 
 import json
 import os
