@@ -49,6 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=10_001, help="rows per envelope (reference: 10,001)")
     p.add_argument("--retry-interval", type=float, default=5.0, help="seconds between transport retries (reference: 5)")
     p.add_argument("--max-retries", type=int, default=None, help="cap transport retries (default: forever, like the reference)")
+    p.add_argument(
+        "--exact-metrics",
+        action="store_true",
+        help="--stream only: reference-parity exact distinct-vehicle counts "
+        "(unbounded driver sets, like CsvLoader.java:105-106); default is "
+        "bounded approx_count_distinct",
+    )
     return p
 
 
@@ -80,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
             retry_interval=args.retry_interval,
             max_retries=args.max_retries,
+            metrics="exact" if args.exact_metrics else "approx",
             available_now=True,
         )
         query.awaitTermination()

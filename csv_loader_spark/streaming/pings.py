@@ -10,11 +10,13 @@ micro-batch scheduling gives the same blocking backpressure per batch.
 
 Metrics (op 17): the reference prints cumulative records + dual exact
 distinct-vehicle counts per flushed batch from unbounded in-memory HashSets
-(:105-106,:165) — fine for one city's vehicles, not for 100 TB. Default here
-is the same exact dual count maintained driver-side (reference parity);
-pass ``metrics="approx"`` to keep state bounded via per-batch
+(:105-106,:165) — fine for one city's vehicles, not for 100 TB. Default
+here is ``metrics="approx"``: bounded state via per-batch
 approx_count_distinct merged as a running max (HLL-style cardinality at
-scale), or ``metrics=None`` to skip.
+scale), with NO driver-side row materialization. ``metrics="exact"`` is
+the documented reference-parity OPT-IN (it collect()s id pairs per batch
+and grows unbounded driver sets, exactly like the reference's HashSets);
+``metrics=None`` skips metrics entirely.
 """
 
 from __future__ import annotations
@@ -75,7 +77,7 @@ def write_stream_http(
     batch_size: int = BATCH_SIZE,
     retry_interval: float = RETRY_INTERVAL_S,
     max_retries: int | None = None,
-    metrics: str | None = "exact",
+    metrics: str | None = "approx",
     available_now: bool = False,
 ) -> tuple[StreamingQuery, IngestMetrics]:
     """foreachBatch → per-partition envelope POSTs (executor-side).

@@ -55,7 +55,12 @@ def test_stream_end_to_end_and_resume(spark, tmp_path, http_server):
     expected_ids = sorted(vid for _, (vid, *_ ) in NARROW_ROWS)
     assert _decoded_ids(rec) == expected_ids
     assert metrics.records == len(NARROW_ROWS)
-    assert len(metrics.vehicles_str) == len(NARROW_ROWS)
+    # DEFAULT path is the scale-safe approx mode: cardinality comes from
+    # approx_count_distinct (exact at this tiny cardinality) and NO id rows
+    # are ever materialized on the driver — the unbounded sets stay empty.
+    assert metrics.approx_vehicles == len(NARROW_ROWS)
+    assert metrics.approx_ids == len(NARROW_ROWS)
+    assert len(metrics.vehicles_str) == 0 and len(metrics.vehicle_ids) == 0
 
     # resume from checkpoint: only NEW files are processed (exactly-once source)
     rec.payloads = []
@@ -67,3 +72,29 @@ def test_stream_end_to_end_and_resume(spark, tmp_path, http_server):
     )
     query2.awaitTermination(120)
     assert _decoded_ids(rec) == [900]  # batch1 NOT re-sent
+
+
+def test_stream_exact_metrics_is_reference_parity_opt_in(
+    spark, tmp_path, http_server
+):
+    """metrics='exact' reproduces the reference's unbounded dual HashSet
+    counts (CsvLoader.java:105-106) — opt-in, driver-side sets populated."""
+    url, rec = http_server
+    src = tmp_path / "incoming"
+    src.mkdir()
+    write_narrow_csv(str(src / "batch1.csv"))
+
+    pings = stream_pings(spark, str(src))
+    query, metrics = write_stream_http(
+        pings,
+        url,
+        source_id=5,
+        checkpoint_dir=str(tmp_path / "ckpt_exact"),
+        available_now=True,
+        max_retries=2,
+        metrics="exact",
+    )
+    query.awaitTermination(120)
+    assert metrics.records == len(NARROW_ROWS)
+    assert len(metrics.vehicles_str) == len(NARROW_ROWS)
+    assert len(metrics.vehicle_ids) == len(NARROW_ROWS)
