@@ -11,11 +11,14 @@ Design (the part that must be right at 100 TB):
 - heavy decode libraries are imported INSIDE the UDF (executor-side),
   gated, and stubbed deterministically when absent.
 
-This container ships no image/audio libraries, so ``decode_image`` is a
-clearly-marked STUB: header-sniffing + deterministic pseudo-decode from the
-payload bytes. The Spark-side contract — schemas, batch iteration,
-partitioning — is real and tested; swap ``_decode_one`` for PIL/ffmpeg in
-production.
+This container ships no image/audio libraries, so decoding is tiered:
+PIL when importable (gated upgrade), a REAL pure-Python decoder for
+uncompressed 24-bit BMP payloads (``_decode_bmp`` — magic sniff, header
+parse, padding-aware pixel mean; exercised end-to-end through mapInPandas
+in tests/test_multimodal.py), and a clearly-marked deterministic
+pseudo-decode for every other byte stream so tests stay stable. The
+Spark-side contract — schemas, batch iteration, partitioning — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -78,11 +81,39 @@ def attach_fake_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
-    """STUB decode: a real implementation would be PIL/libvips here.
+def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
+    """REAL decode of an uncompressed 24-bit BMP (BITMAPINFOHEADER), pure
+    Python: returns (width, height, mean over the BGR pixel bytes —
+    row padding excluded). None if the payload isn't such a BMP."""
+    import struct as _struct
 
-    Gated import pattern shown for reality; the fallback derives a
-    deterministic pseudo-decode from the bytes so tests are stable."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    pix_off = _struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = _struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — not handled
+        return None
+    w, h = _struct.unpack_from("<ii", payload, 18)
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    compression = _struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    rows = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if pix_off + stride * rows > len(payload):
+        return None
+    total = n = 0
+    for r in range(rows):
+        row = payload[pix_off + r * stride : pix_off + r * stride + w * 3]
+        total += sum(row)
+        n += len(row)
+    return w, rows, (total / n if n else 0.0)
+
+
+def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
+    """Tiered decode: PIL (gated upgrade) → real BMP parse → deterministic
+    pseudo-decode fallback (pseudo path: metadata dims + whole-payload byte
+    mean) so non-image bytes still produce stable features."""
     try:  # pragma: no cover - library absent in this container
         from PIL import Image  # type: ignore  # noqa: F401
 
@@ -91,6 +122,10 @@ def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, floa
         )
     except ImportError:
         pass
+    payload = bytes(payload) if payload else b""
+    bmp = _decode_bmp(payload)
+    if bmp is not None:
+        return bmp
     mean = sum(payload) / len(payload) if payload else 0.0
     return width or 0, height or 0, mean
 

@@ -51,13 +51,19 @@ _SHINGLE_CTE = r"""
 """
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, shingles: array<string>) with ≥3 tokens."""
-    d = load_table(spark, sf_dir, "documents")
+def shingled_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, shingles: array<string>) with ≥3 tokens.
+    DataFrame-in form so tools (bench_scaling) can run the same pipeline
+    over a synthetic multiplied corpus — one implementation, no copies."""
     return (
-        d.select("doc_id", TXT.word_shingles("text", 3).alias("shingles"))
+        docs.select("doc_id", TXT.word_shingles("text", 3).alias("shingles"))
         .filter(F.size("shingles") >= 1)
     )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, shingles: array<string>) with ≥3 tokens."""
+    return shingled_docs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -224,9 +230,16 @@ def q34_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: candidates come from equi-joins on (band, bucket-key) — the LSH
     trick that replaces the O(n²) pair space with collision buckets. The md5
     family keeps the sketch engine-portable (oracle-checkable), unlike
-    murmur3 `F.hash`.
+    murmur3 `F.hash`. Measured growth curve: tools/bench_scaling.py
+    (SCALING.json 'minhash'); candidates follow the Σ(bucket²) prediction.
     """
-    sh = _shingled(spark, sf_dir)
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """q34's pipeline over an arbitrary (doc_id, text) frame (see
+    shingled_docs for why the DataFrame-in form exists)."""
+    sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sigs = ex.groupBy("doc_id").agg(*_minhash_sig_cols())
     bands = None

@@ -550,12 +550,14 @@ def _hash32_sql(expr: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-@query(
-    "q94_winnowing",
-    oracle=rf"""
+def winnow_fps_oracle(where: str = "doc_id < 100") -> str:
+    """q94's oracle SQL with a parameterized document filter, so
+    tools/bench_scaling.py can run the identical pipeline over the full
+    (multiplied) corpus — single source of truth for the SQL."""
+    return rf"""
     WITH t AS (
       SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS s
-      FROM documents WHERE doc_id < 100
+      FROM documents WHERE {where}
     ),
     grams AS (
       SELECT doc_id, i AS pos, {_hash32_sql("substr(s, CAST(i AS INTEGER), 4)")} AS h,
@@ -574,7 +576,23 @@ def _hash32_sql(expr: str) -> str:
     )
     SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
     WHERE pos <= n_grams - {_WIN_W - 1}
-    """,
+    """
+
+
+def winnow_pairs_oracle(where: str = "doc_id < 100") -> str:
+    """q96's oracle SQL over the same parameterized filter."""
+    return f"""
+    WITH fps AS ({winnow_fps_oracle(where)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """
+
+
+@query(
+    "q94_winnowing",
+    oracle=winnow_fps_oracle(),
     tags=("fingerprint", "rolling-hash", "llm"),
 )
 def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,10 +608,16 @@ def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     a doc-partitioned sort. Portable hash = first 32 bits of md5 via
     instr arithmetic (conv() has no DuckDB twin)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_fingerprints(d)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """q94's pipeline over an arbitrary (doc_id, text) frame (DataFrame-in
+    form for tools/bench_scaling.py — single implementation)."""
     from pyspark.sql import Window as W
 
     s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    t = d.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
+    t = docs.select("doc_id", s.alias("s")).filter(F.length("s") >= 4)
     grams = t.select(
         "doc_id",
         (F.length("s") - 3).alias("n_grams"),
@@ -620,29 +644,9 @@ def q94_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q94_oracle() -> str:
-    from csv_loader_spark.queries.registry import get
-
-    return get("q94_winnowing").oracle
-
-
-@query(
-    "q96_winnow_neardup",
-    oracle=None,  # assigned below — needs q94 registered first
-    tags=("dedup", "rolling-hash", "llm"),
-)
-def q96_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates from shared winnowing fingerprints (≥2): the
-    detector whole-doc hashing can't be — two documents sharing any long
-    enough substring (w+k-1 chars) share fingerprints even when the rest
-    of the text differs (partial overlap / quotation / template reuse).
-
-    Scale: equi-join on the fingerprint — inverted-index cost like every
-    candidate generator here; fingerprint density (~1/w of grams) keeps
-    the index a fraction of corpus size."""
-    from csv_loader_spark.queries.registry import get
-
-    fps = get("q94_winnowing").fn(spark, sf_dir)
+def winnow_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """q96's pipeline over an arbitrary (doc_id, text) frame."""
+    fps = winnow_fingerprints(docs)
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -654,20 +658,20 @@ def q96_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# late-bind q96's oracle from q94's registered SQL (single source of truth)
-from csv_loader_spark.queries import registry as _reg  # noqa: E402
-
-_q96 = _reg._REGISTRY["q96_winnow_neardup"]
-_reg._REGISTRY["q96_winnow_neardup"] = type(_q96)(
-    _q96.name,
-    _q96.fn,
-    f"""
-    WITH fps AS ({_q94_oracle()})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    HAVING count(*) >= 2
-    """,
-    _q96.tags,
-    _q96.doc,
+@query(
+    "q96_winnow_neardup",
+    oracle=winnow_pairs_oracle(),
+    tags=("dedup", "rolling-hash", "llm"),
 )
+def q96_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints (≥2): the
+    detector whole-doc hashing can't be — two documents sharing any long
+    enough substring (w+k-1 chars) share fingerprints even when the rest
+    of the text differs (partial overlap / quotation / template reuse).
+
+    Scale: equi-join on the fingerprint — inverted-index cost like every
+    candidate generator here; fingerprint density (~1/w of grams) keeps
+    the index a fraction of corpus size. Measured growth curve:
+    tools/bench_scaling.py (SCALING.json 'winnow')."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return winnow_neardup_pairs(d)

@@ -53,3 +53,48 @@ def test_non_video_produces_no_frames(spark):
         spark.createDataFrame([(0, "y" * 700)], "doc_id long, text string")
     )  # doc_id 0 → image
     assert sample_frames(media).count() == 0
+
+
+def _make_bmp(width: int, height: int, pixel: tuple[int, int, int]) -> bytes:
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER), solid color."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    pix = (bytes(pixel) * width + b"\x00" * (stride - width * 3)) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    return hdr + info + pix
+
+
+def test_real_bmp_decode_through_map_in_pandas(spark):
+    """The real-decode branch: a generated 24-bit BMP flows through the
+    Arrow-batched mapInPandas path and yields TRUE pixel dimensions and the
+    padding-excluded pixel mean — not the metadata dims / whole-payload
+    mean of the pseudo path."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    bmp = _make_bmp(3, 2, (10, 200, 30))  # stride pads 3*3=9 -> 12 bytes
+    media = spark.createDataFrame(
+        [Row(doc_id=7, media_type="image", payload=bytearray(bmp),
+             width=999, height=888, duration_ms=0)],
+        T.StructType(MEDIA_SCHEMA.fields),
+    )
+    r = extract_features(media).collect()[0]
+    # real decode: BMP header dims win over the (wrong) metadata dims
+    assert (r["decoded_width"], r["decoded_height"]) == (3, 2)
+    expected_mean = (10 + 200 + 30) / 3
+    assert abs(r["mean_byte"] - expected_mean) < 1e-3
+    # whole-payload mean (pseudo path) would include headers + padding zeros
+    assert abs(sum(bmp) / len(bmp) - expected_mean) > 1.0
+    assert r["n_bytes"] == len(bmp)
+
+
+def test_bmp_decoder_rejects_non_bmp_and_truncated():
+    from csv_loader_spark.ops.multimodal import _decode_bmp
+
+    assert _decode_bmp(b"not a bitmap at all, definitely") is None
+    bmp = _make_bmp(4, 4, (1, 2, 3))
+    assert _decode_bmp(bmp) == (4, 4, 2.0)
+    assert _decode_bmp(bmp[:40]) is None          # truncated header
+    assert _decode_bmp(bmp[: len(bmp) - 8]) is None  # truncated pixels

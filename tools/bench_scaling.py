@@ -198,6 +198,79 @@ def run_duckdb_decontam(sf_dir: str, m: int) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+# --- dedup-family scaling: MinHash-LSH (q34) + winnowing (q94/q96) --------
+# Corpus = documents x M with doc_ids remapped per copy. IDENTICAL content
+# multiplied is the WORST CASE for near-dup candidate generation: every
+# LSH bucket / fingerprint posting list grows xM, so candidate pairs (and
+# the Σ(bucket²) cost the docstrings claim) must grow ~M² — this run
+# measures that prediction on both engines, plus the emitted pair counts
+# as direct evidence. Both engines run their own implementation of the
+# SAME pipeline (value equality is proven by the exact gate at sf0.01);
+# the Spark side imports the production functions, the DuckDB side runs
+# the registered oracle SQL against a view literally named `documents`.
+
+DEDUP_MULTIPLIERS = (1, 4, 10)
+
+
+def _spark_docs_m(sf_dir: str, m: int):
+    from pyspark.sql import functions as F
+
+    spark = get_spark("bench_scaling")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    corpus = docs
+    for k in range(1, m):
+        corpus = corpus.unionAll(
+            docs.select((F.col("doc_id") + k * 1_000_000).alias("doc_id"), "text")
+        )
+    return corpus
+
+
+def run_spark_dedup(sf_dir: str, m: int) -> dict[str, dict]:
+    from csv_loader_spark.queries.llm import minhash_lsh_pairs
+    from csv_loader_spark.queries.llm3 import winnow_neardup_pairs
+
+    corpus = _spark_docs_m(sf_dir, m)
+    out: dict[str, dict] = {}
+    for name, df in (
+        ("minhash", minhash_lsh_pairs(corpus)),
+        ("winnow", winnow_neardup_pairs(corpus)),
+    ):
+        df.count()  # prime
+        t0 = time.perf_counter()
+        n = df.count()
+        out[name] = {"sec": round(time.perf_counter() - t0, 4), "pairs": n}
+    return out
+
+
+def run_duckdb_dedup(sf_dir: str, m: int) -> dict[str, dict]:
+    from csv_loader_spark.queries.llm3 import winnow_pairs_oracle
+    from csv_loader_spark.queries.registry import get
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    doc = os.path.join(sf_dir, "documents.parquet")
+    union = " UNION ALL ".join(
+        [f"SELECT doc_id, text FROM '{doc}'"]
+        + [
+            f"SELECT doc_id + {k * 1_000_000} AS doc_id, text FROM '{doc}'"
+            for k in range(1, m)
+        ]
+    )
+    con.execute(f"CREATE VIEW documents AS {union}")
+    out: dict[str, dict] = {}
+    for name, sql in (
+        ("minhash", get("q34_minhash_lsh").oracle),
+        ("winnow", winnow_pairs_oracle("TRUE")),
+    ):
+        con.execute(sql).fetchall()  # prime
+        t0 = time.perf_counter()
+        n = len(con.execute(sql).fetchall())
+        out[name] = {"sec": round(time.perf_counter() - t0, 4), "pairs": n}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     results = {}
@@ -219,7 +292,31 @@ def main() -> None:
             f"ratio={results[str(m)]['ratio']}",
             file=sys.stderr,
         )
-    print(json.dumps({"metric": "scaling_curve", "sf_dir": sf_dir, "results": results}))
+    dedup = {}
+    for m in DEDUP_MULTIPLIERS:
+        s = run_spark_dedup(sf_dir, m)
+        d = run_duckdb_dedup(sf_dir, m)
+        assert all(s[k]["pairs"] == d[k]["pairs"] for k in s), (
+            f"pair-count mismatch at x{m}: {s} vs {d}"
+        )
+        dedup[str(m)] = {"spark": s, "duckdb": d}
+        print(
+            f"# dedup x{m}: minhash spark={s['minhash']['sec']}s "
+            f"duckdb={d['minhash']['sec']}s pairs={s['minhash']['pairs']}; "
+            f"winnow spark={s['winnow']['sec']}s "
+            f"duckdb={d['winnow']['sec']}s pairs={s['winnow']['pairs']}",
+            file=sys.stderr,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve",
+                "sf_dir": sf_dir,
+                "results": results,
+                "dedup_results": dedup,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
