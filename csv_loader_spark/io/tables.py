@@ -38,14 +38,35 @@ TABLES = (
 _TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TimestampType (UTC instant).
+
+    The driver has generated ``events.parquet`` two ways across rounds:
+
+    - parquet TIMESTAMP(NANOS): Spark's vector reader rejects it, so the
+      session sets ``nanosAsLong`` and the column arrives as ``bigint``
+      nanos; rebuild by integer-dividing to µs (``DIV`` keeps the arithmetic
+      in int64 — a double round-trip would lose precision at 1.7e18; the
+      truncation-toward-zero matches DuckDB's ns→µs cast).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ, which watermarks and ``unix_micros`` reject; cast to
+      TimestampType. The session TZ is pinned UTC, so the cast maps the wall
+      clock to the same instant DuckDB's naive TIMESTAMP renders.
+    """
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table; pins session TZ to UTC first (determinism).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's vector
-    reader rejects; we read it as raw nanos (``nanosAsLong``) and rebuild a
-    TimestampType by integer-dividing to microseconds (``DIV`` keeps the
-    arithmetic in int64 — a double round-trip would lose precision at the
-    1.7e18 magnitude). Truncation-toward-zero matches DuckDB's ns→µs cast.
+    ``events.ts`` arrives as nanos-as-bigint or TIMESTAMP_NTZ depending on
+    the driver's parquet writer vintage — :func:`normalize_event_ts` maps
+    both to TimestampType.
     """
     # tune_session runs on EVERY call, cache hit or miss: timestamp
     # rendering happens at collect time under the session's then-current
@@ -57,8 +78,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
+    # The regenerated testdata writes ALL timestamps as parquet
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ, which
+    # rejects watermarks/unix_micros and breaks ntz-vs-ltz comparisons in
+    # the query library. Session TZ is pinned UTC, so casting to
+    # TimestampType is instant-preserving and matches DuckDB's naive
+    # TIMESTAMP rendering (the pre-regeneration semantics).
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -23,7 +23,7 @@ import shutil
 import tempfile
 
 from csv_loader_spark.io.pings import RAW_SCHEMA, project_pings
-from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.io.tables import load_table, normalize_event_ts
 from csv_loader_spark.queries.registry import query
 from csv_loader_spark.session import tune_session
 from csv_loader_spark.streaming.trips import segment_trips
@@ -65,9 +65,7 @@ def q57_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
     path = _stage_stream_dir(sf_dir)
     schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(schema).parquet(path)
-    if dict(raw.dtypes).get("ts") == "bigint":  # TIMESTAMP(NANOS) as int64
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = normalize_event_ts(spark.readStream.schema(schema).parquet(path))
     agg = (
         raw.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")

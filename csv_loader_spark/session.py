@@ -83,4 +83,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # events.parquet stores TIMESTAMP(NANOS); read as int64 (see io.tables).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The regenerated testdata writes timestamps as TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false); by default Spark ≥3.4 infers those as
+    # TIMESTAMP_NTZ, which breaks watermarks/unix_micros AND hides the
+    # column behind a cast that defeats parquet predicate pushdown. With
+    # inference off the scan yields TimestampType directly (session TZ is
+    # UTC, so the instant matches DuckDB's naive rendering) and shipdate/
+    # orderdate filters stay in PushedFilters.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csv_loader_spark.io.tables import normalize_event_ts
 from csv_loader_spark.session import tune_session
 
 
@@ -20,16 +21,13 @@ def stream_events(
     spark: SparkSession, events_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """Incremental parquet source over an events directory; normalizes the
-    TIMESTAMP(NANOS) ts column exactly like the batch loader."""
+    ts column (nanos-bigint or NTZ) exactly like the batch loader."""
     tune_session(spark)
     schema = spark.read.parquet(events_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw
+    return normalize_event_ts(reader.parquet(events_dir))
 
 
 def windowed_counts(
