@@ -55,7 +55,10 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     t = dict(df.dtypes).get(col)
     if t == "bigint":
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        # Backtick-quote the column: a name with a space/hyphen/keyword
+        # would otherwise mis-parse inside F.expr. DIV (not /) keeps the
+        # arithmetic in int64.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` DIV 1000")))
     elif t == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
@@ -86,6 +89,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the query library. Session TZ is pinned UTC, so casting to
     # TimestampType is instant-preserving and matches DuckDB's naive
     # TIMESTAMP rendering (the pre-regeneration semantics).
+    #
+    # Normally DEAD: session.py sets inferTimestampNTZ.enabled=false, so
+    # these columns already arrive as TimestampType and the loop is a
+    # no-op. It fires only when the parquet file embeds a Spark schema
+    # whose metadata pins TIMESTAMP_NTZ (overriding the inference conf) —
+    # and in that case the withColumn cast sits ABOVE the scan, so parquet
+    # predicate pushdown on that column is lost. Deliberate trade:
+    # correctness (queries keep running on such files) over pushdown on a
+    # path that never triggers for driver-generated testdata.
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))

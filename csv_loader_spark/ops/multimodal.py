@@ -110,19 +110,40 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
     return w, rows, (total / n if n else 0.0)
 
 
-def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
-    """Tiered decode: PIL (gated upgrade) → real BMP parse → deterministic
-    pseudo-decode fallback (pseudo path: metadata dims + whole-payload byte
-    mean) so non-image bytes still produce stable features."""
-    try:  # pragma: no cover - library absent in this container
-        from PIL import Image  # type: ignore  # noqa: F401
-
-        raise NotImplementedError(
-            "real decode path not wired in this environment"
-        )
+def _decode_pil(payload: bytes) -> tuple[int, int, float] | None:
+    """Gated PIL decode: returns (width, height, mean over the RGB channel
+    bytes) when PIL is importable AND can open the payload; None otherwise
+    (library absent, or bytes PIL can't parse — e.g. the deterministic fake
+    payloads). For 24-bit BMPs the RGB byte mean equals :func:`_decode_bmp`'s
+    BGR byte mean (same multiset of bytes), so the two tiers agree and the
+    oracle stays engine-independent."""
+    try:
+        from PIL import Image  # type: ignore
     except ImportError:
-        pass
+        return None
+    import io as _io
+
+    try:
+        with Image.open(_io.BytesIO(payload)) as img:
+            rgb = img.convert("RGB")
+            w, h = rgb.size
+            data = rgb.tobytes()
+            return w, h, (sum(data) / len(data) if data else 0.0)
+    except Exception:
+        # PIL present but payload isn't an image it understands — fall
+        # through to the BMP/pseudo tiers rather than failing the pipeline.
+        return None
+
+
+def _decode_one(payload: bytes, width: int, height: int) -> tuple[int, int, float]:
+    """Tiered decode: PIL (when importable — a real upgrade, never an
+    error) → real BMP parse → deterministic pseudo-decode fallback (pseudo
+    path: metadata dims + whole-payload byte mean) so non-image bytes still
+    produce stable features."""
     payload = bytes(payload) if payload else b""
+    pil = _decode_pil(payload)
+    if pil is not None:
+        return pil
     bmp = _decode_bmp(payload)
     if bmp is not None:
         return bmp

@@ -11,12 +11,18 @@ micro-batch scheduling gives the same blocking backpressure per batch.
 Metrics (op 17): the reference prints cumulative records + dual exact
 distinct-vehicle counts per flushed batch from unbounded in-memory HashSets
 (:105-106,:165) — fine for one city's vehicles, not for 100 TB. Default
-here is ``metrics="approx"``: bounded state via per-batch
-approx_count_distinct merged as a running max (HLL-style cardinality at
-scale), with NO driver-side row materialization. ``metrics="exact"`` is
-the documented reference-parity OPT-IN (it collect()s id pairs per batch
-and grows unbounded driver sets, exactly like the reference's HashSets);
-``metrics=None`` skips metrics entirely.
+here is ``metrics="approx"``: per batch the executors build one
+``hll_sketch_agg`` sketch per counter (DataSketches HLL, ~KB), the driver
+unions it into a running cumulative sketch, and the printed count is the
+estimate of the UNION — a true cumulative distinct over the whole load
+(matching the reference's counter semantics within HLL error, ~2% at
+lgConfigK=12), with bounded driver state and NO id-row materialization.
+A ``max`` of per-batch counts would instead report the largest
+single-batch cardinality and arbitrarily underestimate once batches carry
+disjoint vehicles. ``metrics="exact"`` is the documented reference-parity
+OPT-IN (it collect()s id pairs per batch and grows unbounded driver sets,
+exactly like the reference's HashSets); ``metrics=None`` skips metrics
+entirely.
 """
 
 from __future__ import annotations
@@ -56,6 +62,10 @@ class IngestMetrics:
     vehicle_ids: set = field(default_factory=set)
     approx_vehicles: int = 0
     approx_ids: int = 0
+    # cumulative DataSketches HLL sketches (bounded, ~KB each): the union
+    # of every batch's sketch so far; approx_* above hold their estimates
+    hll_vehicles: bytes | None = None
+    hll_ids: bytes | None = None
 
     def line(self, exact: bool) -> str:
         if exact:
@@ -109,14 +119,37 @@ def write_stream_http(
                 state.vehicle_ids.update(r[1] for r in ids)
                 print(state.line(exact=True), file=sys.stderr)
             elif metrics == "approx":
-                row = batch_df.agg(
+                # One mergeable HLL sketch per counter per batch (executor
+                # side, partial-agg combined), unioned into the running
+                # cumulative sketch so the printed number estimates the
+                # distinct count over ALL batches — not max-of-batches,
+                # which underestimates as soon as batches carry disjoint
+                # vehicles. The union runs as a literal expression in the
+                # same tiny one-row agg job; driver state stays ~KB.
+                agg_df = batch_df.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.approx_count_distinct("vehicle_id_str").alias("av"),
-                    F.approx_count_distinct("vehicle_id").alias("ai"),
+                    F.hll_sketch_agg("vehicle_id_str").alias("sv"),
+                    F.hll_sketch_agg("vehicle_id").alias("si"),
+                )
+                if state.hll_vehicles is not None:
+                    agg_df = agg_df.select(
+                        "n",
+                        F.hll_union(F.lit(state.hll_vehicles), "sv").alias("sv"),
+                        F.hll_union(F.lit(state.hll_ids), "si").alias("si"),
+                    )
+                row = agg_df.select(
+                    "n",
+                    "sv",
+                    "si",
+                    F.hll_sketch_estimate("sv").alias("ev"),
+                    F.hll_sketch_estimate("si").alias("ei"),
                 ).collect()[0]
                 state.records += row["n"]
-                state.approx_vehicles = max(state.approx_vehicles, row["av"])
-                state.approx_ids = max(state.approx_ids, row["ai"])
+                if row["sv"] is not None:  # empty batch → keep prior sketch
+                    state.hll_vehicles = bytes(row["sv"])
+                    state.hll_ids = bytes(row["si"])
+                    state.approx_vehicles = int(row["ev"])
+                    state.approx_ids = int(row["ei"])
                 print(state.line(exact=False), file=sys.stderr)
         finally:
             batch_df.unpersist()

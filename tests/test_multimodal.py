@@ -98,3 +98,70 @@ def test_bmp_decoder_rejects_non_bmp_and_truncated():
     assert _decode_bmp(bmp) == (4, 4, 2.0)
     assert _decode_bmp(bmp[:40]) is None          # truncated header
     assert _decode_bmp(bmp[: len(bmp) - 8]) is None  # truncated pixels
+
+
+def test_pil_present_but_unusable_falls_through(monkeypatch):
+    """A PIL that can't parse the payload must mean FALLTHROUGH to the
+    BMP/pseudo tiers, never an error (VERDICT r5 'What's wrong' #1)."""
+    import sys
+    import types
+
+    from csv_loader_spark.ops import multimodal as mm
+
+    class _Image:
+        @staticmethod
+        def open(_fp):
+            raise OSError("cannot identify image file")
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Image)
+
+    # non-image payload → pseudo tier (metadata dims, whole-payload mean)
+    w, h, mean = mm._decode_one(b"plain text payload", 11, 22)
+    assert (w, h) == (11, 22)
+    assert abs(mean - sum(b"plain text payload") / 18) < 1e-9
+
+    # BMP payload → real BMP tier still wins when PIL chokes
+    bmp = _make_bmp(4, 4, (1, 2, 3))
+    assert mm._decode_one(bmp, 999, 888) == (4, 4, 2.0)
+
+
+def test_pil_decode_used_when_it_works(monkeypatch):
+    """When PIL CAN decode, its result is used (the gated upgrade is an
+    upgrade): dims from the decoded image, mean over RGB channel bytes."""
+    import sys
+    import types
+
+    from csv_loader_spark.ops import multimodal as mm
+
+    class _Img:
+        size = (5, 7)
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def tobytes(self):
+            return bytes([10, 20, 30]) * (5 * 7)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _Image:
+        @staticmethod
+        def open(_fp):
+            return _Img()
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", _Image)
+
+    w, h, mean = mm._decode_one(b"anything", 1, 1)
+    assert (w, h) == (5, 7)
+    assert abs(mean - 20.0) < 1e-9
