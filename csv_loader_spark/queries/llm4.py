@@ -15,7 +15,7 @@ value-hash gate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_loader_spark.functions import vectors as VEC
@@ -25,6 +25,19 @@ from csv_loader_spark.queries.llm2 import _COS_DUP_THRESHOLD
 from csv_loader_spark.queries.registry import query
 
 _PLANES = _hyperplanes(n=_LSH_TABLES * _LSH_BITS)
+
+# Hot-bucket guard: a degenerate corpus (many identical / near-zero vectors)
+# collapses into ONE bucket and reintroduces M^2 candidates there. Each
+# (table, bucket) therefore keeps only its first HOT_BUCKET_CAP members
+# (deterministic: ordered by vec_id), bounding any bucket's contribution at
+# C(cap, 2) pairs. Trade: pairs whose BOTH endpoints are evicted from every
+# shared bucket are lost — for natural corpora the cap never triggers
+# (largest sf0.01 bucket ~ tens of rows), so measured recall (q98, 0.9322)
+# is unchanged; under adversarial ×M duplication recall degrades gracefully
+# instead of the join degenerating quadratically. The cap is a row_number
+# window over (bucket) ordered by vec_id — same key as the candidate join,
+# and reproducible in ANSI SQL so the exact oracle gate still holds.
+_HOT_BUCKET_CAP = 1024
 
 
 def _planes_values_sql() -> str:
@@ -63,9 +76,16 @@ _LSH_DEDUP_CTES = f"""
       FROM n CROSS JOIN planes pl
       GROUP BY n.vec_id, pl.t
     ),
+    kept AS (
+      SELECT vec_id, t, s FROM (
+        SELECT vec_id, t, s,
+               row_number() OVER (PARTITION BY t, s ORDER BY vec_id) AS rn
+        FROM sig
+      ) WHERE rn <= {_HOT_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM sig a JOIN sig b
+      FROM kept a JOIN kept b
         ON a.t = b.t AND a.s = b.s AND a.vec_id < b.vec_id
     ),
     verified AS (
@@ -79,15 +99,12 @@ _LSH_DEDUP_CTES = f"""
     )"""
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (vec_a < vec_b) pairs sharing >=1 LSH table bucket, plus the
-    normalized-vector frame to verify them against."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", VEC.as_double("embedding").alias("v")
-    )
-    n = e.withColumn("nrm", VEC.norm("v")).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs sharing >=1 LSH table bucket, from a
+    normalized frame ``(vec_id, v, nrm)``. Each bucket is capped at ``cap``
+    members (first by vec_id — deterministic) before the self-join, so a
+    degenerate corpus bounds at C(cap, 2) pairs per bucket instead of
+    going quadratic (see _HOT_BUCKET_CAP)."""
 
     def table_sig(t: int):
         bits = [
@@ -108,15 +125,36 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    a = tagged.select(F.col("vec_id").alias("vec_a"), "bucket")
-    b = tagged.select(F.col("vec_id").alias("vec_b"), "bucket")
-    cand = (
+    # Hot-bucket guard: row_number over the bucket key (ids only — narrow
+    # shuffle, same key the candidate join hashes on anyway).
+    kept = (
+        tagged.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("bucket").orderBy("vec_id")),
+        )
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    a = kept.select(F.col("vec_id").alias("vec_a"), "bucket")
+    b = kept.select(F.col("vec_id").alias("vec_b"), "bucket")
+    return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
     )
-    return cand, n
+
+
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs for the embeddings table, plus the normalized-vector
+    frame to verify them against."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    n = e.withColumn("nrm", VEC.norm("v")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _candidates_from(n), n
 
 
 @query(
@@ -136,12 +174,15 @@ def q97_lsh_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that q98 measures recall against.
 
     Scale: candidates come from an equi-join on (table, bucket) — inverted-
-    index cost Sum(bucket^2), never the n^2 product. The bucket join carries
-    only ids; vectors re-attach by two id equi-joins AFTER the distinct, so
-    the wide array columns never ride the candidate shuffle (narrower than
-    q36's carry-the-vector shape — at 1e9x64 floats that's the difference
-    between shuffling ids and shuffling the corpus x L). Deterministic
-    planes make even the candidate set oracle-checkable."""
+    index cost Sum(bucket^2), never the n^2 product, and each bucket is
+    capped at _HOT_BUCKET_CAP members so Sum(bucket^2) <= Sum(bucket)*cap
+    even on a degenerate one-bucket corpus (tests/test_llm4_hot_bucket.py).
+    The bucket join carries only ids; vectors re-attach by two id
+    equi-joins AFTER the distinct, so the wide array columns never ride
+    the candidate shuffle (narrower than q36's carry-the-vector shape — at
+    1e9x64 floats that's the difference between shuffling ids and shuffling
+    the corpus x L). Deterministic planes make even the candidate set
+    oracle-checkable."""
     cand, n = _lsh_candidates(spark, sf_dir)
     x = n.select(
         F.col("vec_id").alias("vec_a"),

@@ -109,3 +109,39 @@ def test_q86_pii_scrub_has_no_shuffle(spark):
     # row-local regex work: the whole query must stay embarrassingly
     # parallel over the scan — one Exchange would mean a planner regression
     assert "Exchange" not in plan
+
+
+def test_q97_candidate_shuffle_carries_ids_only(spark):
+    """q97's whole scale story is that the LSH candidate join shuffles ids,
+    never the wide vector arrays: every hashpartitioning exchange in the
+    candidate subplan must carry only id/bucket columns, and the hot-bucket
+    row_number window rides the same narrow frame."""
+    import contextlib
+    import io
+    import re
+
+    from csv_loader_spark.queries.llm4 import _lsh_candidates
+
+    cand, _n = _lsh_candidates(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cand.explain("formatted")
+    plan = buf.getvalue()
+
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]\n"
+        r"Arguments: hashpartitioning\(([^,]+)", plan
+    )
+    assert exchanges, "expected at least one hash exchange in the plan"
+    for cols, first_key in exchanges:
+        # no vector/array attribute may ride a candidate shuffle
+        assert " v#" not in f" {cols}" and "embedding" not in cols, (
+            first_key, cols
+        )
+    # the bucket-keyed exchange (candidate join / hot-bucket window input)
+    # exists and is exactly (vec_id, bucket)
+    bucket_ex = [c for c, k in exchanges if k.startswith("bucket")]
+    assert bucket_ex and all(
+        {a.split("#")[0] for a in ex.split(", ")} == {"vec_id", "bucket"}
+        for ex in bucket_ex
+    )
