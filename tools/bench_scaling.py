@@ -264,17 +264,30 @@ def run_duckdb_dedup(sf_dir: str, m: int) -> dict[str, dict]:
         ("minhash", get("q34_minhash_lsh").oracle),
         ("winnow", winnow_pairs_oracle("TRUE")),
     ):
-        con.execute(sql).fetchall()  # prime
+        # count(*) wrapper, symmetric with the Spark side's .count(): the
+        # join still runs in full, but the pairs are never materialized in
+        # Python — winnow emits ~12M pairs per (sf0.1)² copy and grows
+        # ~M², so a fetchall() at x10 would be ~1.2G rows and OOM the
+        # harness (this is exactly the quadratic growth being measured;
+        # measure it, don't materialize it).
+        count_sql = f"SELECT count(*) FROM ({sql})"
+        con.execute(count_sql).fetchall()  # prime
         t0 = time.perf_counter()
-        n = len(con.execute(sql).fetchall())
+        n = con.execute(count_sql).fetchone()[0]
         out[name] = {"sec": round(time.perf_counter() - t0, 4), "pairs": n}
     return out
 
 
 def main() -> None:
+    """``--relational-only`` / ``--dedup-only`` run one section (the
+    relational curve takes ~12 min at x100; the dedup curve's winnow x10
+    counts ~1.2G pairs) — the driver-recorded SCALING.json merges both."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = set(sys.argv[1:])
+    do_rel = "--dedup-only" not in args
+    do_dedup = "--relational-only" not in args
     results = {}
-    for m in MULTIPLIERS:
+    for m in MULTIPLIERS if do_rel else ():
         s = run_spark(sf_dir, m)
         d = run_duckdb(sf_dir, m)
         s["decontam"] = run_spark_decontam(sf_dir, m)
@@ -293,7 +306,7 @@ def main() -> None:
             file=sys.stderr,
         )
     dedup = {}
-    for m in DEDUP_MULTIPLIERS:
+    for m in DEDUP_MULTIPLIERS if do_dedup else ():
         s = run_spark_dedup(sf_dir, m)
         d = run_duckdb_dedup(sf_dir, m)
         assert all(s[k]["pairs"] == d[k]["pairs"] for k in s), (
