@@ -145,7 +145,11 @@ def write_stream_http(
                     F.hll_sketch_estimate("si").alias("ei"),
                 ).collect()[0]
                 state.records += row["n"]
-                if row["sv"] is not None:  # empty batch → keep prior sketch
+                # An empty batch yields an EMPTY sketch (not null), and
+                # union(prev, empty) == prev — measured, so this null
+                # guard is belt-and-braces against future null-propagating
+                # expression changes, not a load-bearing branch.
+                if row["sv"] is not None:
                     state.hll_vehicles = bytes(row["sv"])
                     state.hll_ids = bytes(row["si"])
                     state.approx_vehicles = int(row["ev"])
