@@ -145,3 +145,28 @@ def test_q97_candidate_shuffle_carries_ids_only(spark):
         {a.split("#")[0] for a in ex.split(", ")} == {"vec_id", "bucket"}
         for ex in bucket_ex
     )
+
+
+@pytest.mark.parametrize("name", ["q34_minhash_lsh", "q96_winnow_neardup"])
+def test_dedup_candidates_are_equi_joins(spark, name):
+    """Every near-dup family's candidate generation must plan as an
+    equi-join on the derived key (band/fingerprint) — any cartesian or
+    nested-loop shape here is the quadratic regression the Σ(bucket²)
+    scaling measurement (SCALING.json `dedup`) exists to rule out."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_q53_simhash_candidate_join_is_banded_equi(spark):
+    """q53 fans each doc out to its 16 band keys via a crossJoin with a
+    16-row literal frame (constant fan-out — fine), but the doc-vs-doc
+    CANDIDATE join must be the hash equi-join on (band, bkey); a
+    cartesian doc×doc product would be the quadratic regression."""
+    plan = _plan(spark, "q53_simhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [band" in plan
