@@ -15,6 +15,8 @@ value-hash gate.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -37,7 +39,10 @@ _PLANES = _hyperplanes(n=_LSH_TABLES * _LSH_BITS)
 # instead of the join degenerating quadratically. The cap is a row_number
 # window over (bucket) ordered by vec_id — same key as the candidate join,
 # and reproducible in ANSI SQL so the exact oracle gate still holds.
-_HOT_BUCKET_CAP = 1024
+# Env-tunable like the LSH geometry knobs (SPARK_GRAFT_LSH_TABLES/BITS);
+# read at import, so the Spark plan and the oracle CTE below always bake
+# the SAME value and the gate cannot silently diverge.
+_HOT_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_HOT_BUCKET_CAP", "1024"))
 
 
 def _planes_values_sql() -> str:
