@@ -180,6 +180,7 @@ def main() -> int:
             "oracle_rows": None,
             "rows_only": False,  # True = no oracle BY DESIGN (not an error)
             "err": None,
+            "sec": None,  # wall time: spark run + oracle run + compare
         }
         records[name] = rec
         try:
@@ -188,12 +189,14 @@ def main() -> int:
             print(f"FAIL {name}: spark side raised")
             traceback.print_exc()
             rec["err"] = "spark_raised"
+            rec["sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
         rec["spark_rows"] = len(sdf)
         if spec.oracle is None:
             print(f"rows-only {name}: {len(sdf)} rows  [{time.time()-t0:.1f}s]")
             rec["rows_only"] = True  # declared sketch/ANN internals — err stays None
+            rec["sec"] = round(time.time() - t0, 2)
             n_rowsonly += 1
             continue
         try:
@@ -202,6 +205,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle SQL raised")
             traceback.print_exc()
             rec["err"] = "oracle_raised"
+            rec["sec"] = round(time.time() - t0, 2)
             n_fail += 1
             continue
         rec["oracle_rows"] = len(ddf)
@@ -209,6 +213,7 @@ def main() -> int:
         rec["rows_match"] = len(sdf) == len(ddf)
         rec["schema_match"] = sorted(sdf.columns) == sorted(ddf.columns)
         rec["hash_match"] = not problems
+        rec["sec"] = round(time.time() - t0, 2)
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} spark rows, {len(ddf)} duck rows):")
