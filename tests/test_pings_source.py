@@ -126,3 +126,50 @@ def test_pings_source_streams_newly_landed_files(spark, tmp_path):
         assert "777" in vids and "888" not in vids
     finally:
         q.stop()
+
+
+# --- property test: RFC 4180 round-trip over the generative space ----------
+
+
+def test_tokenizer_roundtrip_property(tmp_path):
+    """Fields with embedded commas, quotes, newlines, and unicode written by
+    Python's RFC 4180 writer must survive _read_ping_file exactly, with the
+    documented pad/truncate/empty->None semantics (CsvLoader.java reads
+    positionally from commons-csv, which implements the same RFC)."""
+    import csv as _csv
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csv_loader_spark.io.pings_source import N_FIELDS, _read_ping_file
+
+    field = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00", exclude_categories=("Cs",)
+        ),
+        max_size=12,
+    )
+    rows = st.lists(
+        st.lists(field, min_size=1, max_size=N_FIELDS + 3).filter(
+            lambda r: any(f != "" for f in r)  # an all-empty row writes as a
+            # bare newline, which RFC readers see as no record at all
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows)
+    def _check(data):
+        p = tmp_path / "prop.csv"
+        with open(p, "w", encoding="utf-8", newline="") as fh:
+            _csv.writer(fh).writerows(data)
+        got = list(_read_ping_file(str(p)))
+        expected = []
+        for r in data:
+            row = [f if f != "" else None for f in r[:N_FIELDS]]
+            row += [None] * (N_FIELDS - len(row))
+            expected.append(tuple(row))
+        assert got == expected
+
+    _check()
