@@ -164,6 +164,20 @@ def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 6
 _BAND_SIZE = 2  # 3 bands of 2 hashes
 
+# Hot-band-bucket guard (r7, the q97 pattern applied to MinHash LSH): each
+# (band, bkey) bucket keeps only its first _BAND_CAP members by doc_id
+# before the candidate self-join, bounding a degenerate bucket at
+# C(cap, 2) pairs instead of C(M, 2). Keep-first-K (not drop): a band
+# collision certifies probable near-identity — high signal — so unlike
+# q96's boilerplate fingerprints the bucket must survive, just bounded.
+# Measured benign at ×10 duplication pre-guard (250 k pairs, SCALING.json
+# `dedup` r6) but unbounded in principle; the guard makes the bound
+# structural. row_number orders by doc_id on the same (band, bkey) key the
+# join hashes — one exchange serves both. Mirrored in the oracle CTE so
+# the exact gate holds; inert at sf0.01 (largest bucket ≪ 1024). Read at
+# import so plan and oracle bake the same value.
+_BAND_CAP = int(os.environ.get("SPARK_GRAFT_BAND_CAP", "1024"))
+
 
 def _minhash_sig_cols():
     """Min-hash columns over the exploded shingle relation: min(md5(seed:s)).
@@ -194,9 +208,17 @@ def _minhash_oracle_sigs() -> str:
     bands AS (
       {bands}
     ),
+    kept AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {_BAND_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM kept a JOIN kept b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     )
     """
@@ -228,17 +250,21 @@ def q34_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 2 → band-bucket join → candidate pairs → exact-Jaccard verify ≥ 0.3.
 
     Scale: candidates come from equi-joins on (band, bucket-key) — the LSH
-    trick that replaces the O(n²) pair space with collision buckets. The md5
-    family keeps the sketch engine-portable (oracle-checkable), unlike
-    murmur3 `F.hash`. Measured growth curve: tools/bench_scaling.py
-    (SCALING.json 'minhash'); candidates follow the Σ(bucket²) prediction.
+    trick that replaces the O(n²) pair space with collision buckets — and
+    each bucket is capped at _BAND_CAP members (r7) so a degenerate corpus
+    bounds at C(cap, 2) pairs per bucket instead of Σ(bucket²) going
+    quadratic. The md5 family keeps the sketch engine-portable
+    (oracle-checkable), unlike murmur3 `F.hash`. Measured growth curve:
+    tools/bench_scaling.py (SCALING.json 'minhash').
     """
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(docs: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
     """q34's pipeline over an arbitrary (doc_id, text) frame (see
-    shingled_docs for why the DataFrame-in form exists)."""
+    shingled_docs for why the DataFrame-in form exists). Each (band, bkey)
+    bucket is capped at ``cap`` members (first by doc_id) before the
+    candidate self-join — see _BAND_CAP."""
     sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sigs = ex.groupBy("doc_id").agg(*_minhash_sig_cols())
@@ -250,6 +276,14 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bkey"),
         )
         bands = part if bands is None else bands.unionAll(part)
+    bands = (
+        bands.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("band", "bkey").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(

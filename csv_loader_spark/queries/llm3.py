@@ -24,6 +24,8 @@ All three are exact-oracle checked (no rows-only carve-outs).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -535,6 +537,26 @@ def q93_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_W = 8  # window of consecutive gram hashes per fingerprint pick
 _HEX = "0123456789abcdef"
 
+# MOSS-style stop-list for the q96 near-dup join: a fingerprint held by
+# more than _WINNOW_MAX_DF distinct documents is boilerplate (license
+# headers, templates, navigation chrome), not evidence of copying — MOSS
+# itself drops the most common fingerprints for exactly this reason
+# (Schleimer/Wilkerson/Aiken §5, "positions ... that occur in many
+# documents are likely boilerplate"). Dropping them bounds the posting-list
+# self-join at C(max_df, 2) pairs per fingerprint, so candidate cost is
+# Σ min(df, max_df)² — linear in corpus size once the cap binds — instead
+# of the measured M² blow-up (SCALING.json `dedup` r6: 1.24 G pairs, 947 s,
+# 48 GB heap at ×10 duplication). Unlike q97's keep-first-K bucket cap,
+# DROP (not cap) is right here: a band-bucket collision certifies near-
+# identity (high signal, keep some members), but a single hot fingerprint
+# certifies only one shared 11-char substring (low signal at high df).
+# Identical-content floods are exact dedup's job upstream (q28 runs first
+# in the q83 curation pipeline). Env-tunable like the LSH geometry knobs;
+# read at import so the Spark plan and the oracle SQL bake the SAME value
+# and the exact gate cannot silently diverge. 512 is inert at the sf0.01
+# gate (≤100 docs ⇒ df ≤ 100).
+_WINNOW_MAX_DF = int(os.environ.get("SPARK_GRAFT_WINNOW_MAX_DF", "512"))
+
 
 def _hash32_sql(expr: str) -> str:
     """First 32 bits of md5(expr) via instr arithmetic — engine-portable
@@ -579,12 +601,21 @@ def winnow_fps_oracle(where: str = "doc_id < 100") -> str:
     """
 
 
-def winnow_pairs_oracle(where: str = "doc_id < 100") -> str:
-    """q96's oracle SQL over the same parameterized filter."""
+def winnow_pairs_oracle(
+    where: str = "doc_id < 100", max_df: int = _WINNOW_MAX_DF
+) -> str:
+    """q96's oracle SQL over the same parameterized filter, mirroring the
+    MOSS stop-list: fingerprints with document frequency > max_df are
+    dropped before the posting-list self-join (see _WINNOW_MAX_DF)."""
     return f"""
-    WITH fps AS ({winnow_fps_oracle(where)})
+    WITH fps AS ({winnow_fps_oracle(where)}),
+    kept AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+      ) WHERE df <= {max_df}
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
@@ -644,11 +675,28 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def winnow_neardup_pairs(docs: DataFrame) -> DataFrame:
-    """q96's pipeline over an arbitrary (doc_id, text) frame."""
+def winnow_neardup_pairs(
+    docs: DataFrame, max_df: int = _WINNOW_MAX_DF
+) -> DataFrame:
+    """q96's pipeline over an arbitrary (doc_id, text) frame.
+
+    MOSS stop-list guard: fingerprints whose posting list exceeds max_df
+    distinct documents are dropped entirely before the self-join (see
+    _WINNOW_MAX_DF for the rationale and the measured M² failure it
+    bounds). The document-frequency count is a window over the fp key —
+    the SAME key the self-join hashes on, so Catalyst reuses one exchange
+    for the count, the filter, and both join sides; the guard adds no new
+    shuffle and the frame stays (doc_id, fp) ids-only throughout."""
+    from pyspark.sql import Window as W
+
     fps = winnow_fingerprints(docs)
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    kept = (
+        fps.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("fp")))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -671,7 +719,11 @@ def q96_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: equi-join on the fingerprint — inverted-index cost like every
     candidate generator here; fingerprint density (~1/w of grams) keeps
-    the index a fraction of corpus size. Measured growth curve:
+    the index a fraction of corpus size, and the MOSS stop-list
+    (_WINNOW_MAX_DF, r7) drops boilerplate fingerprints whose posting
+    list exceeds max_df docs, bounding the join at Σ min(df, max_df)²
+    instead of the M² measured in r6 (SCALING.json 'dedup': 1.24 G pairs
+    at ×10 duplication pre-guard). Measured growth curve:
     tools/bench_scaling.py (SCALING.json 'winnow')."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return winnow_neardup_pairs(d)
