@@ -34,8 +34,32 @@ TABLES = (
 # plans, so reuse within a session is safe. Keyed by the live session
 # OBJECT (not id() — ids are reused after GC and a stale plan bound to a
 # dead session would poison the cache); pinning the handful of sessions a
-# process creates is a bounded, acceptable cost.
-_TABLE_CACHE: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# process creates is a bounded, acceptable cost. The cached value carries
+# the file's (mtime_ns, size) fingerprint (r7): a regenerated file under
+# the same path — the lived r5 incident — invalidates the entry instead of
+# serving a plan whose embedded schema/statistics describe dead bytes.
+# One os.stat per call buys that; trivial against the footer read saved.
+_TABLE_CACHE: dict[
+    tuple[SparkSession, str, str], tuple[tuple[int, int] | None, DataFrame]
+] = {}
+
+
+def file_fingerprint(path: str) -> tuple[int, int] | None:
+    """(newest mtime_ns, total size) of a file or one directory level —
+    cheap identity for 'did the data under this path change'. None when
+    the path is missing (the subsequent read raises the real error)."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        newest, total = st.st_mtime_ns, 0
+        for e in os.scandir(path):
+            s = e.stat()
+            newest = max(newest, s.st_mtime_ns)
+            total += s.st_size
+        return (newest, total)
+    except OSError:
+        return None
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -77,10 +101,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # otherwise silently change results served from the plan cache.
     tune_session(spark)
     key = (spark, sf_dir, name)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    fp = file_fingerprint(path)
     cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if cached is not None and cached[0] == fp:
+        return cached[1]
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     # The regenerated testdata writes ALL timestamps as parquet
@@ -101,7 +127,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
-    _TABLE_CACHE[key] = df
+    _TABLE_CACHE[key] = (fp, df)
     return df
 
 

@@ -15,6 +15,7 @@ value-hash gate.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -126,25 +127,26 @@ _SIG_ARRAY_SQL = "array({})".format(
 )
 
 
+def _tagged_rn(n: DataFrame) -> DataFrame:
+    """(vec_id, bucket, rn): every vector fanned out to its per-table LSH
+    buckets, with the hot-bucket row_number (ids only — narrow shuffle,
+    same key the candidate join hashes on anyway)."""
+    tagged = n.select(
+        "vec_id", F.explode(F.expr(_SIG_ARRAY_SQL)).alias("bucket")
+    )
+    return tagged.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("bucket").orderBy("vec_id")),
+    )
+
+
 def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
     """Distinct (vec_a < vec_b) pairs sharing >=1 LSH table bucket, from a
     normalized frame ``(vec_id, v, nrm)``. Each bucket is capped at ``cap``
     members (first by vec_id — deterministic) before the self-join, so a
     degenerate corpus bounds at C(cap, 2) pairs per bucket instead of
     going quadratic (see _HOT_BUCKET_CAP)."""
-    tagged = n.select(
-        "vec_id", F.explode(F.expr(_SIG_ARRAY_SQL)).alias("bucket")
-    )
-    # Hot-bucket guard: row_number over the bucket key (ids only — narrow
-    # shuffle, same key the candidate join hashes on anyway).
-    kept = (
-        tagged.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("bucket").orderBy("vec_id")),
-        )
-        .filter(F.col("rn") <= cap)
-        .drop("rn")
-    )
+    kept = _tagged_rn(n).filter(F.col("rn") <= cap).drop("rn")
     a = kept.select(F.col("vec_id").alias("vec_a"), "bucket")
     b = kept.select(F.col("vec_id").alias("vec_b"), "bucket")
     return (
@@ -155,18 +157,58 @@ def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
     )
 
 
+def hot_bucket_guard_stats(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> dict:
+    """One ids-only aggregate reporting whether (and how hard) the
+    hot-bucket cap binds: a dedup query that silently drops true duplicate
+    pairs past the cap needs its recall loss OBSERVABLE, not just
+    documented. max_bucket = largest (table, bucket) population,
+    n_evicted = member rows the cap removed, n_buckets_over = buckets
+    affected. Runs as its own small job (the rn frame feeds both sides of
+    the candidate self-join, so piggybacking an Observation on it would
+    double-fire); _lsh_candidates calls it once per index build."""
+    row = (
+        _tagged_rn(n)
+        .agg(
+            F.max("rn").alias("max_bucket"),
+            F.sum((F.col("rn") > cap).cast("long")).alias("n_evicted"),
+            F.count_distinct(
+                F.when(F.col("rn") > cap, F.col("bucket"))
+            ).alias("n_buckets_over"),
+        )
+        .first()
+    )
+    return {
+        "cap": cap,
+        "max_bucket": row["max_bucket"] or 0,
+        "n_evicted": row["n_evicted"] or 0,
+        "n_buckets_over": row["n_buckets_over"] or 0,
+    }
+
+
 # Candidate-pair cache, keyed like io.tables._TABLE_CACHE (live session
 # object + path): the candidate set is the reusable "index" of the LSH
 # dedup — q98 re-runs q97's whole pipeline just to count its rows, so
 # without this the gate executes the 96-signature pass twice. persist()
 # (MEMORY_AND_DISK) holds only (vec_a, vec_b) id pairs — the narrow frame
-# by design — and spills to disk if a big corpus outgrows memory.
-_CAND_CACHE: dict[tuple[SparkSession, str], DataFrame] = {}
+# by design — and spills to disk if a big corpus outgrows memory. Unlike
+# the lazy table-plan cache, persist() FREEZES rows, so each entry carries
+# the embeddings file's (mtime_ns, size) fingerprint (r7): a regenerated
+# file under the same path unpersists the stale pairs and rebuilds instead
+# of silently joining fresh vectors against dead candidates.
+_CAND_CACHE: dict[
+    tuple[SparkSession, str], tuple[tuple[int, int] | None, DataFrame]
+] = {}
+
+_LOG = logging.getLogger(__name__)
 
 
 def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate pairs for the embeddings table, plus the normalized-vector
-    frame to verify them against."""
+    frame to verify them against. On each index (re)build, logs the
+    hot-bucket guard stats — a WARNING when the cap evicted anything, so
+    recall degradation under a vector flood is visible at runtime."""
+    from csv_loader_spark.io.tables import file_fingerprint
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
@@ -174,10 +216,26 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     key = (spark, sf_dir)
-    cand = _CAND_CACHE.get(key)
-    if cand is None:
-        cand = _candidates_from(n).persist()
-        _CAND_CACHE[key] = cand
+    fp = file_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    hit = _CAND_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1], n
+    if hit is not None:
+        hit[1].unpersist()  # stale pairs for dead bytes — drop, rebuild
+    cand = _candidates_from(n).persist()
+    _CAND_CACHE[key] = (fp, cand)
+    stats = hot_bucket_guard_stats(n)
+    if stats["n_evicted"]:
+        _LOG.warning(
+            "q97 hot-bucket cap bound: %(n_evicted)d members evicted from "
+            "%(n_buckets_over)d buckets (largest %(max_bucket)d > cap "
+            "%(cap)d) — pairs wholly past the cap are LOST; recall "
+            "degrades. Run exact dedup (q28) upstream or raise "
+            "SPARK_GRAFT_HOT_BUCKET_CAP.",
+            stats,
+        )
+    else:
+        _LOG.info("q97 hot-bucket cap inert: %s", stats)
     return cand, n
 
 

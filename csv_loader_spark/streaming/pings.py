@@ -66,6 +66,11 @@ class IngestMetrics:
     # of every batch's sketch so far; approx_* above hold their estimates
     hll_vehicles: bytes | None = None
     hll_ids: bytes | None = None
+    # highest batch_id whose metrics were applied: foreachBatch is
+    # at-least-once (a failed/restarted batch REPLAYS under the same id),
+    # and while set-union and HLL-union are idempotent under replay, the
+    # ``records`` counter is not — a repeated id must not double-count
+    last_batch_id: int | None = None
 
     def line(self, exact: bool) -> str:
         if exact:
@@ -76,6 +81,68 @@ class IngestMetrics:
             f"{self.records / 1e6:.2f}M records loaded, "
             f"{nv} unique vehicles ({ni} unique ids)"
         )
+
+
+def update_batch_metrics(
+    state: IngestMetrics, batch_df: DataFrame, batch_id: int, metrics: str
+) -> None:
+    """Apply one micro-batch's worth of progress metrics to ``state``.
+
+    Replay-safe: foreachBatch is at-least-once, so after a failure/restart
+    the same batch_id fires again with the same data. A repeated (or
+    older) id is skipped entirely — set/HLL unions would tolerate the
+    replay, but ``records += n`` would double-count, and a counter that
+    looks exactly-once must be exactly-once. The progress line is still
+    printed (the reference prints per flush, CsvLoader.java:165)."""
+    replayed = state.last_batch_id is not None and batch_id <= state.last_batch_id
+    if metrics == "exact":
+        if not replayed:
+            # reference-parity dual distinct (unbounded, like :105-106)
+            ids = batch_df.select("vehicle_id_str", "vehicle_id").collect()
+            state.records += len(ids)
+            state.vehicles_str.update(r[0] for r in ids)
+            state.vehicle_ids.update(r[1] for r in ids)
+        print(state.line(exact=True), file=sys.stderr)
+    elif metrics == "approx":
+        if not replayed:
+            # One mergeable HLL sketch per counter per batch (executor
+            # side, partial-agg combined), unioned into the running
+            # cumulative sketch so the printed number estimates the
+            # distinct count over ALL batches — not max-of-batches,
+            # which underestimates as soon as batches carry disjoint
+            # vehicles. The union runs as a literal expression in the
+            # same tiny one-row agg job; driver state stays ~KB.
+            agg_df = batch_df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.hll_sketch_agg("vehicle_id_str").alias("sv"),
+                F.hll_sketch_agg("vehicle_id").alias("si"),
+            )
+            if state.hll_vehicles is not None:
+                agg_df = agg_df.select(
+                    "n",
+                    F.hll_union(F.lit(state.hll_vehicles), "sv").alias("sv"),
+                    F.hll_union(F.lit(state.hll_ids), "si").alias("si"),
+                )
+            row = agg_df.select(
+                "n",
+                "sv",
+                "si",
+                F.hll_sketch_estimate("sv").alias("ev"),
+                F.hll_sketch_estimate("si").alias("ei"),
+            ).collect()[0]
+            state.records += row["n"]
+            # An empty batch yields an EMPTY sketch (not null), and
+            # union(prev, empty) == prev — measured, so this null
+            # guard is belt-and-braces against future null-propagating
+            # expression changes, not a load-bearing branch.
+            if row["sv"] is not None:
+                state.hll_vehicles = bytes(row["sv"])
+                state.hll_ids = bytes(row["si"])
+                state.approx_vehicles = int(row["ev"])
+                state.approx_ids = int(row["ei"])
+        print(state.line(exact=False), file=sys.stderr)
+    if not replayed:
+        state.last_batch_id = batch_id
 
 
 def write_stream_http(
@@ -111,50 +178,8 @@ def write_stream_http(
         batch_df.persist()
         try:
             batch_df.foreachPartition(_send)
-            if metrics == "exact":
-                # reference-parity dual distinct (unbounded, like :105-106)
-                ids = batch_df.select("vehicle_id_str", "vehicle_id").collect()
-                state.records += len(ids)
-                state.vehicles_str.update(r[0] for r in ids)
-                state.vehicle_ids.update(r[1] for r in ids)
-                print(state.line(exact=True), file=sys.stderr)
-            elif metrics == "approx":
-                # One mergeable HLL sketch per counter per batch (executor
-                # side, partial-agg combined), unioned into the running
-                # cumulative sketch so the printed number estimates the
-                # distinct count over ALL batches — not max-of-batches,
-                # which underestimates as soon as batches carry disjoint
-                # vehicles. The union runs as a literal expression in the
-                # same tiny one-row agg job; driver state stays ~KB.
-                agg_df = batch_df.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.hll_sketch_agg("vehicle_id_str").alias("sv"),
-                    F.hll_sketch_agg("vehicle_id").alias("si"),
-                )
-                if state.hll_vehicles is not None:
-                    agg_df = agg_df.select(
-                        "n",
-                        F.hll_union(F.lit(state.hll_vehicles), "sv").alias("sv"),
-                        F.hll_union(F.lit(state.hll_ids), "si").alias("si"),
-                    )
-                row = agg_df.select(
-                    "n",
-                    "sv",
-                    "si",
-                    F.hll_sketch_estimate("sv").alias("ev"),
-                    F.hll_sketch_estimate("si").alias("ei"),
-                ).collect()[0]
-                state.records += row["n"]
-                # An empty batch yields an EMPTY sketch (not null), and
-                # union(prev, empty) == prev — measured, so this null
-                # guard is belt-and-braces against future null-propagating
-                # expression changes, not a load-bearing branch.
-                if row["sv"] is not None:
-                    state.hll_vehicles = bytes(row["sv"])
-                    state.hll_ids = bytes(row["si"])
-                    state.approx_vehicles = int(row["ev"])
-                    state.approx_ids = int(row["ei"])
-                print(state.line(exact=False), file=sys.stderr)
+            if metrics in ("exact", "approx"):
+                update_batch_metrics(state, batch_df, batch_id, metrics)
         finally:
             batch_df.unpersist()
 

@@ -137,3 +137,28 @@ def test_approx_metric_is_cumulative_union_across_batches(
     # bounded state: sketches present, unbounded exact sets untouched
     assert metrics.hll_vehicles is not None
     assert len(metrics.vehicles_str) == 0 and len(metrics.vehicle_ids) == 0
+
+
+def test_batch_metrics_skip_replayed_batch_id(spark):
+    """foreachBatch is at-least-once: a failed batch replays under the
+    SAME batch_id. The records counter must not double-count (ADVICE r6 —
+    the HLL union is idempotent under replay, the counter was not)."""
+    from csv_loader_spark.streaming.pings import IngestMetrics, update_batch_metrics
+
+    batch0 = spark.createDataFrame(
+        [("1", 1), ("2", 2), ("3", 3)], "vehicle_id_str string, vehicle_id long"
+    )
+    batch1 = spark.createDataFrame(
+        [("4", 4), ("5", 5)], "vehicle_id_str string, vehicle_id long"
+    )
+    for mode in ("approx", "exact"):
+        m = IngestMetrics()
+        update_batch_metrics(m, batch0, 0, mode)
+        update_batch_metrics(m, batch0, 0, mode)  # replay: same id, same data
+        assert m.records == 3, mode
+        update_batch_metrics(m, batch1, 1, mode)
+        assert m.records == 5, mode
+        update_batch_metrics(m, batch0, 0, mode)  # late replay of an OLD id
+        assert m.records == 5 and m.last_batch_id == 1, mode
+    # exact mode: distinct sets correct after replays
+    assert len(m.vehicles_str) == 5 and len(m.vehicle_ids) == 5
