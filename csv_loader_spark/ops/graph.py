@@ -56,4 +56,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Rounds needed = graph diameter. Near-dup clusters are shallow
+        # (~2-4), so hitting the cap means an adversarial long-chain graph
+        # (diameter ≈ n) — returning the unconverged labels would silently
+        # MERGE-UNDERCOUNT components, which for a dedup pipeline means
+        # keeping duplicates. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — the graph's diameter exceeds the bound (a "
+            "long-chain structure, not a near-dup cluster shape); raise "
+            "max_iterations or pre-contract the chains"
+        )
     return labels.select("node", F.col("label").alias("component"))

@@ -7,18 +7,32 @@ key = vehicle_id so per-vehicle ordering holds within a shard — the property
 downstream map-matching needs (SURVEY §7.4.5). Executor-side via
 ``foreachPartition``; one boto3 client per partition.
 
-boto3 is not installed in this container — the import is gated and the sink
-raises a clear error at call time; the chunking/partition-key logic is
-testable via ``records_for_kinesis`` without AWS.
+Retry matrix mirrors the HTTP sink's mapping of the reference
+(CsvLoader.java:200-233) onto the Kinesis API: PutRecords can PARTIALLY
+fail (per-record ErrorCode, e.g. ProvisionedThroughputExceededException,
+with HTTP 200 overall), so only the failed subset is re-put after
+``retry_interval`` — by default forever, like the reference's
+``while(!dataSent)``. At-least-once: a record whose response was lost in
+transit is resent.
+
+boto3 is not installed in this container — the import is gated and the
+default client factory raises a clear error at call time; the full
+chunking/partition-key/retry path runs against any injected
+``client_factory`` (tests/test_kinesis_sink.py drives it end-to-end
+through foreachPartition with a fake client).
 """
 
 from __future__ import annotations
 
+import sys
+import time
 from collections.abc import Iterable, Iterator
+from typing import Callable
 
 from pyspark.sql import DataFrame
 
 from csv_loader_spark.sinks.envelope import encode_message
+from csv_loader_spark.sinks.http import RETRY_INTERVAL_S
 
 try:  # pragma: no cover - absent in the test container
     import boto3  # type: ignore
@@ -50,16 +64,88 @@ def records_for_kinesis(
         yield chunk
 
 
-def write_kinesis(pings: DataFrame, stream_name: str, region: str | None = None) -> None:
+def put_records_with_retry(
+    client,
+    stream_name: str,
+    chunk: list[dict],
+    *,
+    retry_interval: float = RETRY_INTERVAL_S,
+    max_retries: int | None = None,
+) -> int:
+    """PutRecords one ≤500-entry chunk, re-putting ONLY the failed subset
+    until everything lands (the documented PutRecords contract: the call
+    returns 200 with per-record ErrorCodes on partial failure, and order
+    within the response matches the request). Transport exceptions retry
+    the whole pending subset the same way. Returns the number of attempts
+    used; raises after ``max_retries`` re-attempts (None = forever, the
+    reference's matrix)."""
+    pending = chunk
+    attempt = 0
+    while True:
+        try:
+            resp = client.put_records(StreamName=stream_name, Records=pending)
+            if not resp.get("FailedRecordCount", 0):
+                return attempt + 1
+            results = resp["Records"]
+            failed = [
+                entry
+                for entry, res in zip(pending, results)
+                if res.get("ErrorCode")
+            ]
+            codes = {r["ErrorCode"] for r in results if r.get("ErrorCode")}
+            print(
+                f"kinesis: {len(failed)}/{len(pending)} records failed "
+                f"({', '.join(sorted(codes))}), retrying",
+                file=sys.stderr,
+            )
+            pending = failed
+        except Exception as e:  # transport error: retry whole pending set
+            print(f"kinesis: transport error {e!r}, retrying", file=sys.stderr)
+        attempt += 1
+        if max_retries is not None and attempt > max_retries:
+            raise RuntimeError(
+                f"kinesis: {len(pending)} records still failing after "
+                f"{max_retries} retries"
+            )
+        time.sleep(retry_interval)
+
+
+def _default_client_factory(region: str | None) -> Callable[[], object]:
     if boto3 is None:
         raise NotImplementedError(
-            "boto3 is not available in this environment; Kinesis delivery is "
-            "stubbed (chunking logic is tested via records_for_kinesis)"
+            "boto3 is not available in this environment; Kinesis delivery "
+            "needs an injected client_factory (the full chunk/retry path is "
+            "tested with a fake client in tests/test_kinesis_sink.py)"
         )
+    return lambda: boto3.client("kinesis", region_name=region)  # pragma: no cover
 
-    def _send(rows: Iterable) -> None:  # pragma: no cover - needs AWS
-        client = boto3.client("kinesis", region_name=region)
+
+def write_kinesis(
+    pings: DataFrame,
+    stream_name: str,
+    region: str | None = None,
+    *,
+    client_factory: Callable[[], object] | None = None,
+    retry_interval: float = RETRY_INTERVAL_S,
+    max_retries: int | None = None,
+) -> None:
+    """Executor-side Kinesis delivery: one client per partition, ≤500-entry
+    PutRecords chunks, vehicle_id partition key, partial-failure retry.
+
+    ``client_factory`` (a zero-arg callable returning a boto3-shaped
+    client) is built per PARTITION on the executor — injectable for tests
+    and for credential customization; defaults to ``boto3.client``."""
+    factory = client_factory or _default_client_factory(region)
+
+    def _send(rows: Iterable) -> None:
+        client = factory()
         for chunk in records_for_kinesis(rows):
-            client.put_records(StreamName=stream_name, Records=chunk)
+            put_records_with_retry(
+                client,
+                stream_name,
+                chunk,
+                retry_interval=retry_interval,
+                max_retries=max_retries,
+            )
 
     pings.foreachPartition(_send)

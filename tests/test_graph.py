@@ -24,3 +24,19 @@ def test_cycle_and_isolated_edge(spark):
     got = _cc(spark, [(7, 8), (8, 9), (9, 7), (100, 200)])
     assert got[7] == got[8] == got[9] == 7
     assert got[100] == got[200] == 100
+
+
+def test_nonconvergence_raises_loudly_on_path_graph(spark):
+    """A path graph's diameter ≈ n: min-label propagation moves one hop
+    per round, so a tight iteration cap must FAIL, not silently return
+    merge-undercounted components (r7 guard)."""
+    import pytest
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge in 5"):
+        connected_components(path, "src", "dst", max_iterations=5)
+    # with room to converge the same graph is one component rooted at 0
+    ok = connected_components(path, "src", "dst", max_iterations=40)
+    assert ok.agg({"component": "max"}).collect()[0][0] == 0
