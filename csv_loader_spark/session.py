@@ -49,7 +49,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's stock 10 MB, set explicitly to pin it: an earlier 64 MB
+        # override let the sf0.1 lineitem FACT (10.3 MB) ride the broadcast
+        # path in q03/q05 — contrary to those queries' documented
+        # shuffle-on-orderkey scale shape, measurably slower locally
+        # (q05 0.66 s -> 0.59 s median once the fact shuffles), and
+        # divergent from the verification driver's session, which runs on
+        # the stock default. Dims broadcast explicitly via F.broadcast()
+        # hints, which ignore this threshold.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         # Scan-split granularity: the benchmark tables are single small
         # parquet files, which at the 128 MB default become ONE input
         # partition — a 1-task scan on a 32-core executor. 4 MB keeps local
