@@ -1,0 +1,374 @@
+"""Round-7 LLM-pipeline operators: the serving/packing half of a training
+pipeline (q99-q103).
+
+After curation (dedup/quality/decontam, llm.py-llm4.py) a corpus still has
+to be SHAPED for training and inference: split into model-context chunks,
+packed into fixed-token-budget sequences, filtered against a domain
+blocklist, and batched by length. Each of these is a first-class operator
+here, exact-oracle-checked:
+
+- q99: sliding-window CHUNKING (size 32, stride 24) — the tokenizer
+  "return_overflowing_tokens" shape. Pure Catalyst: sequence+transform for
+  the window starts, slice for the chunk, md5 fingerprint per chunk.
+- q100: BOUNDARY PACKING — concatenate-then-split-at-capacity (docs may
+  straddle pack boundaries; GPT-style pretraining packing). One window
+  cumsum per source, a div, an aggregate.
+- q101: GREEDY FIRST-FIT PACKING — no-straddle variant (instruction-tuning
+  style: a doc never splits). Inherently a sequential fold per source, so
+  it runs as an Arrow-batched applyInPandas over (doc_id, n_tok) pairs —
+  the narrow frame, never the text — and the DuckDB oracle replays the
+  SAME fold as a recursive CTE, so even the stateful operator is
+  exact-gate-checked.
+- q102: DOMAIN BLOCKLIST FILTER — extract the first URL's domain, drop
+  docs whose domain is blocklisted via a broadcast ANTI-join (the shape
+  that scales: blocklists are small, the corpus is not). Synthetic corpus
+  carries no URLs, so docs with doc_id % 3 == 0 get one injected
+  deterministically (q86's PII-injection pattern, llm3.py:141).
+- q103: LENGTH-BUCKET BATCHING STATS — power-of-2 length buckets and the
+  padding waste per (source, bucket), the measure that motivates length
+  grouping in inference serving.
+
+Scale notes: q99/q103 are embarrassingly parallel over the scan (no
+shuffle before the final agg); q100/q101 shuffle once on source (each
+source packs independently — at 100 TB packing shards by source/shard-id
+exactly like this); q102's blocklist is broadcast, corpus never shuffles.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+# Sized to the synthetic corpus (10-99 tokens/doc, median 56) so outputs
+# are structurally interesting: ~2 chunks/doc, ~5 docs/pack.
+_CHUNK = 32
+_STRIDE = 24
+_PACK_CAP = 256
+
+_TOKS_CTE = r"""
+    toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS t,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM documents
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q99: sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q99_chunk_sliding",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    starts AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n > {_CHUNK} THEN (n - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+                  ELSE 0 END AS last_i
+      FROM toks WHERE n >= 1
+    ),
+    chunks AS (
+      SELECT doc_id, t, n, i AS chunk_id, 1 + i * {_STRIDE} AS start_tok
+      FROM starts, LATERAL unnest(range(0, last_i + 1)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK}, n - start_tok + 1) AS BIGINT) AS n_tok,
+           md5(array_to_string(t[start_tok : start_tok + {_CHUNK} - 1], ' ')) AS chunk_fp
+    FROM chunks
+    """,
+    tags=("text", "chunking", "llm"),
+)
+def q99_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size {_CHUNK}, stride {_STRIDE}): every doc
+    becomes overlapping token windows — the `return_overflowing_tokens`
+    shape every context-bounded trainer/embedder needs. The last window is
+    placed so coverage reaches the final token (it may be shorter than the
+    full chunk); windows overlap by chunk - stride tokens.
+
+    Scale: sequence+transform build the start offsets from the token count
+    alone, the lambda touches only its own variable (no HOF re-evaluation
+    trap, see functions/text.py), and chunk extraction is slice() on the
+    already-split array — one scan, no shuffle, linear in output size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    base = d.select(
+        "doc_id", t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") >= 1)
+    last_i = F.when(
+        F.col("n") > _CHUNK,
+        F.expr(f"(n - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE}"),
+    ).otherwise(F.lit(0))
+    starts = base.withColumn("last_i", last_i).select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("last_i"))).alias("chunk_i"),
+    ).select(
+        "doc_id",
+        "t",
+        "n",
+        F.col("chunk_i").cast("long").alias("chunk_id"),
+        (F.lit(1) + F.col("chunk_i") * _STRIDE).cast("long").alias("start_tok"),
+    )
+    return starts.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        F.least(F.lit(_CHUNK), F.col("n") - F.col("start_tok") + 1)
+        .cast("long")
+        .alias("n_tok"),
+        F.md5(
+            F.array_join(F.slice("t", F.col("start_tok").cast("int"), _CHUNK), " ")
+        ).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q100: boundary packing (docs straddle pack boundaries)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q100_pack_boundary",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    cum AS (
+      SELECT doc_id, source, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS first_tok
+      FROM toks
+    )
+    SELECT source, CAST(first_tok // {_PACK_CAP} AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY source, first_tok // {_PACK_CAP}
+    """,
+    tags=("packing", "window", "llm"),
+)
+def q100_pack_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-split packing (GPT-style pretraining): per source,
+    docs in doc_id order form one token stream cut every {_PACK_CAP}
+    tokens; a doc belongs to the pack where its FIRST token lands (docs
+    may straddle the cut — the trainer reads across). Output is the pack
+    manifest: doc/token counts and doc-id span per (source, pack).
+
+    Scale: one window cumsum per source partition + one aggregate on the
+    same key — a single shuffle, and the window state is one running sum.
+    Pack ids are deterministic (doc_id order), so shards can be rebuilt
+    independently and reproducibly."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    cum = d.select(
+        "doc_id", "source", TXT.token_count("text").alias("n")
+    ).withColumn("first_tok", F.sum("n").over(w) - F.col("n"))
+    return (
+        cum.groupBy(
+            "source",
+            F.expr(f"first_tok div {_PACK_CAP}").cast("long").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tok"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101: greedy first-fit packing (no doc ever splits)
+# ---------------------------------------------------------------------------
+
+
+def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The sequential first-fit fold, one pandas batch per source: docs in
+    doc_id order; a doc that would overflow the {_PACK_CAP}-token budget
+    opens the next pack (an oversize doc gets a pack of its own)."""
+    pdf = pdf.sort_values("doc_id")
+    packs, fill, cur = [], 0, 0
+    for n in pdf["n_tok"]:
+        if packs and fill + n > _PACK_CAP:
+            cur += 1
+            fill = 0
+        fill += n
+        packs.append(cur)
+    pdf = pdf.copy()
+    pdf["pack_id"] = pd.array(packs, dtype="int64")
+    return pdf
+
+
+@query(
+    "q101_pack_greedy",
+    oracle=f"""
+    WITH RECURSIVE {_TOKS_CTE},
+    ord AS (
+      SELECT doc_id, source, n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    packed AS (
+      SELECT source, doc_id, rn, n, CAST(0 AS BIGINT) AS pack_id, n AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.source, o.doc_id, o.rn, o.n,
+             CASE WHEN p.fill + o.n > {_PACK_CAP} THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.fill + o.n > {_PACK_CAP} THEN o.n
+                  ELSE p.fill + o.n END
+      FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1
+    )
+    SELECT source, doc_id, CAST(n AS BIGINT) AS n_tok, pack_id
+    FROM packed
+    """,
+    tags=("packing", "stateful", "llm"),
+)
+def q101_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-in-order packing (instruction-tuning style: a doc NEVER
+    splits across packs): walk each source's docs in doc_id order, close
+    the pack when the next doc would exceed {_PACK_CAP} tokens. Inherently
+    a sequential fold — no window expression computes it — so it runs as
+    applyInPandas over the (doc_id, n_tok) id frame (Arrow batch per
+    source; the text never leaves the JVM), and the oracle replays the
+    identical fold as a recursive CTE, making this stateful operator
+    exact-gate-checked rather than rows-only.
+
+    Scale: one shuffle on source; each group's state is two integers. At
+    100 TB packing shards by (source, shard) exactly like this — the fold
+    is linear and the frame entering Python is two ints per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    narrow = d.select(
+        "source", "doc_id", TXT.token_count("text").cast("long").alias("n_tok")
+    )
+    return narrow.groupBy("source").applyInPandas(
+        _greedy_pack, schema="source string, doc_id long, n_tok long, pack_id long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102: domain blocklist filter
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"http://([a-z0-9.-]+)/"
+_BLOCKLIST = ("site1.example", "site4.example")
+
+
+@query(
+    "q102_domain_filter",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/page' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, source,
+             coalesce(regexp_extract(text, '{_URL_RE}', 1), '') AS domain
+      FROM injected
+    )
+    SELECT doc_id, source, domain
+    FROM tagged
+    WHERE domain NOT IN ('site1.example', 'site4.example')
+    """,
+    tags=("filter", "anti-join", "llm"),
+)
+def q102_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist filtering: extract each doc's first URL domain and
+    drop docs from blocklisted domains — the standard provenance filter in
+    web-corpus curation. The synthetic corpus has no URLs, so docs with
+    doc_id % 3 == 0 get one injected deterministically (same expression
+    both engines — q86's injection pattern); docs without a URL pass
+    trivially (domain = '').
+
+    Scale: the blocklist is a broadcast ANTI-join — the corpus never
+    shuffles, the blocklist rides the task closure; regexp extraction is
+    whole-stage codegen. A 10M-domain production blocklist still
+    broadcasts at ~100 MB of hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/page"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    tagged = d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract(injected, _URL_RE, 1).alias("domain"),
+    )
+    block = F.broadcast(
+        tagged.sparkSession.createDataFrame(
+            [(b,) for b in _BLOCKLIST], "blocked string"
+        )
+    )
+    return tagged.join(
+        block, tagged["domain"] == block["blocked"], "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103: length-bucket batching stats
+# ---------------------------------------------------------------------------
+
+_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_case_sql(col: str) -> str:
+    arms = " ".join(f"WHEN {col} <= {b} THEN {b}" for b in _BUCKETS)
+    return f"CASE {arms} ELSE {_BUCKETS[-1]} END"
+
+
+@query(
+    "q103_length_buckets",
+    oracle=f"""
+    WITH {_TOKS_CTE}
+    SELECT source, CAST({_bucket_case_sql("n")} AS BIGINT) AS bucket,
+           count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tok,
+           CAST({_bucket_case_sql("n")} * count(*) - sum(n) AS BIGINT) AS pad_waste
+    FROM toks
+    GROUP BY source, {_bucket_case_sql("n")}
+    """,
+    tags=("agg", "serving", "llm"),
+)
+def q103_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats: docs binned to the next power-of-2
+    token length, with the padding waste (bucket - actual, summed) a
+    same-bucket batcher would pad — the number that justifies length
+    grouping in inference serving. Integer CASE laddering, not
+    float log2: exact on both engines at bucket boundaries.
+
+    Scale: one scan, partial agg map-side, one exchange on the tiny
+    (source, bucket) key space."""
+    d = load_table(spark, sf_dir, "documents")
+    n = TXT.token_count("text")
+    bucket = F.expr(_bucket_case_sql("n")).cast("long")
+    return (
+        d.select("source", n.alias("n"))
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tok"),
+        )
+        .withColumn(
+            "pad_waste",
+            (F.col("bucket") * F.col("n_docs") - F.col("n_tok")).cast("long"),
+        )
+    )

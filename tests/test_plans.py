@@ -170,3 +170,30 @@ def test_q53_simhash_candidate_join_is_banded_equi(spark):
     plan = _plan(spark, "q53_simhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin [band" in plan
+
+
+def test_q99_chunking_has_no_shuffle(spark):
+    """Sliding-window chunking is row-local (explode + slice over the
+    scan): one Exchange would mean the planner regressed it."""
+    plan = _plan(spark, "q99_chunk_sliding")
+    assert "Exchange" not in plan
+
+
+def test_q102_blocklist_is_broadcast_anti_join(spark):
+    """The corpus must NEVER shuffle for a blocklist: the filter plans as
+    a broadcast left-anti hash join."""
+    plan = _plan(spark, "q102_domain_filter")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_q101_greedy_pack_shuffles_narrow_frame_only(spark):
+    """The sequential fold runs in Arrow batches per source; only the
+    (source, doc_id, n_tok) id frame may ride the groupBy shuffle — the
+    text column stays behind in the scan stage."""
+    import re
+
+    plan = _plan(spark, "q101_pack_greedy")
+    assert "FlatMapGroupsInPandas" in plan
+    for cols in re.findall(r"Exchange hashpartitioning\([^)]*\), [A-Z_]+", plan):
+        assert "text" not in cols

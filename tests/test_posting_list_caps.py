@@ -113,3 +113,28 @@ def test_minhash_band_cap_inert_below_threshold(spark):
     uncapped = sorted(map(tuple, minhash_lsh_pairs(df, cap=10**9).collect()))
     assert capped == uncapped
     assert len(capped) >= 10 * 9 // 2
+
+
+# --- q101 greedy packing fold edges (same r7 batch) ------------------------
+
+
+def test_greedy_pack_fold_edges():
+    """Driver-side check of the pandas fold: oversize doc gets its own
+    pack; exact-fit closes the pack; order is doc_id, not input order."""
+    import pandas as pd
+
+    from csv_loader_spark.queries.llm5 import _PACK_CAP, _greedy_pack
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * 5,
+            "doc_id": [3, 1, 2, 4, 5],
+            "n_tok": [50, 200, _PACK_CAP, _PACK_CAP + 10, 6],
+        }
+    )
+    out = _greedy_pack(pdf).sort_values("doc_id")
+    # fold in doc_id order (cap 256): doc1(200)→pack0; doc2(256) overflows
+    # →pack1 (exact-fit fills it); doc3(50) overflows→pack2; doc4(266,
+    # oversize) overflows→pack3 alone; doc5(6) overflows→pack4
+    assert list(out["pack_id"]) == [0, 1, 2, 3, 4]
+    assert out["pack_id"].dtype == "int64"
