@@ -325,6 +325,55 @@ def q102_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q104: incremental-ingest dedup (batch twin of the stream-static path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_ingest_dedup",
+    oracle=r"""
+    WITH fps AS (
+      SELECT doc_id, source,
+             md5(array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')) AS fp
+      FROM documents
+    ),
+    index_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    arrivals AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+    novel AS (
+      SELECT doc_id, source, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM arrivals
+      WHERE fp NOT IN (SELECT fp FROM index_fps)
+    )
+    SELECT doc_id, source, fp FROM novel WHERE rn = 1
+    """,
+    tags=("dedup", "incremental", "llm"),
+)
+def q104_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: even doc_ids play the ACCEPTED corpus
+    (reduced to its fingerprint index), odd doc_ids play the arriving
+    batch; only arrivals whose content is absent from the index — and not
+    a duplicate of an earlier arrival — land. This is the batch twin of
+    the stream-static path (streaming/ingest_dedup.py): the SAME
+    novel_documents() serves both modes, and the streaming test asserts
+    the stream lands exactly this answer.
+
+    Scale: the index probe is an anti-join on the fingerprint — the index
+    frame is one hashed column, so at 10^10 accepted docs it is an
+    id-table shuffle (or a bucketed/broadcast probe), never a corpus
+    rescan; the within-batch dedup is the q28 groupBy shape."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        fingerprint_index,
+        novel_documents,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    index = fingerprint_index(d.filter(F.col("doc_id") % 2 == 0))
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    return novel_documents(arrivals, index).select("doc_id", "source", "fp")
+
+
+# ---------------------------------------------------------------------------
 # q103: length-bucket batching stats
 # ---------------------------------------------------------------------------
 
