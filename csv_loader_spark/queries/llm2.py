@@ -43,6 +43,13 @@ def _hash16_sql(tok: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _hash16_spark_sql(tok: str) -> str:
+    """Spark-side twin of :func:`_hash16_sql` — the same value via one
+    ``conv()`` call (no DuckDB twin, so the oracle keeps the instr form;
+    see llm3._hash32_spark_sql for the measured 2x on the wider hash)."""
+    return f"CAST(conv(substr(md5({tok}), 1, 4), 16, 10) AS INT)"
+
+
 def _simhash_sigs_sql() -> str:
     """Per-doc 16-bit SimHash from distinct tokens: bit i of the fingerprint
     is set iff sum over tokens of ±1 (bit i of hash16(token)) is >= 0."""
@@ -103,7 +110,7 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
         ).alias("tok"),
     )
-    h = F.expr(_hash16_sql("tok")).alias("h")
+    h = F.expr(_hash16_spark_sql("tok")).alias("h")
     hashed = toks.select("doc_id", h)
     scores = hashed.groupBy("doc_id").agg(
         *[
@@ -478,7 +485,7 @@ def q66_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling is none of those. Portable across engines (oracle runs the
     identical arithmetic)."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_hash16_sql("CAST(doc_id AS STRING)")).alias("bucket")
+    bucket = F.expr(_hash16_spark_sql("CAST(doc_id AS STRING)")).alias("bucket")
     b = d.select("doc_id", bucket)
     split = (
         F.when(F.col("bucket") < 52429, F.lit("train"))

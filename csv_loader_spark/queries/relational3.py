@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 
 from csv_loader_spark.io.tables import load_table, register_views
 from csv_loader_spark.ops.skew import salted_join
+from csv_loader_spark.queries.llm2 import _hash16_spark_sql
 from csv_loader_spark.queries.llm2 import _hash16_sql as _hash16
 from csv_loader_spark.queries.registry import query
 
@@ -628,7 +629,7 @@ def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     downsampling/upweighting for training-mix control, reproducible across
     engines and re-partitioning."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(_hash16("CAST(doc_id AS STRING)"))
+    bucket = F.expr(_hash16_spark_sql("CAST(doc_id AS STRING)"))
     rate = (
         F.when(F.col("lang") == "en", 6554)
         .when(F.col("lang") == "fr", 16384)
