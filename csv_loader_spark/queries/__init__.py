@@ -10,6 +10,7 @@ from csv_loader_spark.queries.registry import all_oracles, all_queries, get
 from csv_loader_spark.queries import relational  # noqa: E402,F401
 from csv_loader_spark.queries import relational2  # noqa: E402,F401
 from csv_loader_spark.queries import relational3  # noqa: E402,F401
+from csv_loader_spark.queries import relational4  # noqa: E402,F401
 from csv_loader_spark.queries import llm  # noqa: E402,F401
 from csv_loader_spark.queries import llm2  # noqa: E402,F401
 from csv_loader_spark.queries import llm3  # noqa: E402,F401

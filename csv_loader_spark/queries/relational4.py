@@ -1,0 +1,169 @@
+"""Relational operator library, part 4 (r7): warehouse-maintenance shapes —
+CDC upsert/merge and SCD type-2 history building.
+
+A 100 TB corpus is not static: dimension snapshots take change feeds
+(inserts/updates/deletes) and slowly-changing attributes need validity
+intervals. Storage-side MERGE INTO belongs to the table format
+(Delta/Iceberg); the ENGINE-side shape both of them execute underneath is
+what these queries implement and oracle-check:
+
+- q105: apply a changeset to a snapshot — full-outer join on the key,
+  change wins, deletes drop. One shuffle on the merge key (the changeset
+  would broadcast when small, but full-outer cannot broadcast — the
+  shuffle-on-key plan IS the general merge plan).
+- q106: collapse an event stream into SCD2 validity intervals — detect
+  value changes with lag(), close each version with lead(). Two window
+  passes over the same (user_id, ts) sort, one shuffle total.
+
+Both changesets are synthesized deterministically from the base tables
+(q86's injection pattern) so the oracle runs the identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+
+@query(
+    "q105_cdc_upsert",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    changes AS (
+      SELECT o_orderkey, o_totalprice + 100 AS price, 'U' AS op
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice * 2, 'I'
+      FROM orders WHERE o_orderkey % 1000 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           coalesce(c.price, b.o_totalprice) AS o_totalprice,
+           coalesce(c.op, 'K') AS src
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE coalesce(c.op, 'K') <> 'D'
+    """,
+    tags=("join", "cdc", "merge"),
+)
+def q105_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert: apply a deterministic changeset (updates to every 10th
+    key, inserts keyed past the snapshot range, deletes of every
+    key = 5 mod 10) to the orders snapshot. Change rows win, deletes drop,
+    untouched rows pass through tagged 'K' — the full post-merge table is
+    the output, so the gate proves inserts landed, updates overrode,
+    deletes vanished AND nothing else moved. Arithmetic (+100, *2) is
+    exact on binary doubles — no rounding needed, both engines bit-agree.
+
+    Scale: the engine shape under every MERGE INTO — a full-outer
+    shuffle join on the merge key. Deletes ride the changeset as op
+    markers, so one pass applies all three verbs; at the table-format
+    layer the same plan writes per-file copy-on-write or merge-on-read."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_totalprice")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 100).alias("price"),
+            F.lit("U").alias("op"),
+        )
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_totalprice") * 2).alias("price"),
+            F.lit("I").alias("op"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 10 == 5)
+        .select(
+            "o_orderkey",
+            F.lit(None).cast("double").alias("price"),
+            F.lit("D").alias("op"),
+        )
+    )
+    changes = updates.unionAll(inserts).unionAll(deletes)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("c.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("c.price"), F.col("b.o_totalprice")).alias("o_totalprice"),
+        F.coalesce(F.col("c.op"), F.lit("K")).alias("src"),
+    ).filter(F.col("src") != "D")
+
+
+@query(
+    "q106_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type AS attr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts, attr
+      FROM ordered WHERE prev IS NULL OR attr <> prev
+    ),
+    versions AS (
+      SELECT user_id, event_id, ts AS valid_from, attr,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes
+    )
+    SELECT user_id, event_id,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'CURRENT')
+             AS valid_to,
+           attr
+    FROM versions
+    """,
+    tags=("window", "scd2", "cdc"),
+)
+def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history: collapse each user's event stream into validity
+    intervals over the tracked attribute (event_type — low cardinality,
+    so consecutive-equal RUNS genuinely collapse) — a new version opens
+    where the attribute changes (lag detection), and closes when the next
+    version opens (lead; the live version reads 'CURRENT'). The
+    (ts, event_id) compound order makes ties deterministic.
+
+    Scale: two window functions over the same (user_id, ts) sort — one
+    shuffle on user_id, state = one row lookback/lookahead per partition.
+    This is the dimension-history builder every warehouse runs; the
+    output is directly joinable as-of (q24's shape) by validity range."""
+    e = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = W.partitionBy("user_id").orderBy(*order)
+    ordered = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_type").alias("attr"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    changes = ordered.filter(
+        F.col("prev").isNull() | (F.col("attr") != F.col("prev"))
+    ).drop("prev")
+    versions = changes.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        "attr",
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return versions.select(
+        "user_id",
+        "event_id",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", fmt), F.lit("CURRENT")).alias("valid_to"),
+        "attr",
+    )
