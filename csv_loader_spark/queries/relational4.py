@@ -167,3 +167,143 @@ def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.date_format("valid_to", fmt), F.lit("CURRENT")).alias("valid_to"),
         "attr",
     )
+
+
+@query(
+    "q107_quality_report",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           count(*) FILTER (WHERE o_custkey IS NULL) AS n_violations,
+           count(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey', count(*) - count(DISTINCT o_orderkey), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           count(*) FILTER (WHERE o_totalprice <= 0), count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           count(*) FILTER (WHERE l_quantity <= 0), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_ts_in_range',
+           count(*) FILTER (WHERE ts < TIMESTAMP '1990-01-01'
+                               OR ts >= TIMESTAMP '2031-01-01'), count(*)
+    FROM events
+    """,
+    tags=("agg", "quality", "audit"),
+)
+def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report (the deequ/dbt-test shape): null,
+    uniqueness, range, date-ordering and referential-integrity checks as
+    one (check_name, n_violations, n_rows) table — the audit a pipeline
+    runs before promoting a batch.
+
+    Scale: row-local checks compute as conditional aggregates in ONE pass
+    per table (no per-check rescans); each FK check is a left-anti join
+    aggregated to a count (broadcast when the parent side is a dim).
+    Everything lands in a handful of one-row frames unioned driver-side —
+    output size is the number of CHECKS, not data."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+
+    def one(name, frame, violations, total):
+        return frame.agg(
+            violations.cast("long").alias("n_violations"),
+            total.cast("long").alias("n_rows"),
+        ).select(F.lit(name).alias("check_name"), "n_violations", "n_rows")
+
+    cnt = F.count(F.lit(1))
+    rows = [
+        one(
+            "orders_null_custkey",
+            o,
+            F.count(F.when(F.col("o_custkey").isNull(), 1)),
+            cnt,
+        ),
+        one(
+            "orders_dup_orderkey",
+            o,
+            cnt - F.countDistinct("o_orderkey"),
+            cnt,
+        ),
+        one(
+            "orders_nonpositive_price",
+            o,
+            F.count(F.when(F.col("o_totalprice") <= 0, 1)),
+            cnt,
+        ),
+    ]
+
+    def fk(name, child, child_key, parent, parent_key, broadcast_parent):
+        parent_side = parent.select(F.col(parent_key).alias("_pk")).distinct()
+        if broadcast_parent:
+            parent_side = F.broadcast(parent_side)
+        orphans = child.join(
+            parent_side, child[child_key] == F.col("_pk"), "left_anti"
+        ).agg(cnt.cast("long").alias("n_violations"))
+        total = child.agg(cnt.cast("long").alias("n_rows"))
+        return orphans.crossJoin(total).select(
+            F.lit(name).alias("check_name"), "n_violations", "n_rows"
+        )
+
+    rows.append(fk("orders_fk_customer", o, "o_custkey", c, "c_custkey", True))
+    rows.append(fk("lineitem_fk_orders", li, "l_orderkey", o, "o_orderkey", False))
+    rows.append(
+        one(
+            "lineitem_nonpositive_qty",
+            li,
+            F.count(F.when(F.col("l_quantity") <= 0, 1)),
+            cnt,
+        )
+    )
+    rows.append(
+        one(
+            "lineitem_discount_range",
+            li,
+            F.count(
+                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            ),
+            cnt,
+        )
+    )
+    rows.append(
+        one(
+            "events_ts_in_range",
+            e,
+            F.count(
+                F.when(
+                    (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+                    | (F.col("ts") >= F.lit("2031-01-01").cast("timestamp")),
+                    1,
+                )
+            ),
+            cnt,
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
