@@ -202,7 +202,9 @@ _CAND_CACHE: dict[
 _LOG = logging.getLogger(__name__)
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Candidate pairs for the embeddings table, plus the normalized-vector
     frame to verify them against. On each index (re)build, logs the
     hot-bucket guard stats — a WARNING when the cap evicted anything, so

@@ -197,3 +197,28 @@ def test_q101_greedy_pack_shuffles_narrow_frame_only(spark):
     assert "FlatMapGroupsInPandas" in plan
     for cols in re.findall(r"Exchange hashpartitioning\([^)]*\), [A-Z_]+", plan):
         assert "text" not in cols
+
+
+def test_q105_merge_is_single_key_shuffle(spark):
+    """CDC upsert must plan as the shuffle full-outer join on the merge
+    key — a nested-loop/cartesian here would be the quadratic regression."""
+    plan = _plan(spark, "q105_cdc_upsert")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q106_scd2_single_shuffle(spark):
+    """Both window passes (lag change-detect, lead version-close) must
+    ride ONE user_id exchange — the sort satisfies both."""
+    import re
+
+    plan = _plan(spark, "q106_scd2_intervals")
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert exchanges == ["user_id"]
+
+
+def test_q107_fk_checks_are_anti_joins(spark):
+    plan = _plan(spark, "q107_quality_report")
+    assert plan.count("LeftAnti") == 2
+    assert "CartesianProduct" not in plan
