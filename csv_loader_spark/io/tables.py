@@ -45,18 +45,26 @@ _TABLE_CACHE: dict[
 
 
 def file_fingerprint(path: str) -> tuple[int, int] | None:
-    """(newest mtime_ns, total size) of a file or one directory level —
-    cheap identity for 'did the data under this path change'. None when
-    the path is missing (the subsequent read raises the real error)."""
+    """(newest mtime_ns, total size) over a file or a directory tree —
+    cheap identity for 'did the data under this path change'. Recurses the
+    whole tree: a partitioned table (name.parquet/date=X/part-0.parquet)
+    rewritten IN PLACE changes neither the top directory's stat nor its
+    subdirs' sizes, only the leaf files' — one-level scanning would serve
+    the stale cache for exactly the incident class this exists to close.
+    Cost is one stat per file, paid per load_table call; trivial next to
+    the footer read the cache saves. None when the path is missing (the
+    subsequent read raises the real error)."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_mtime_ns, st.st_size)
         newest, total = st.st_mtime_ns, 0
-        for e in os.scandir(path):
-            s = e.stat()
-            newest = max(newest, s.st_mtime_ns)
-            total += s.st_size
+        for dirpath, _dirnames, filenames in os.walk(path):
+            newest = max(newest, os.stat(dirpath).st_mtime_ns)
+            for fn in filenames:
+                s = os.stat(os.path.join(dirpath, fn))
+                newest = max(newest, s.st_mtime_ns)
+                total += s.st_size
         return (newest, total)
     except OSError:
         return None

@@ -36,7 +36,11 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     prev_sum = None
-    for _ in range(max_iterations):
+    # max_iterations bounds PROPAGATION rounds; convergence is detected by
+    # sum-equality, which needs one extra confirming round after the last
+    # change — hence the +1, so a graph converging in exactly
+    # max_iterations rounds passes instead of raising spuriously.
+    for _ in range(max_iterations + 1):
         neighbor_min = (
             labels.join(both, labels["node"] == both["b"])
             .groupBy(F.col("a").alias("node"))

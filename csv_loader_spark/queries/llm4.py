@@ -140,13 +140,11 @@ def _tagged_rn(n: DataFrame) -> DataFrame:
     )
 
 
-def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
-    """Distinct (vec_a < vec_b) pairs sharing >=1 LSH table bucket, from a
-    normalized frame ``(vec_id, v, nrm)``. Each bucket is capped at ``cap``
-    members (first by vec_id — deterministic) before the self-join, so a
-    degenerate corpus bounds at C(cap, 2) pairs per bucket instead of
-    going quadratic (see _HOT_BUCKET_CAP)."""
-    kept = _tagged_rn(n).filter(F.col("rn") <= cap).drop("rn")
+def _candidates_from_rn(rnf: DataFrame, cap: int) -> DataFrame:
+    """The capped self-join over an already-tagged (vec_id, bucket, rn)
+    frame — split out so the cache-fill path can feed a PERSISTED tagging
+    pass to both this and the guard stats (one signature pass, not two)."""
+    kept = rnf.filter(F.col("rn") <= cap).drop("rn")
     a = kept.select(F.col("vec_id").alias("vec_a"), "bucket")
     b = kept.select(F.col("vec_id").alias("vec_b"), "bucket")
     return (
@@ -157,32 +155,43 @@ def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
     )
 
 
-def hot_bucket_guard_stats(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> dict:
-    """One ids-only aggregate reporting whether (and how hard) the
-    hot-bucket cap binds: a dedup query that silently drops true duplicate
-    pairs past the cap needs its recall loss OBSERVABLE, not just
-    documented. max_bucket = largest (table, bucket) population,
-    n_evicted = member rows the cap removed, n_buckets_over = buckets
-    affected. Runs as its own small job (the rn frame feeds both sides of
-    the candidate self-join, so piggybacking an Observation on it would
-    double-fire); _lsh_candidates calls it once per index build."""
-    row = (
-        _tagged_rn(n)
-        .agg(
-            F.max("rn").alias("max_bucket"),
-            F.sum((F.col("rn") > cap).cast("long")).alias("n_evicted"),
-            F.count_distinct(
-                F.when(F.col("rn") > cap, F.col("bucket"))
-            ).alias("n_buckets_over"),
-        )
-        .first()
-    )
+def _candidates_from(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs sharing >=1 LSH table bucket, from a
+    normalized frame ``(vec_id, v, nrm)``. Each bucket is capped at ``cap``
+    members (first by vec_id — deterministic) before the self-join, so a
+    degenerate corpus bounds at C(cap, 2) pairs per bucket instead of
+    going quadratic (see _HOT_BUCKET_CAP)."""
+    return _candidates_from_rn(_tagged_rn(n), cap)
+
+
+def _guard_stats_from_rn(rnf: DataFrame, cap: int) -> dict:
+    row = rnf.agg(
+        F.max("rn").alias("max_bucket"),
+        F.sum((F.col("rn") > cap).cast("long")).alias("n_evicted"),
+        F.count_distinct(
+            F.when(F.col("rn") > cap, F.col("bucket"))
+        ).alias("n_buckets_over"),
+    ).first()
     return {
         "cap": cap,
         "max_bucket": row["max_bucket"] or 0,
         "n_evicted": row["n_evicted"] or 0,
         "n_buckets_over": row["n_buckets_over"] or 0,
     }
+
+
+def hot_bucket_guard_stats(n: DataFrame, cap: int = _HOT_BUCKET_CAP) -> dict:
+    """One ids-only aggregate reporting whether (and how hard) the
+    hot-bucket cap binds: a dedup query that silently drops true duplicate
+    pairs past the cap needs its recall loss OBSERVABLE, not just
+    documented. max_bucket = largest (table, bucket) population,
+    n_evicted = member rows the cap removed, n_buckets_over = buckets
+    affected. On-demand diagnostic form — runs its own tagging pass; the
+    cache-fill path in _lsh_candidates instead persists the tagging frame
+    and derives BOTH the stats and the candidate join from it, so the
+    96-signature pass runs once per index build (an Observation on the
+    shared frame would double-fire: it feeds both self-join sides)."""
+    return _guard_stats_from_rn(_tagged_rn(n), cap)
 
 
 # Candidate-pair cache, keyed like io.tables._TABLE_CACHE (live session
@@ -224,9 +233,19 @@ def _lsh_candidates(
         return hit[1], n
     if hit is not None:
         hit[1].unpersist()  # stale pairs for dead bytes — drop, rebuild
-    cand = _candidates_from(n).persist()
+    # ONE signature/tagging pass per index build: persist the narrow
+    # (vec_id, bucket, rn) frame, read the guard stats off it (this also
+    # materializes it), build + materialize the candidate pairs from the
+    # cached copy, then free it — cand's lineage still contains the full
+    # plan, so later recomputes (cache eviction) remain correct.
+    rnf = _tagged_rn(n).persist()
+    try:
+        stats = _guard_stats_from_rn(rnf, _HOT_BUCKET_CAP)
+        cand = _candidates_from_rn(rnf, _HOT_BUCKET_CAP).persist()
+        cand.count()
+    finally:
+        rnf.unpersist()
     _CAND_CACHE[key] = (fp, cand)
-    stats = hot_bucket_guard_stats(n)
     if stats["n_evicted"]:
         _LOG.warning(
             "q97 hot-bucket cap bound: %(n_evicted)d members evicted from "

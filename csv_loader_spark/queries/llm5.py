@@ -260,7 +260,11 @@ def q101_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q102: domain blocklist filter
 # ---------------------------------------------------------------------------
 
-_URL_RE = r"http://([a-z0-9.-]+)/"
+# Case-insensitive scheme + domain, no trailing-slash requirement: a
+# blocklist filter that misses 'https://SITE1.example' (no path) is a
+# provenance filter with a hole. Extracted domains are lowercased before
+# the blocklist comparison. (?i) works identically in Java regex and RE2.
+_URL_RE = r"(?i)https?://([a-z0-9.-]+)"
 _BLOCKLIST = ("site1.example", "site4.example")
 
 
@@ -270,14 +274,20 @@ _BLOCKLIST = ("site1.example", "site4.example")
     WITH injected AS (
       SELECT doc_id, source,
              CASE WHEN doc_id % 3 = 0
-                  THEN text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
-                       || '.example/page' || CAST(doc_id AS VARCHAR)
+                  THEN text || ' see '
+                       || CASE WHEN doc_id % 2 = 0 THEN 'https://SITE'
+                               ELSE 'http://site' END
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE'
+                               ELSE '.example/page' || CAST(doc_id AS VARCHAR)
+                          END
                   ELSE text END AS text
       FROM documents
     ),
     tagged AS (
       SELECT doc_id, source,
-             coalesce(regexp_extract(text, '{_URL_RE}', 1), '') AS domain
+             lower(coalesce(regexp_extract(text, '{_URL_RE}', 1), ''))
+               AS domain
       FROM injected
     )
     SELECT doc_id, source, domain
@@ -287,11 +297,13 @@ _BLOCKLIST = ("site1.example", "site4.example")
     tags=("filter", "anti-join", "llm"),
 )
 def q102_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain blocklist filtering: extract each doc's first URL domain and
-    drop docs from blocklisted domains — the standard provenance filter in
+    """Domain blocklist filtering: extract each doc's first URL domain
+    (either scheme, any case, path optional), lowercase it, and drop docs
+    from blocklisted domains — the standard provenance filter in
     web-corpus curation. The synthetic corpus has no URLs, so docs with
-    doc_id % 3 == 0 get one injected deterministically (same expression
-    both engines — q86's injection pattern); docs without a URL pass
+    doc_id % 3 == 0 get one injected deterministically (q86's injection
+    pattern), alternating https+UPPERCASE+no-path with http+lowercase+path
+    so the gate exercises the normalization; docs without a URL pass
     trivially (domain = '').
 
     Scale: the blocklist is a broadcast ANTI-join — the corpus never
@@ -303,16 +315,20 @@ def q102_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0,
         F.concat(
             F.col("text"),
-            F.lit(" see http://site"),
+            F.lit(" see "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://SITE")).otherwise(
+                F.lit("http://site")
+            ),
             (F.col("doc_id") % 7).cast("string"),
-            F.lit(".example/page"),
-            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE")).otherwise(
+                F.concat(F.lit(".example/page"), F.col("doc_id").cast("string"))
+            ),
         ),
     ).otherwise(F.col("text"))
     tagged = d.select(
         "doc_id",
         "source",
-        F.regexp_extract(injected, _URL_RE, 1).alias("domain"),
+        F.lower(F.regexp_extract(injected, _URL_RE, 1)).alias("domain"),
     )
     block = F.broadcast(
         tagged.sparkSession.createDataFrame(
@@ -381,8 +397,12 @@ _BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
 
 def _bucket_case_sql(col: str) -> str:
+    # Past the top bucket a doc becomes its own exact-size "bucket"
+    # (ELSE col, not ELSE top): clamping into the top bucket would make
+    # pad_waste NEGATIVE for over-length docs — you cannot pad down; such
+    # docs get truncated or split, and a waste metric must not hide them.
     arms = " ".join(f"WHEN {col} <= {b} THEN {b}" for b in _BUCKETS)
-    return f"CASE {arms} ELSE {_BUCKETS[-1]} END"
+    return f"CASE {arms} ELSE {col} END"
 
 
 @query(

@@ -82,8 +82,14 @@ def put_records_with_retry(
     pending = chunk
     attempt = 0
     while True:
+        # Only the network call is retried-on-exception: a malformed
+        # RESPONSE (missing keys, wrong shapes) is a contract/programming
+        # error and must raise, not spin forever as a fake transport error.
         try:
             resp = client.put_records(StreamName=stream_name, Records=pending)
+        except Exception as e:  # transport error: retry whole pending set
+            print(f"kinesis: transport error {e!r}, retrying", file=sys.stderr)
+        else:
             if not resp.get("FailedRecordCount", 0):
                 return attempt + 1
             results = resp["Records"]
@@ -92,6 +98,15 @@ def put_records_with_retry(
                 for entry, res in zip(pending, results)
                 if res.get("ErrorCode")
             ]
+            if not failed:
+                # FailedRecordCount > 0 but no per-record ErrorCode: a
+                # contract violation — retrying would re-put an empty (or
+                # the wrong) set forever.
+                raise RuntimeError(
+                    "kinesis: FailedRecordCount="
+                    f"{resp['FailedRecordCount']} but no record carries an "
+                    "ErrorCode — malformed PutRecords response"
+                )
             codes = {r["ErrorCode"] for r in results if r.get("ErrorCode")}
             print(
                 f"kinesis: {len(failed)}/{len(pending)} records failed "
@@ -99,8 +114,6 @@ def put_records_with_retry(
                 file=sys.stderr,
             )
             pending = failed
-        except Exception as e:  # transport error: retry whole pending set
-            print(f"kinesis: transport error {e!r}, retrying", file=sys.stderr)
         attempt += 1
         if max_retries is not None and attempt > max_retries:
             raise RuntimeError(

@@ -40,3 +40,14 @@ def test_nonconvergence_raises_loudly_on_path_graph(spark):
     # with room to converge the same graph is one component rooted at 0
     ok = connected_components(path, "src", "dst", max_iterations=40)
     assert ok.agg({"component": "max"}).collect()[0][0] == 0
+
+
+def test_exact_bound_convergence_does_not_raise(spark):
+    """A graph converging in exactly max_iterations propagation rounds
+    must succeed: the sum-equality check needs one confirming round, which
+    must not count against the bound (r7 review fix)."""
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    ok = connected_components(path, "src", "dst", max_iterations=10)
+    assert ok.agg({"component": "max"}).collect()[0][0] == 0

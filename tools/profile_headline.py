@@ -23,10 +23,28 @@ QUERIES = ("q01_pricing_summary", "q03_topn_revenue", "q05_nation_volume")
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("profile")
-    for kv in sys.argv[1:]:
-        k, v = kv.split("=", 1)
+    overrides = dict(kv.split("=", 1) for kv in sys.argv[1:])
+    for k, v in overrides.items():
         spark.conf.set(k, v)
         print(f"# conf {k}={v}", file=sys.stderr)
+    if overrides:
+        # load_table calls tune_session on EVERY query invocation, which
+        # re-pins adaptive.enabled / timeZone / the parquet confs — without
+        # this wrap, an override of any pinned key would be silently undone
+        # and the tool would report numbers for a config it didn't run.
+        import csv_loader_spark.io.tables as tables_mod
+        import csv_loader_spark.session as session_mod
+
+        original = session_mod.tune_session
+
+        def tuned_with_overrides(s):
+            original(s)
+            for k, v in overrides.items():
+                s.conf.set(k, v)
+            return s
+
+        session_mod.tune_session = tuned_with_overrides
+        tables_mod.tune_session = tuned_with_overrides
     specs = all_specs()
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
