@@ -67,8 +67,9 @@ def connected_components(
         # MERGE-UNDERCOUNT components, which for a dedup pipeline means
         # keeping duplicates. Fail loudly instead.
         raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations — the graph's diameter exceeds the bound (a "
+            f"connected_components still changing after {max_iterations + 1} "
+            f"propagation rounds (bound max_iterations={max_iterations} + 1 "
+            "confirming round) — the graph's diameter exceeds the bound (a "
             "long-chain structure, not a near-dup cluster shape); raise "
             "max_iterations or pre-contract the chains"
         )

@@ -450,11 +450,25 @@ def q103_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _topk_idx(sims, ids, k):
+    """Indices of the top-k under the SAME comparator as the global Spark
+    window: sim DESC with NaN FIRST (Spark/DuckDB treat NaN as the largest
+    double — a zero-norm vector's 0/0 sim must survive the prefilter, or
+    q108 would diverge from q35 exactly on degenerate rows), tiebreak
+    neighbor_id ASC. np.lexsort alone sorts NaN last, hence the +inf map."""
+    import numpy as np
+
+    key = np.where(np.isnan(sims), np.inf, sims)
+    return np.lexsort((ids, -key))[:k]
+
+
 def _knn_arrow_batches(qids, QM, qn, k):
     """mapInPandas generator factory: per Arrow batch, compute the
-    query x batch cosine matrix in numpy and emit each query's batch-local
-    top-k — the bounded-heap partial q35's docstring prescribes for real
-    scale. The per-dimension accumulation loop reproduces the JVM
+    query x batch cosine matrix in numpy, fold each query's top-k into a
+    running PER-PARTITION best set, and emit once per partition — the
+    bounded-heap partial q35's docstring prescribes for real scale (per-
+    batch emission would multiply the window input by batches-per-
+    partition). The per-dimension accumulation loop reproduces the JVM
     aggregate's LEFT-TO-RIGHT float order exactly (a BLAS matmul
     reassociates and could flip a 4dp rounding boundary or a near-tie
     rank), so the output bit-matches q35 and shares its oracle."""
@@ -465,6 +479,9 @@ def _knn_arrow_batches(qids, QM, qn, k):
     def gen(batches):
         import pandas as pd
 
+        # running per-query best: parallel arrays, <= k rows per query
+        best_n = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_s = [np.empty(0, dtype=np.float64) for _ in qids]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -475,22 +492,20 @@ def _knn_arrow_batches(qids, QM, qn, k):
             for j in range(dim):  # sequential over dims == JVM fold order
                 sims += QM[:, j : j + 1] * X[:, j][None, :]
                 xn += X[:, j] * X[:, j]
-            sims = sims / (qn[:, None] * np.sqrt(xn)[None, :])
-            out_q, out_n, out_s = [], [], []
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = sims / (qn[:, None] * np.sqrt(xn)[None, :])
             for qi in range(len(qids)):
-                s = sims[qi]
                 cand = np.flatnonzero(ids != qids[qi])
-                # primary sim desc, tiebreak neighbor_id asc — the SAME
-                # comparator as the global window, so batch-local top-k is
-                # a superset-safe prefilter of the global top-k
-                order = np.lexsort((ids[cand], -s[cand]))[:k]
-                sel = cand[order]
-                out_q.extend([qids[qi]] * len(sel))
-                out_n.extend(ids[sel].tolist())
-                out_s.extend(s[sel].tolist())
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
-            )
+                merged_n = np.concatenate([best_n[qi], ids[cand]])
+                merged_s = np.concatenate([best_s[qi], sims[qi][cand]])
+                sel = _topk_idx(merged_s, merged_n, k)
+                best_n[qi], best_s[qi] = merged_n[sel], merged_s[sel]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            out_q.extend([qids[qi]] * len(best_n[qi]))
+            out_n.extend(best_n[qi].tolist())
+            out_s.extend(best_s[qi].tolist())
+        yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     return gen
 
@@ -521,17 +536,24 @@ def q108_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the query matrix is collected once (|Q| bounded by design —
     the Arrow twin of q35's broadcast hint) and ships in the task
-    closure; each partition emits at most |Q|*k rows, so the final window
-    shuffles O(partitions * |Q| * k), never |Q| * corpus."""
+    closure; the generator folds every Arrow batch into one running
+    per-partition top-k, so each partition emits at most |Q|*k rows and
+    the final window shuffles O(partitions * |Q| * k), never
+    |Q| * corpus."""
     import numpy as np
 
     e = load_table(spark, sf_dir, "embeddings")
+    out_schema = "query_id long, neighbor_id long, sim double"
     qrows = sorted(
         e.filter(F.col("vec_id") < _KNN_QUERIES)
         .select("vec_id", VEC.as_double("embedding").alias("v"))
         .collect(),
         key=lambda r: r["vec_id"],
     )
+    if not qrows:  # no query vectors: empty result, like q35
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, n_rank int"
+        )
     QM = np.array([r["v"] for r in qrows], dtype=np.float64)
     qids = np.array([r["vec_id"] for r in qrows])
     qn = np.zeros(len(qrows))
@@ -543,8 +565,7 @@ def q108_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     partial = corpus.mapInPandas(
-        _knn_arrow_batches(qids, QM, qn, _KNN_K),
-        schema="query_id long, neighbor_id long, sim double",
+        _knn_arrow_batches(qids, QM, qn, _KNN_K), schema=out_schema
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

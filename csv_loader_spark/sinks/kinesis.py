@@ -90,9 +90,25 @@ def put_records_with_retry(
         except Exception as e:  # transport error: retry whole pending set
             print(f"kinesis: transport error {e!r}, retrying", file=sys.stderr)
         else:
-            if not resp.get("FailedRecordCount", 0):
-                return attempt + 1
+            # Enforce the PutRecords response contract up front: a response
+            # missing FailedRecordCount/Records, or whose Records array
+            # doesn't line up 1:1 with the request, cannot be interpreted —
+            # treating it as success would silently DROP records and
+            # zip-truncation would silently mark unacknowledged records
+            # delivered. Raise; at-least-once must never degrade quietly.
+            if "FailedRecordCount" not in resp or "Records" not in resp:
+                raise RuntimeError(
+                    "kinesis: malformed PutRecords response (missing "
+                    f"FailedRecordCount/Records): {sorted(resp)[:8]}"
+                )
             results = resp["Records"]
+            if len(results) != len(pending):
+                raise RuntimeError(
+                    f"kinesis: PutRecords returned {len(results)} results "
+                    f"for {len(pending)} records — response out of sync"
+                )
+            if not resp["FailedRecordCount"]:
+                return attempt + 1
             failed = [
                 entry
                 for entry, res in zip(pending, results)

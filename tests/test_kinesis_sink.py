@@ -121,7 +121,10 @@ class _FlakyTransport:
         self.calls += 1
         if self.calls == 1:
             raise ConnectionResetError("peer reset")
-        return {"FailedRecordCount": 0, "Records": []}
+        return {
+            "FailedRecordCount": 0,
+            "Records": [{"SequenceNumber": str(i)} for i in range(len(Records))],
+        }
 
 
 def test_put_records_retry_gives_up_after_max_retries():
@@ -138,3 +141,41 @@ def test_put_records_retries_transport_errors():
         client, "s", [{"Data": b"x", "PartitionKey": "1"}], retry_interval=0.0
     )
     assert client.calls == 2 and attempts == 2
+
+
+class _Malformed:
+    """Response contract violations must RAISE, never silently drop."""
+
+    def __init__(self, resp_fn):
+        self.resp_fn = resp_fn
+
+    def put_records(self, StreamName, Records):
+        return self.resp_fn(Records)
+
+
+def test_put_records_raises_on_malformed_responses():
+    chunk = [{"Data": b"x", "PartitionKey": str(i)} for i in range(3)]
+    # missing keys entirely
+    with pytest.raises(RuntimeError, match="malformed PutRecords response"):
+        put_records_with_retry(_Malformed(lambda r: {}), "s", chunk)
+    # Records array shorter than the request (zip would silently truncate)
+    with pytest.raises(RuntimeError, match="response out of sync"):
+        put_records_with_retry(
+            _Malformed(
+                lambda r: {"FailedRecordCount": 3, "Records": [{"ErrorCode": "X"}]}
+            ),
+            "s",
+            chunk,
+        )
+    # FailedRecordCount>0 but no per-record ErrorCode
+    with pytest.raises(RuntimeError, match="no record carries an ErrorCode"):
+        put_records_with_retry(
+            _Malformed(
+                lambda r: {
+                    "FailedRecordCount": 1,
+                    "Records": [{"SequenceNumber": "0"} for _ in r],
+                }
+            ),
+            "s",
+            chunk,
+        )

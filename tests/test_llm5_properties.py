@@ -99,3 +99,81 @@ def test_greedy_pack_invariants(n_toks):
     firsts = out.groupby("pack_id").first()["n_tok"]
     for pid in range(1, int(out["pack_id"].max()) + 1):
         assert by_pack.loc[pid - 1, "sum"] + firsts[pid] > _PACK_CAP
+
+
+# --- q108 Arrow KNN edge cases (r7 review fixes) ---------------------------
+
+
+def test_knn_arrow_nan_sims_survive_prefilter(spark):
+    """A zero-norm vector's 0/0 sim is NaN; Spark sorts NaN FIRST under
+    sim DESC, so the batch prefilter must too, or q108 diverges from q35
+    exactly on degenerate rows."""
+    import numpy as np
+
+    from csv_loader_spark.queries.llm5 import _knn_arrow_batches, _topk_idx
+
+    sims = np.array([0.9, float("nan"), 0.5, 0.8])
+    ids = np.array([10, 11, 12, 13])
+    sel = _topk_idx(sims, ids, 3)
+    assert list(ids[sel]) == [11, 10, 13]  # NaN first, then sim desc
+
+    # end-to-end: corpus with one zero vector among k+1 finite candidates
+    import pandas as pd
+
+    qids = np.array([0])
+    QM = np.array([[1.0, 0.0]])
+    qn = np.array([1.0])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4, 5, 6],
+            "v": [
+                [1.0, 0.0], [0.9, 0.1], [0.8, 0.2], [0.7, 0.3],
+                [0.6, 0.4], [0.5, 0.5], [0.0, 0.0],  # zero-norm -> NaN
+            ],
+        }
+    )
+    gen = _knn_arrow_batches(qids, QM, qn, k=5)
+    out = pd.concat(list(gen(iter([pdf]))))
+    assert 6 in set(out["neighbor_id"])  # the NaN row survived
+
+
+def test_knn_arrow_accumulates_across_batches(spark):
+    """Per-PARTITION top-k: two batches through one generator must emit
+    one combined top-k, not one per batch (the documented shuffle bound
+    is partitions * |Q| * k)."""
+    import numpy as np
+    import pandas as pd
+
+    from csv_loader_spark.queries.llm5 import _knn_arrow_batches
+
+    qids = np.array([0])
+    QM = np.array([[1.0, 0.0]])
+    qn = np.array([1.0])
+    b1 = pd.DataFrame({"vec_id": [1, 2], "v": [[0.5, 0.5], [0.4, 0.6]]})
+    b2 = pd.DataFrame({"vec_id": [3, 4], "v": [[0.9, 0.1], [0.3, 0.7]]})
+    frames = list(_knn_arrow_batches(qids, QM, qn, k=2)(iter([b1, b2])))
+    assert len(frames) == 1  # single per-partition emission
+    out = frames[0].sort_values("sim", ascending=False)
+    assert list(out["neighbor_id"]) == [3, 1]  # global-best across batches
+
+
+def test_knn_arrow_empty_query_set(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csv_loader_spark.queries.llm5 import q108_knn_arrow
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1000, 1001], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 2.0], [3.0, 4.0]], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = q108_knn_arrow(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "n_rank"]
