@@ -194,18 +194,29 @@ def q100_pack_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
-    """The sequential first-fit fold, one pandas batch per source: docs in
-    doc_id order; a doc that would overflow the {_PACK_CAP}-token budget
-    opens the next pack (an oversize doc gets a pack of its own)."""
-    pdf = pdf.sort_values("doc_id")
-    packs, fill, cur = [], 0, 0
-    for n in pdf["n_tok"]:
-        if packs and fill + n > _PACK_CAP:
+def pack_fold(n_toks, cur=0, fill=0, started=False, capacity=_PACK_CAP):
+    """THE first-fit fold — one implementation, three surfaces: the batch
+    packer below, the recursive-CTE oracle (same recurrence in SQL), and
+    the streaming continuation (streaming/packing.py resumes it from
+    (cur, fill) state). A doc that would overflow the budget opens the
+    next pack; an oversize doc gets a pack of its own; the very first doc
+    never opens a new pack (``started``)."""
+    packs = []
+    for n in n_toks:
+        if started and fill + n > capacity:
             cur += 1
             fill = 0
+        started = True
         fill += n
         packs.append(cur)
+    return packs, cur, fill, started
+
+
+def _greedy_pack(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The sequential first-fit fold, one pandas batch per source: docs in
+    doc_id order (see pack_fold for the shared recurrence)."""
+    pdf = pdf.sort_values("doc_id")
+    packs, _cur, _fill, _ = pack_fold(pdf["n_tok"])
     pdf = pdf.copy()
     pdf["pack_id"] = pd.array(packs, dtype="int64")
     return pdf

@@ -1,0 +1,87 @@
+"""Streaming greedy packing must land EXACTLY the batch fold's answer:
+q101's pack_fold resumed across micro-batches from (pack_id, fill) state
+(streaming/packing.py)."""
+
+import json
+
+import pandas as pd
+
+from csv_loader_spark.queries.llm5 import _greedy_pack, pack_fold
+from csv_loader_spark.streaming.packing import pack_stream
+
+_SCHEMA = "source string, doc_id long, n_tok long"
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for source, doc_id, n_tok in rows:
+            f.write(
+                json.dumps({"source": source, "doc_id": doc_id, "n_tok": n_tok})
+                + "\n"
+            )
+
+
+def test_stream_packing_matches_batch_fold(spark, tmp_path):
+    src = tmp_path / "docs"
+    src.mkdir()
+    # capacity 256: per-source sizes chosen to make packs straddle the
+    # batch boundary (pack continues mid-fill into batch 2) and to include
+    # an oversize doc
+    _write_batch(
+        src / "b1.json",
+        [("a", 1, 200), ("a", 2, 40), ("b", 1, 300), ("b", 2, 256)],
+    )
+    _write_batch(
+        src / "b2.json",
+        [("a", 3, 10), ("a", 4, 250), ("b", 3, 1)],
+    )
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # two real micro-batches
+        .json(str(src))
+    )
+    q = (
+        pack_stream(stream)
+        .writeStream.format("memory")
+        .queryName("packed_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["source"], r["doc_id"]): r["pack_id"]
+        for r in spark.sql("SELECT * FROM packed_stream").collect()
+    }
+
+    # batch twin over the concatenation, per source
+    all_rows = [
+        ("a", 1, 200), ("a", 2, 40), ("a", 3, 10), ("a", 4, 250),
+        ("b", 1, 300), ("b", 2, 256), ("b", 3, 1),
+    ]
+    expected = {}
+    for source in ("a", "b"):
+        pdf = pd.DataFrame(
+            [r for r in all_rows if r[0] == source],
+            columns=["source", "doc_id", "n_tok"],
+        )
+        out = _greedy_pack(pdf)
+        for _, r in out.iterrows():
+            expected[(source, r["doc_id"])] = r["pack_id"]
+    assert got == expected
+    # spot-check the interesting facts: source a's pack 0 carries 200+40+10
+    # ACROSS the batch boundary; b's oversize doc 1 (300) sits alone
+    assert got[("a", 3)] == got[("a", 1)] == 0 and got[("a", 4)] == 1
+    assert got[("b", 1)] == 0 and got[("b", 2)] == 1 and got[("b", 3)] == 2
+
+
+def test_pack_fold_resumption_equals_one_shot():
+    """Folding in two halves from carried state == folding once (the
+    property the streaming state protocol relies on)."""
+    sizes = [100, 200, 56, 300, 1, 255, 2, 256, 10]
+    one, cur1, fill1, _ = pack_fold(sizes)
+    first, cur, fill, started = pack_fold(sizes[:4])
+    second, cur2, fill2, _ = pack_fold(sizes[4:], cur, fill, started)
+    assert first + second == one
+    assert (cur2, fill2) == (cur1, fill1)
