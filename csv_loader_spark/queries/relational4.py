@@ -139,15 +139,24 @@ def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on user_id, state = one row lookback/lookahead per partition.
     This is the dimension-history builder every warehouse runs; the
     output is directly joinable as-of (q24's shape) by validity range."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("attr")
+    )
+    return scd2_intervals(e)
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """q106's pipeline over an arbitrary (user_id, event_id, ts, attr)
+    frame — DataFrame-in form so the streaming twin's equivalence test
+    (tests/test_streaming_scd2.py) runs the identical batch builder."""
     order = [F.col("ts"), F.col("event_id")]
     w = W.partitionBy("user_id").orderBy(*order)
-    ordered = e.select(
+    ordered = events.select(
         "user_id",
         "event_id",
         "ts",
-        F.col("event_type").alias("attr"),
-        F.lag("event_type").over(w).alias("prev"),
+        "attr",
+        F.lag("attr").over(w).alias("prev"),
     )
     changes = ordered.filter(
         F.col("prev").isNull() | (F.col("attr") != F.col("prev"))

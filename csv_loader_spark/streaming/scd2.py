@@ -1,0 +1,93 @@
+"""Streaming SCD type-2 maintenance: q106's interval builder
+incrementalized via applyInPandasWithState.
+
+Batch q106 rebuilds the whole dimension history per run; a warehouse
+maintains it INCREMENTALLY — each arriving event either extends the open
+version (same attribute: nothing to do) or closes it and opens a new one.
+State per user is exactly the open version: (attr, opened-at µs,
+opener event_id) — three scalars; CLOSED versions are emitted as they
+close, formatted identically to q106's closed rows, so the stream's
+cumulative output equals the batch builder's output minus its CURRENT
+rows (asserted end-to-end by tests/test_streaming_scd2.py). The open
+version lives only in state — append-mode streaming cannot retract, so
+'CURRENT' rows are a batch-read of the state, not stream output.
+
+Ordering: events are folded in (ts, event_id) order within each
+micro-batch; across batches, per-user event-time order is assumed (the
+CDC-feed convention). A late out-of-order event would need retraction,
+which is the table-format layer's job (merge-on-read), not the stream's.
+
+Scale: state is three scalars per DISTINCT user — dimension cardinality,
+not event volume; Arrow-batched per group, no per-row Python overhead
+beyond the fold itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, event_id long, valid_from string, valid_to string, attr string"
+)
+STATE_SCHEMA = "attr string, from_us long, opener_id long"
+
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def _us(ts_series: pd.Series) -> list[int]:
+    vals = ts_series.astype("int64").tolist()
+    if "[ns]" in str(ts_series.dtype):
+        vals = [v // 1000 for v in vals]
+    return vals
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """events (streaming; user_id long, event_id long, ts timestamp,
+    attr string) → CLOSED SCD2 versions as they close."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        cur = list(state.get) if state.exists else None  # [attr, from_us, opener]
+        closed: list[tuple[int, str, str, str]] = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for t_us, eid, attr in zip(
+            _us(batch["ts"]), batch["event_id"].tolist(), batch["attr"].tolist()
+        ):
+            if cur is None:
+                cur = [attr, t_us, eid]
+            elif attr != cur[0]:
+                closed.append(
+                    (
+                        cur[2],
+                        pd.Timestamp(cur[1], unit="us").strftime(_FMT),
+                        pd.Timestamp(t_us, unit="us").strftime(_FMT),
+                        cur[0],
+                    )
+                )
+                cur = [attr, t_us, eid]
+            # same attr: the open version absorbs the event (run collapse)
+        state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "event_id": [c[0] for c in closed],
+                    "valid_from": [c[1] for c in closed],
+                    "valid_to": [c[2] for c in closed],
+                    "attr": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
