@@ -22,14 +22,35 @@ The transformation is mode-agnostic (plain DataFrame ops), so the SAME
 function serves the oracle-gated batch twin (q104, queries/llm5.py) and
 the streaming path; tests/test_stream_static_dedup.py asserts the
 streaming run lands exactly the batch answer.
+
+The APPEND side of the loop (``start_ingest_pipeline`` below) closes the
+cycle: each micro-batch's accepted fingerprints are written BACK to the
+index store, so batch N+1's anti-join probes an index that already
+contains batch N's admissions — cross-batch dedup comes from the growing
+index itself, with no unbounded stream state. Idempotency: every batch
+writes into its own ``batch=<id>`` partition with mode=overwrite, so a
+foreachBatch re-delivery rewrites the same files instead of duplicating
+them — the batch-id ledger (continuous_agg's pattern) is a fast-skip, not
+the correctness mechanism, which closes even the crash-between-write-and-
+ledger window that continuous_agg documents. Limitation (same as every
+batch-id scheme): ids restart at 0 if the CHECKPOINT is deleted — the
+ledger is scoped to one checkpoint lineage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
 
 from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.streaming.continuous_agg import (
+    _already_applied,
+    _record_applied,
+)
 
 
 def fingerprint_index(corpus: DataFrame, text_col: str = "text") -> DataFrame:
@@ -72,3 +93,84 @@ def novel_documents(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# The index append loop: accepted fingerprints flow BACK to the index store.
+# --------------------------------------------------------------------------
+
+_FP_SCHEMA = T.StructType([T.StructField("fp", T.StringType(), True)])
+
+
+def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+    """The current fingerprint index: one ``fp`` column over every
+    committed ``batch=<id>`` partition (plus any seed partition written by
+    ``seed_index``). Bootstrap-safe: a missing or empty store reads as an
+    empty index."""
+    if os.path.isdir(index_path) and any(
+        e.startswith("batch=") for e in os.listdir(index_path)
+    ):
+        return spark.read.parquet(index_path).select("fp")
+    return spark.createDataFrame([], _FP_SCHEMA)
+
+
+def seed_index(corpus: DataFrame, index_path: str) -> None:
+    """Bootstrap the index store from an already-accepted corpus (the
+    one-time global-dedup output). Lands in ``batch=-1`` so stream batch
+    ids (>= 0) never collide with the seed."""
+    fingerprint_index(corpus).write.mode("overwrite").parquet(
+        os.path.join(index_path, "batch=-1")
+    )
+
+
+def append_to_index(novel_fps: DataFrame, index_path: str, batch_id: int) -> None:
+    """Idempotently append a batch's accepted fingerprints to the store.
+
+    The write targets the batch's OWN partition directory with overwrite —
+    a re-delivered batch rewrites identical files, never double-appends,
+    regardless of whether the ledger record landed."""
+    if _already_applied(index_path, batch_id):
+        return
+    novel_fps.select("fp").distinct().write.mode("overwrite").parquet(
+        os.path.join(index_path, f"batch={batch_id}")
+    )
+    _record_applied(index_path, batch_id)
+
+
+def start_ingest_pipeline(
+    arrivals: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The closed-loop incremental ingest: per micro-batch, anti-join the
+    CURRENT index (re-read each batch, so it sees every prior batch's
+    appends), dedup within the batch (batch-mode min-doc_id survivor —
+    deterministic under replay, unlike first-arrival order), land accepted
+    documents under ``accepted_path/batch=<id>`` and their fingerprints
+    under ``index_path/batch=<id>``, both overwrite-idempotent."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if _already_applied(index_path, batch_id):
+            return
+        index = read_index(spark, index_path)
+        novel = novel_documents(batch_df, index)
+        # one materialization feeding both writes; also decouples the
+        # accepted-write plan from a mid-write index refresh
+        novel = novel.localCheckpoint(eager=True)
+        novel.drop("fp").write.mode("overwrite").parquet(
+            os.path.join(accepted_path, f"batch={batch_id}")
+        )
+        append_to_index(novel, index_path, batch_id)
+
+    writer = (
+        arrivals.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

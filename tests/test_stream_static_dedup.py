@@ -8,7 +8,14 @@ import os
 
 from pyspark.sql import functions as F
 
-from csv_loader_spark.streaming.ingest_dedup import fingerprint_index, novel_documents
+from csv_loader_spark.streaming.ingest_dedup import (
+    append_to_index,
+    fingerprint_index,
+    novel_documents,
+    read_index,
+    seed_index,
+    start_ingest_pipeline,
+)
 
 _SCHEMA = "doc_id long, ts timestamp, text string"
 
@@ -97,3 +104,87 @@ def test_index_probe_carries_only_fingerprints(spark):
     assert [r["doc_id"] for r in out.collect()] == [101]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
+
+
+def test_ingest_pipeline_grows_index_and_survives_replay(spark, tmp_path):
+    """The closed loop: batch N+1's probe sees batch N's admissions via the
+    index store (no unbounded stream state), a stopped-and-restarted stream
+    does not re-admit previously accepted content, and a re-delivered batch
+    never double-appends — even with its ledger record stripped."""
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    corpus = spark.createDataFrame(
+        [(i, f"seed corpus document {i}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    seed_index(corpus, idx)
+    assert read_index(spark, idx).count() == 3
+
+    _write_batch(
+        src / "b1.json",
+        [
+            (100, "2026-01-01 10:00:00", "seed corpus document 1"),  # corpus dup
+            (101, "2026-01-01 10:00:01", "fresh document alpha"),
+            (102, "2026-01-01 10:00:02", "fresh document beta"),
+            (103, "2026-01-01 10:00:03", "fresh document alpha"),  # in-batch dup
+        ],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    # alpha + beta admitted; their fps now IN the index
+    assert read_index(spark, idx).count() == 5
+
+    # batch 2 lands after a stream restart: cross-batch dup of alpha must be
+    # rejected by the GROWN index, not by stream state (none is kept)
+    _write_batch(
+        src / "b2.json",
+        [
+            (200, "2026-01-01 10:01:00", "fresh document alpha"),  # cross-batch dup
+            (201, "2026-01-01 10:01:01", "seed corpus document 0"),  # corpus dup
+            (202, "2026-01-01 10:01:02", "brand new document gamma"),
+        ],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    accepted = spark.read.parquet(acc)
+    got = {(r["doc_id"], r["text"]) for r in accepted.select("doc_id", "text").collect()}
+    assert got == {
+        (101, "fresh document alpha"),
+        (102, "fresh document beta"),
+        (202, "brand new document gamma"),
+    }
+    n_idx = read_index(spark, idx).count()
+    assert n_idx == 6  # 3 seed + alpha + beta + gamma
+
+    # re-delivery with the ledger intact: fast-skip, no growth
+    bogus = spark.createDataFrame([("deadbeef",)], "fp string")
+    append_to_index(bogus, idx, 0)
+    assert read_index(spark, idx).count() == n_idx
+
+    # re-delivery with the ledger record STRIPPED (crash-between-write-and-
+    # ledger window): the per-batch overwrite rewrites, never duplicates
+    ledger = os.path.join(idx, "_applied_batches")
+    with open(ledger) as f:
+        lines = [ln for ln in f.read().split() if ln != "1"]
+    with open(ledger, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    batch1_docs = accepted.filter(F.col("batch") == 1).select("doc_id", "text")
+    append_to_index(fingerprint_index(batch1_docs), idx, 1)
+    assert read_index(spark, idx).count() == n_idx
