@@ -53,7 +53,13 @@ def file_fingerprint(path: str) -> tuple[int, int] | None:
     the stale cache for exactly the incident class this exists to close.
     Cost is one stat per file, paid per load_table call; trivial next to
     the footer read the cache saves. None when the path is missing (the
-    subsequent read raises the real error)."""
+    subsequent read raises the real error).
+
+    Known limitation: a same-size rewrite landing within the filesystem's
+    mtime granularity is invisible to a stat-only identity — a sub-tick
+    in-place regeneration on a coarse-mtime filesystem can still serve the
+    stale plan. Accepted trade for a stat-only check; hash the parquet
+    footers instead if that window ever matters."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):

@@ -239,10 +239,17 @@ def _lsh_candidates(
     # cached copy, then free it — cand's lineage still contains the full
     # plan, so later recomputes (cache eviction) remain correct.
     rnf = _tagged_rn(n).persist()
+    cand = None
     try:
         stats = _guard_stats_from_rn(rnf, _HOT_BUCKET_CAP)
         cand = _candidates_from_rn(rnf, _HOT_BUCKET_CAP).persist()
         cand.count()
+    except BaseException:
+        # cand was persisted but never cached (the materializing count or
+        # the stats job failed) — release it rather than leak the entry
+        if cand is not None:
+            cand.unpersist()
+        raise
     finally:
         rnf.unpersist()
     _CAND_CACHE[key] = (fp, cand)

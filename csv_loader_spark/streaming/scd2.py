@@ -39,10 +39,14 @@ _FMT = "%Y-%m-%d %H:%M:%S"
 
 
 def _us(ts_series: pd.Series) -> list[int]:
-    vals = ts_series.astype("int64").tolist()
-    if "[ns]" in str(ts_series.dtype):
-        vals = [v // 1000 for v in vals]
-    return vals
+    """µs-since-epoch ints, robust to the Arrow conversion's unit/tz
+    choices: strip any tz then convert explicitly to microsecond unit —
+    no dtype-string sniffing (a 'datetime64[ns, UTC]' or non-ns unit would
+    defeat a substring check)."""
+    s = ts_series
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_localize(None)
+    return s.astype("datetime64[us]").astype("int64").tolist()
 
 
 def scd2_stream(events: DataFrame) -> DataFrame:
