@@ -191,6 +191,27 @@ def _minhash_sig_cols():
     ]
 
 
+def _minhash_cand_ctes(cap: int, sfx: str = "") -> str:
+    """kept{sfx}/cand{sfx} CTEs over an existing ``bands`` CTE with the
+    band-bucket cap parameterized — so a recall meter (q110) can place a
+    second, differently-capped candidate chain beside the default one."""
+    return f"""
+    kept{sfx} AS (
+      SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY doc_id) AS rn
+        FROM bands
+      ) WHERE rn <= {cap}
+    ),
+    cand{sfx} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept{sfx} a JOIN kept{sfx} b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    """
+
+
 def _minhash_oracle_sigs() -> str:
     cols = ",\n             ".join(
         f"min(md5('{i}:' || s)) AS h{i}" for i in range(_N_HASHES)
@@ -208,19 +229,7 @@ def _minhash_oracle_sigs() -> str:
     bands AS (
       {bands}
     ),
-    kept AS (
-      SELECT doc_id, band, bkey FROM (
-        SELECT doc_id, band, bkey,
-               row_number() OVER (PARTITION BY band, bkey
-                                  ORDER BY doc_id) AS rn
-        FROM bands
-      ) WHERE rn <= {_BAND_CAP}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM kept a JOIN kept b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    )
+    {_minhash_cand_ctes(_BAND_CAP)}
     """
 
 

@@ -45,7 +45,15 @@ from pyspark.sql import Window as W
 from csv_loader_spark.functions import text as TXT
 from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
-from csv_loader_spark.queries.llm import _KNN_K, _KNN_QUERIES
+from csv_loader_spark.queries.llm import (
+    _KNN_K,
+    _KNN_QUERIES,
+    _SHINGLE_CTE,
+    _minhash_cand_ctes,
+    _minhash_oracle_sigs,
+    minhash_lsh_pairs,
+)
+from csv_loader_spark.queries.llm3 import winnow_neardup_pairs, winnow_pairs_oracle
 from csv_loader_spark.queries.registry import get, query
 
 # Sized to the synthetic corpus (10-99 tokens/doc, median 56) so outputs
@@ -589,3 +597,130 @@ def q108_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q109/q110: recall meters for the guarded text near-dup paths (r8)
+#
+# r7 gave the winnow stop-list and the minhash band cap measured PAIR-COUNT
+# behavior under floods; these meters give them measured RECALL on the
+# natural corpus — the q98 pattern (guarded pairs are a subset of unguarded
+# pairs by construction, so recall = |guarded| / |unguarded|), fully
+# oracle-checked on both sides. On natural data both guards are expected
+# inert (recall 1.0) — committing that as a gated number is the point:
+# a regression that makes a guard bind on natural data turns the row red.
+# ---------------------------------------------------------------------------
+
+# "Unguarded" runs the SAME code path with a cap no natural or flooded
+# corpus reaches, keeping Spark and oracle SQL structurally identical.
+_UNCAPPED = 1 << 31
+
+
+def _subset_recall(unguarded_n: DataFrame, guarded_n: DataFrame) -> DataFrame:
+    """(1-row n_unguarded) x (1-row n_guarded) -> the q98-style half-up
+    4dp recall frame. Valid only when guarded ⊆ unguarded (true for both
+    guards: dropping fingerprints / capping buckets only removes pairs)."""
+    cols = unguarded_n.columns + guarded_n.columns
+    u, g = cols[0], cols[1]
+    return unguarded_n.crossJoin(guarded_n).select(
+        u,
+        g,
+        F.when(F.col(u) == 0, F.lit(1.0))
+        .otherwise(F.expr(f"(2 * {g} * 10000 + {u}) div (2 * {u})") / 10000.0)
+        .alias("recall"),
+    )
+
+
+@query(
+    "q109_winnow_guard_recall",
+    oracle=f"""
+    WITH g AS ({winnow_pairs_oracle()}),
+    u AS ({winnow_pairs_oracle(max_df=_UNCAPPED)}),
+    cu AS (SELECT count(*) AS n_unguarded FROM u),
+    cg AS (SELECT count(*) AS n_guarded FROM g)
+    SELECT cu.n_unguarded, cg.n_guarded,
+           CASE WHEN cu.n_unguarded = 0 THEN 1.0
+                ELSE ((2 * cg.n_guarded * 10000 + cu.n_unguarded)
+                      // (2 * cu.n_unguarded)) / 10000.0
+           END AS recall
+    FROM cu, cg
+    """,
+    tags=("dedup", "rolling-hash", "evaluation", "llm"),
+)
+def q109_winnow_guard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of q96's stop-listed winnow pair set against the UNGUARDED
+    winnow join on the natural corpus — the committed number for what the
+    MOSS stop-list costs when it binds (nothing, on natural data: the
+    dropped fingerprints are boilerplate shared by >max_df docs, and any
+    pair they witnessed is re-witnessed by rarer fingerprints or was
+    boilerplate-only). Guarded ⊆ unguarded structurally (removing
+    fingerprints only lowers n_shared), so recall = |g| / |u|.
+
+    Measured (r8): 1.0 at sf0.01 (4923/4923 pairs) AND at sf0.1
+    (4946/4946) — where the stop-list actively binds (99 fingerprints
+    dropped, VERDICT r7) — i.e. the guard is lossless on natural data,
+    now as a gated number rather than an inertness claim."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    u = winnow_neardup_pairs(docs, max_df=_UNCAPPED).agg(
+        F.count(F.lit(1)).alias("n_unguarded")
+    )
+    g = winnow_neardup_pairs(docs).agg(F.count(F.lit(1)).alias("n_guarded"))
+    return _subset_recall(u, g)
+
+
+@query(
+    "q110_minhash_guard_recall",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_oracle_sigs()},
+    {_minhash_cand_ctes(_UNCAPPED, "_u")},
+    inter_g AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded e1
+      JOIN exploded e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+      JOIN cand c ON c.doc_a = e1.doc_id AND c.doc_b = e2.doc_id
+      GROUP BY 1, 2
+    ),
+    inter_u AS (
+      SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded e1
+      JOIN exploded e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+      JOIN cand_u c ON c.doc_a = e1.doc_id AND c.doc_b = e2.doc_id
+      GROUP BY 1, 2
+    ),
+    cg AS (
+      SELECT count(*) AS n_capped FROM inter_g i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+    ),
+    cu AS (
+      SELECT count(*) AS n_uncapped FROM inter_u i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.3
+    )
+    SELECT cu.n_uncapped, cg.n_capped,
+           CASE WHEN cu.n_uncapped = 0 THEN 1.0
+                ELSE ((2 * cg.n_capped * 10000 + cu.n_uncapped)
+                      // (2 * cu.n_uncapped)) / 10000.0
+           END AS recall
+    FROM cu, cg
+    """,
+    tags=("dedup", "lsh", "evaluation", "llm"),
+)
+def q110_minhash_guard_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of q34's band-capped MinHash near-dup set against the
+    uncapped run on the natural corpus. Capping a (band, bkey) bucket only
+    removes candidate pairs, and verification filters both sides the same
+    way, so capped ⊆ uncapped and recall = |capped| / |uncapped| — 1.0
+    expected on natural data (largest sf0.01 bucket ≪ cap), committed as
+    a gated number so a cap regression surfaces as a red row.
+
+    Measured (r8): 1.0 at sf0.01 (25/25 pairs) and sf0.1 (256/256)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = minhash_lsh_pairs(docs, cap=_UNCAPPED).agg(
+        F.count(F.lit(1)).alias("n_uncapped")
+    )
+    g = minhash_lsh_pairs(docs).agg(F.count(F.lit(1)).alias("n_capped"))
+    return _subset_recall(u, g)
