@@ -10,13 +10,17 @@ oracle run (queries/llm5.py), so a stream of batches lands the identical
 pack assignment as one batch over the concatenation — asserted end-to-end
 by tests/test_streaming_packing.py.
 
-Scale: state is two ints per source (bounded by |sources|, no timeout
+Scale: state is three ints per source (bounded by |sources|, no timeout
 needed); each group processes an Arrow batch of (doc_id, n_tok) pairs —
 the text never enters Python, mirroring the batch twin. Ordering: within
 one micro-batch docs are folded in doc_id order; ACROSS batches the
 source must deliver batches in doc order (true for a file stream naming
-files monotonically — the landing-zone convention) or pack assignment is
-arrival-order, which is the standard streaming-packer semantic anyway.
+files monotonically — the landing-zone convention). The operator can SEE
+a violation (r8): state carries the last folded doc_id, and a doc
+arriving at-or-behind it is NOT folded — it is emitted with
+``pack_id = QUARANTINED`` (-1) so the landing-zone bug surfaces as
+queryable rows instead of a silent mis-assignment
+(tests/test_streaming_packing.py::test_out_of_order_batch_is_quarantined).
 """
 
 from __future__ import annotations
@@ -30,35 +34,65 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from csv_loader_spark.queries.llm5 import _PACK_CAP, pack_fold
 
 OUTPUT_SCHEMA = "source string, doc_id long, n_tok long, pack_id long"
-STATE_SCHEMA = "pack_id long, fill long"
+STATE_SCHEMA = "pack_id long, fill long, last_doc long"
+
+# pack_id emitted for docs that arrived at-or-behind the last folded
+# doc_id: folding them would silently corrupt the carry, so they are
+# surfaced instead (real pack ids are always >= 0)
+QUARANTINED = -1
+_NO_DOC = -(1 << 62)  # "no doc folded yet" sentinel, below any real id
 
 
 def pack_stream(docs: DataFrame, capacity: int = _PACK_CAP) -> DataFrame:
     """docs (streaming; source string, doc_id long, n_tok long) → per-doc
-    pack assignments, first-fit per source, resumed across micro-batches."""
+    pack assignments, first-fit per source, resumed across micro-batches.
+    Docs violating cross-batch doc_id order land with
+    ``pack_id = QUARANTINED`` instead of being mis-folded."""
 
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
         if state.exists:
-            cur, fill = state.get
+            cur, fill, last_doc = state.get
             started = True
         else:
-            cur, fill, started = 0, 0, False
+            cur, fill, last_doc, started = 0, 0, _NO_DOC, False
         batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        late = batch["doc_id"].to_numpy() <= last_doc
+        ok = batch[~late]
         packs, cur, fill, started = pack_fold(
-            batch["n_tok"], cur, fill, started, capacity
+            ok["n_tok"], cur, fill, started, capacity
         )
-        state.update((int(cur), int(fill)))
+        if len(ok):
+            last_doc = max(last_doc, int(ok["doc_id"].iloc[-1]))
+        state.update((int(cur), int(fill), int(last_doc)))
         out = pd.DataFrame(
             {
-                "source": [source] * len(batch),
-                "doc_id": batch["doc_id"].to_numpy(),
-                "n_tok": batch["n_tok"].to_numpy(),
+                "source": [source] * len(ok),
+                "doc_id": ok["doc_id"].to_numpy(),
+                "n_tok": ok["n_tok"].to_numpy(),
                 "pack_id": pd.array(packs, dtype="int64"),
             }
         )
+        if late.any():
+            lf = batch[late]
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "source": [source] * len(lf),
+                            "doc_id": lf["doc_id"].to_numpy(),
+                            "n_tok": lf["n_tok"].to_numpy(),
+                            "pack_id": pd.array(
+                                [QUARANTINED] * len(lf), dtype="int64"
+                            ),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
         yield out
 
     return docs.groupBy("source").applyInPandasWithState(

@@ -15,7 +15,13 @@ version lives only in state — append-mode streaming cannot retract, so
 Ordering: events are folded in (ts, event_id) order within each
 micro-batch; across batches, per-user event-time order is assumed (the
 CDC-feed convention). A late out-of-order event would need retraction,
-which is the table-format layer's job (merge-on-read), not the stream's.
+which is the table-format layer's job (merge-on-read), not the stream's —
+but the operator can SEE the violation (r8): state carries the last
+folded (ts, event_id), and an event at-or-behind it is NOT folded; it is
+emitted as a QUARANTINE row — ``valid_to IS NULL`` (closed versions
+always carry both bounds), valid_from = the event's own timestamp — so
+the feed bug surfaces as queryable rows instead of a corrupted interval
+(tests/test_streaming_scd2.py::test_out_of_order_event_is_quarantined).
 
 Scale: state is three scalars per DISTINCT user — dimension cardinality,
 not event volume; Arrow-batched per group, no per-row Python overhead
@@ -33,7 +39,9 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, event_id long, valid_from string, valid_to string, attr string"
 )
-STATE_SCHEMA = "attr string, from_us long, opener_id long"
+STATE_SCHEMA = (
+    "attr string, from_us long, opener_id long, last_us long, last_eid long"
+)
 
 _FMT = "%Y-%m-%d %H:%M:%S"
 
@@ -57,12 +65,23 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        cur = list(state.get) if state.exists else None  # [attr, from_us, opener]
+        if state.exists:
+            attr0, from_us, opener, last_us, last_eid = state.get
+            cur = [attr0, from_us, opener]  # the open version
+        else:
+            cur, last_us, last_eid = None, None, None
         closed: list[tuple[int, str, str, str]] = []
+        late: list[tuple[int, str, str]] = []  # (event_id, ts_str, attr)
         batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         for t_us, eid, attr in zip(
             _us(batch["ts"]), batch["event_id"].tolist(), batch["attr"].tolist()
         ):
+            if last_us is not None and (t_us, eid) <= (last_us, last_eid):
+                # behind the fold: quarantine, never mis-fold
+                late.append(
+                    (eid, pd.Timestamp(t_us, unit="us").strftime(_FMT), attr)
+                )
+                continue
             if cur is None:
                 cur = [attr, t_us, eid]
             elif attr != cur[0]:
@@ -76,15 +95,17 @@ def scd2_stream(events: DataFrame) -> DataFrame:
                 )
                 cur = [attr, t_us, eid]
             # same attr: the open version absorbs the event (run collapse)
-        state.update(tuple(cur))
-        if closed:
+            last_us, last_eid = t_us, eid
+        if cur is not None:
+            state.update((cur[0], cur[1], cur[2], last_us, last_eid))
+        if closed or late:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(closed),
-                    "event_id": [c[0] for c in closed],
-                    "valid_from": [c[1] for c in closed],
-                    "valid_to": [c[2] for c in closed],
-                    "attr": [c[3] for c in closed],
+                    "user_id": [user_id] * (len(closed) + len(late)),
+                    "event_id": [c[0] for c in closed] + [e[0] for e in late],
+                    "valid_from": [c[1] for c in closed] + [e[1] for e in late],
+                    "valid_to": [c[2] for c in closed] + [None] * len(late),
+                    "attr": [c[3] for c in closed] + [e[2] for e in late],
                 }
             )
 

@@ -76,6 +76,41 @@ def test_stream_packing_matches_batch_fold(spark, tmp_path):
     assert got[("b", 1)] == 0 and got[("b", 2)] == 1 and got[("b", 3)] == 2
 
 
+def test_out_of_order_batch_is_quarantined(spark, tmp_path):
+    """Docs arriving at-or-behind the last folded doc_id must land with
+    pack_id = QUARANTINED (-1), leaving the carry — and every in-order
+    doc's assignment — exactly as if the late docs never arrived."""
+    from csv_loader_spark.streaming.packing import QUARANTINED
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(src / "b1.json", [("a", 3, 200), ("a", 4, 40)])
+    # batch 2 regresses: docs 1 and 2 are behind the fold (last_doc = 4);
+    # doc 5 is in order and must continue pack 0 (fill 240 + 10 <= 256)
+    _write_batch(
+        src / "b2.json", [("a", 1, 100), ("a", 2, 7), ("a", 5, 10)]
+    )
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        pack_stream(stream)
+        .writeStream.format("memory")
+        .queryName("packed_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in spark.sql("SELECT * FROM packed_ooo").collect()
+    }
+    assert got == {3: 0, 4: 0, 5: 0, 1: QUARANTINED, 2: QUARANTINED}
+
+
 def test_pack_fold_resumption_equals_one_shot():
     """Folding in two halves from carried state == folding once (the
     property the streaming state protocol relies on)."""

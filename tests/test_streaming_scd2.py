@@ -76,3 +76,52 @@ def test_stream_scd2_matches_batch_closed_versions(spark, tmp_path):
     assert (1, 12, "2026-01-01 09:10:00", "2026-01-01 09:20:00", "B") in got
     # user 2 never changed attr: no closed version emitted
     assert not any(t[0] == 2 for t in got)
+
+
+def test_out_of_order_event_is_quarantined(spark, tmp_path):
+    """A batch arriving BEHIND the fold (late event) must surface as a
+    quarantine row (valid_to IS NULL) — never silently mis-fold — and the
+    in-order events around it must still build the exact intervals."""
+    src = tmp_path / "events"
+    src.mkdir()
+    _write_batch(
+        src / "b1.json",
+        [
+            (1, 10, "2026-01-01 09:00:00", "A"),
+            (1, 12, "2026-01-01 09:10:00", "B"),
+        ],
+    )
+    # batch 2 regresses: event 11 is EARLIER than the already-folded 09:10
+    # (a retraction-requiring late arrival), event 13 is in order
+    _write_batch(
+        src / "b2.json",
+        [
+            (1, 11, "2026-01-01 09:05:00", "C"),
+            (1, 13, "2026-01-01 09:20:00", "A"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_ooo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM scd2_ooo").collect()
+    quarantined = [tuple(r) for r in rows if r["valid_to"] is None]
+    closed = {tuple(r) for r in rows if r["valid_to"] is not None}
+    # the late event is visible, carrying its own ts and attr
+    assert quarantined == [(1, 11, "2026-01-01 09:05:00", None, "C")]
+    # the fold ignored it: A closed at B's arrival, B closed at 13's — the
+    # intervals C would have corrupted are intact
+    assert closed == {
+        (1, 10, "2026-01-01 09:00:00", "2026-01-01 09:10:00", "A"),
+        (1, 12, "2026-01-01 09:10:00", "2026-01-01 09:20:00", "B"),
+    }
