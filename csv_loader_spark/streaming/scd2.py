@@ -5,12 +5,15 @@ Batch q106 rebuilds the whole dimension history per run; a warehouse
 maintains it INCREMENTALLY — each arriving event either extends the open
 version (same attribute: nothing to do) or closes it and opens a new one.
 State per user is exactly the open version: (attr, opened-at µs,
-opener event_id) — three scalars; CLOSED versions are emitted as they
-close, formatted identically to q106's closed rows, so the stream's
-cumulative output equals the batch builder's output minus its CURRENT
-rows (asserted end-to-end by tests/test_streaming_scd2.py). The open
-version lives only in state — append-mode streaming cannot retract, so
-'CURRENT' rows are a batch-read of the state, not stream output.
+opener event_id) — three scalars plus the last folded (ts, event_id);
+CLOSED versions are emitted as they close, formatted identically to
+q106's closed rows, so the stream's cumulative output equals the batch
+builder's output minus its CURRENT rows (asserted end-to-end by
+tests/test_streaming_scd2.py). The open version lives only in state —
+append-mode streaming cannot retract, so 'CURRENT' rows come from
+``scd2_current_snapshot`` (r8): a batch read of the checkpoint's state
+store (Spark's statestore data source) emitting them in q106's exact
+shape, so stream output ∪ snapshot == batch q106, row for row.
 
 Ordering: events are folded in (ts, event_id) order within each
 micro-batch; across batches, per-user event-time order is assumed (the
@@ -33,7 +36,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
@@ -116,3 +120,38 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def scd2_current_snapshot(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """The dimension's CURRENT rows, read from the stream's own state
+    store (the statestore batch data source over the checkpoint) in
+    q106's exact output shape — so ``scd2_stream`` output ∪ this snapshot
+    equals the batch builder's full answer.
+
+    Formatting runs through the SAME pandas path as the fold's closed
+    rows (mapInPandas, Arrow-batched — distributed, no collect), which
+    makes the strings identical by construction instead of relying on
+    date_format's session-timezone rendering of wall-clock µs."""
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    narrow = st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.groupState.opener_id").alias("event_id"),
+        F.col("value.groupState.from_us").alias("from_us"),
+        F.col("value.groupState.attr").alias("attr"),
+    )
+
+    def _fmt(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "valid_from": pd.to_datetime(
+                        pdf["from_us"], unit="us"
+                    ).dt.strftime(_FMT),
+                    "valid_to": ["CURRENT"] * len(pdf),
+                    "attr": pdf["attr"],
+                }
+            )
+
+    return narrow.mapInPandas(_fmt, schema=OUTPUT_SCHEMA)

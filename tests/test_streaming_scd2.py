@@ -5,7 +5,7 @@ rows (those live in streaming state, not output)."""
 import json
 
 from csv_loader_spark.queries.relational4 import scd2_intervals
-from csv_loader_spark.streaming.scd2 import scd2_stream
+from csv_loader_spark.streaming.scd2 import scd2_current_snapshot, scd2_stream
 
 _SCHEMA = "user_id long, event_id long, ts timestamp, attr string"
 
@@ -125,3 +125,57 @@ def test_out_of_order_event_is_quarantined(spark, tmp_path):
         (1, 10, "2026-01-01 09:00:00", "2026-01-01 09:10:00", "A"),
         (1, 12, "2026-01-01 09:10:00", "2026-01-01 09:20:00", "B"),
     }
+
+
+def test_stream_plus_state_snapshot_equals_full_batch(spark, tmp_path):
+    """scd2_stream output (closed versions) UNION scd2_current_snapshot
+    (CURRENT rows read from the checkpoint's state store) must equal the
+    batch builder's FULL answer — not minus-CURRENT."""
+    src = tmp_path / "events"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    _write_batch(
+        src / "b1.json",
+        [
+            (1, 10, "2026-01-01 09:00:00", "A"),
+            (1, 11, "2026-01-01 09:05:00", "A"),
+            (1, 12, "2026-01-01 09:10:00", "B"),
+            (2, 20, "2026-01-01 09:00:00", "X"),
+        ],
+    )
+    _write_batch(
+        src / "b2.json",
+        [
+            (1, 13, "2026-01-01 09:20:00", "A"),
+            (2, 21, "2026-01-01 09:30:00", "X"),
+            (3, 30, "2026-01-01 09:40:00", "Q"),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_full")
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    stream_rows = {
+        tuple(r) for r in spark.sql("SELECT * FROM scd2_full").collect()
+    }
+    snapshot_rows = {
+        tuple(r) for r in scd2_current_snapshot(spark, ck).collect()
+    }
+    batch_events = spark.read.schema(_SCHEMA).json(str(src))
+    expected = {tuple(r) for r in scd2_intervals(batch_events).collect()}
+    assert stream_rows | snapshot_rows == expected
+    assert stream_rows.isdisjoint(snapshot_rows)
+    # every user has exactly one CURRENT row in the snapshot
+    assert sorted(t[0] for t in snapshot_rows) == [1, 2, 3]
+    assert all(t[3] == "CURRENT" for t in snapshot_rows)
