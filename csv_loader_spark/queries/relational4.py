@@ -228,90 +228,98 @@ def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (check_name, n_violations, n_rows) table — the audit a pipeline
     runs before promoting a batch.
 
-    Scale: row-local checks compute as conditional aggregates in ONE pass
-    per table (no per-check rescans); each FK check is a left-anti join
-    aggregated to a count (broadcast when the parent side is a dim).
-    Everything lands in a handful of one-row frames unioned driver-side —
-    output size is the number of CHECKS, not data."""
+    Scale (r8 consolidation, the deequ execution model): ALL of a table's
+    row-local checks compute in ONE scan — a single conditional aggregate
+    whose one-row result melts to (check_name, n_violations) rows via an
+    explode of a struct array (JVM-side, output is |checks| rows) — so
+    adding a check adds a column to an existing aggregate, never a rescan
+    (plan-asserted: tests/test_plans.py). Each FK check is one LEFT join
+    pass over the child computing violations (unmatched) and the child
+    total TOGETHER — no separate count scan; parent side is distinct keys,
+    broadcast when it is a dim. Output size is the number of CHECKS."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     e = load_table(spark, sf_dir, "events")
-
-    def one(name, frame, violations, total):
-        return frame.agg(
-            violations.cast("long").alias("n_violations"),
-            total.cast("long").alias("n_rows"),
-        ).select(F.lit(name).alias("check_name"), "n_violations", "n_rows")
-
     cnt = F.count(F.lit(1))
-    rows = [
-        one(
-            "orders_null_custkey",
-            o,
-            F.count(F.when(F.col("o_custkey").isNull(), 1)),
-            cnt,
-        ),
-        one(
-            "orders_dup_orderkey",
-            o,
-            cnt - F.countDistinct("o_orderkey"),
-            cnt,
-        ),
-        one(
-            "orders_nonpositive_price",
-            o,
-            F.count(F.when(F.col("o_totalprice") <= 0, 1)),
-            cnt,
-        ),
-    ]
+
+    def cond_checks(tbl: DataFrame, checks: dict) -> DataFrame:
+        """Every row-local check for one table in a single scan/aggregate,
+        melted to one output row per check."""
+        aggrow = tbl.agg(
+            *[v.cast("long").alias(k) for k, v in checks.items()],
+            cnt.cast("long").alias("_n_rows"),
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("check_name"), F.col(k).alias("n_violations")
+                )
+                for k in checks
+            ]
+        )
+        return aggrow.select(
+            F.explode(pairs).alias("_c"), F.col("_n_rows").alias("n_rows")
+        ).select("_c.check_name", "_c.n_violations", "n_rows")
 
     def fk(name, child, child_key, parent, parent_key, broadcast_parent):
+        """Referential check in one pass over the child: LEFT join against
+        the distinct parent keys, count rows and unmatched together."""
         parent_side = parent.select(F.col(parent_key).alias("_pk")).distinct()
         if broadcast_parent:
             parent_side = F.broadcast(parent_side)
-        orphans = child.join(
-            parent_side, child[child_key] == F.col("_pk"), "left_anti"
-        ).agg(cnt.cast("long").alias("n_violations"))
-        total = child.agg(cnt.cast("long").alias("n_rows"))
-        return orphans.crossJoin(total).select(
-            F.lit(name).alias("check_name"), "n_violations", "n_rows"
+        return (
+            child.join(parent_side, child[child_key] == F.col("_pk"), "left")
+            .agg(
+                F.count(F.when(F.col("_pk").isNull(), 1))
+                .cast("long")
+                .alias("n_violations"),
+                cnt.cast("long").alias("n_rows"),
+            )
+            .select(F.lit(name).alias("check_name"), "n_violations", "n_rows")
         )
 
-    rows.append(fk("orders_fk_customer", o, "o_custkey", c, "c_custkey", True))
-    rows.append(fk("lineitem_fk_orders", li, "l_orderkey", o, "o_orderkey", False))
-    rows.append(
-        one(
-            "lineitem_nonpositive_qty",
+    rows = [
+        cond_checks(
+            o,
+            {
+                "orders_null_custkey": F.count(
+                    F.when(F.col("o_custkey").isNull(), 1)
+                ),
+                "orders_dup_orderkey": cnt - F.countDistinct("o_orderkey"),
+                "orders_nonpositive_price": F.count(
+                    F.when(F.col("o_totalprice") <= 0, 1)
+                ),
+            },
+        ),
+        fk("orders_fk_customer", o, "o_custkey", c, "c_custkey", True),
+        fk("lineitem_fk_orders", li, "l_orderkey", o, "o_orderkey", False),
+        cond_checks(
             li,
-            F.count(F.when(F.col("l_quantity") <= 0, 1)),
-            cnt,
-        )
-    )
-    rows.append(
-        one(
-            "lineitem_discount_range",
-            li,
-            F.count(
-                F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
-            ),
-            cnt,
-        )
-    )
-    rows.append(
-        one(
-            "events_ts_in_range",
+            {
+                "lineitem_nonpositive_qty": F.count(
+                    F.when(F.col("l_quantity") <= 0, 1)
+                ),
+                "lineitem_discount_range": F.count(
+                    F.when(
+                        (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+                    )
+                ),
+            },
+        ),
+        cond_checks(
             e,
-            F.count(
-                F.when(
-                    (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
-                    | (F.col("ts") >= F.lit("2031-01-01").cast("timestamp")),
-                    1,
-                )
-            ),
-            cnt,
-        )
-    )
+            {
+                "events_ts_in_range": F.count(
+                    F.when(
+                        (F.col("ts") < F.lit("1990-01-01").cast("timestamp"))
+                        | (F.col("ts") >= F.lit("2031-01-01").cast("timestamp")),
+                        1,
+                    )
+                ),
+            },
+        ),
+    ]
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)

@@ -218,7 +218,26 @@ def test_q106_scd2_single_shuffle(spark):
     assert exchanges == ["user_id"]
 
 
-def test_q107_fk_checks_are_anti_joins(spark):
+def test_q107_one_scan_per_table_for_row_local_checks(spark):
+    """The deequ execution model (r8): all of a table's row-local checks
+    ride ONE conditional aggregate — scans beyond that belong only to the
+    two FK joins. Expected parquet scans: orders 3 (cond-agg + FK child +
+    FK parent), lineitem 2 (cond-agg + FK child), customer 1 (FK parent),
+    events 1 (cond-agg) — and each FK join is one pass computing
+    violations and totals together, so no count-only rescans exist."""
+    import re
+
     plan = _plan(spark, "q107_quality_report")
-    assert plan.count("LeftAnti") == 2
+    scans = re.findall(r"Scan parquet \[([a-z_]*)", plan)
+    counts = {t: 0 for t in ("orders", "lineitem", "customer", "events")}
+    for cols in scans:
+        for t, key in (
+            ("orders", "o_"),
+            ("lineitem", "l_"),
+            ("customer", "c_"),
+            ("events", "ts"),
+        ):
+            if cols.startswith(key):
+                counts[t] += 1
+    assert counts == {"orders": 3, "lineitem": 2, "customer": 1, "events": 1}, plan
     assert "CartesianProduct" not in plan
