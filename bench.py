@@ -2,7 +2,14 @@
 
 Prints exactly ONE JSON line:
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"q01_pricing_summary": <sec>, ...}, "sf": 0.1}
+     "queries": {"q01_pricing_summary": <sec>, ...},
+     "groups": {"headline": <sec>, "new_ops": <sec>}, "sf": 0.1}
+
+``value`` stays the HEADLINE total (comparable across every prior round's
+BENCH_r{N}); the r7 operator surface (chunk/pack/CDC/SCD2/Arrow-KNN) is
+timed as a second group (r8) so perf regressions in the new operators are
+visible round-over-round — per-query times for BOTH groups land in
+``queries``, group subtotals in ``groups``.
 
 Per-query time = plan + execute + collect to the driver (count() for large
 results), measured after a warm-up action so JVM/session startup isn't billed
@@ -37,6 +44,16 @@ HEADLINE = (
     "q35_knn_bruteforce",
 )
 
+# The r7 operator surface under the bench (r8): chunking, greedy packing,
+# CDC merge, SCD2 intervals, Arrow KNN — each against its DuckDB oracle.
+NEW_OPS = (
+    "q99_chunk_sliding",
+    "q101_pack_greedy",
+    "q105_cdc_upsert",
+    "q106_scd2_intervals",
+    "q108_knn_arrow",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,11 +77,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
-        for name in HEADLINE:
+        for name in HEADLINE + NEW_OPS:
             specs[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + NEW_OPS:
         fn = specs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -76,9 +93,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(times.values()), 4),
+                "value": round(sum(times[n] for n in HEADLINE), 4),
                 "unit": "sec",
                 "queries": times,
+                "groups": {
+                    "headline": round(sum(times[n] for n in HEADLINE), 4),
+                    "new_ops": round(sum(times[n] for n in NEW_OPS), 4),
+                },
                 "sf": sf,
             }
         )
