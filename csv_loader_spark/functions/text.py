@@ -34,6 +34,15 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Documents shorter than n tokens yield an empty array.
     """
+    return F.array_distinct(word_ngrams(col, n))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """ALL word n-grams in order (duplicates kept) as an array<string> —
+    the occurrence-counting form (pair-frequency/BPE statistics need every
+    occurrence; shingling dedups on top of this). Same zip-of-shifted-
+    slices construction as word_shingles and for the same 20× reason: the
+    lambda touches only its own variable."""
     toks = tokens(col)
     # gram count = len - n + 1; clamped at 0 because slice() errors on a
     # negative length (belt to the when() guard's suspenders)
@@ -42,7 +51,7 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     grams = F.transform(
         zipped, lambda s: F.concat_ws(" ", *[s[str(k)] for k in range(n)])
     )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
 

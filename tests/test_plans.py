@@ -241,3 +241,25 @@ def test_q107_one_scan_per_table_for_row_local_checks(spark):
                 counts[t] += 1
     assert counts == {"orders": 3, "lineitem": 2, "customer": 1, "events": 1}, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q111_mix_sample_broadcasts_rates_no_corpus_shuffle(spark):
+    """The mix sampler's corpus side must be scan -> hash -> filter with
+    the |sources|-row rate table broadcast: the only exchanges allowed
+    are the tiny rate-building agg and broadcast distribution — no
+    hashpartitioning of the corpus by source."""
+    plan = _plan(spark, "q111_mix_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning(source" in plan  # the counts agg only
+    # the corpus must NOT shuffle: no doc_id/text hashpartitioning
+    assert "Exchange hashpartitioning(doc_id" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q112_q113_topk_is_take_ordered_not_global_window(spark):
+    """Top-k over aggregated counts must plan as TakeOrderedAndProject
+    (distributed partial top-k); the single-partition window runs only on
+    the already-truncated k-row frame."""
+    for name in ("q112_skew_report", "q113_bpe_pairs"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
