@@ -1,0 +1,389 @@
+"""Round-8 operators, part two: passage-granular dedup, deterministic
+corpus splits, per-document duplication metering, and quantized vector
+search.
+
+- q115: PASSAGE-LEVEL EXACT DEDUP (CCNet-style) — dedup at sub-document
+  granularity: split every document into fixed 20-word passages, keep
+  only the globally-first occurrence of each distinct passage, and
+  reassemble each document from its surviving passages. The shape that
+  scales: passages shuffle once on their own text (the dedup key), the
+  reassembly shuffles once on doc_id — no all-pairs anything, and the
+  passage key space shrinks with duplication.
+- q116: DETERMINISTIC STRATIFIED SPLIT — train/valid/test assignment by
+  portable md5 hash-bucket (q66's convention: seed-free, stable under
+  re-partitioning and engine-portable), reported per (source, split)
+  with exact basis-point shares. One scan + one tiny agg; the
+  assignment itself is map-only and needs no shuffle at 100 TB.
+- q117: PER-DOC DUPLICATION FRACTION (RefinedWeb-style dup meter) —
+  for each document, the fraction of its distinct 3-gram shingles that
+  also appear in at least one other document. This is the corpus-health
+  number dedup pipelines monitor; integer basis points so the exact
+  gate never touches float rounding.
+- q118: INT8 SCALAR-QUANTIZED KNN + RECALL — per-dimension min/max
+  scalar quantization of the embedding column to 8 bits, cosine top-k
+  over the DEQUANTIZED vectors, and the per-query recall against the
+  exact top-k — fully oracle-checked (both rankings and their overlap
+  are deterministic double arithmetic mirrored in DuckDB). This is the
+  production memory-bound trick (4x smaller vectors -> 4x less scan
+  traffic) with its accuracy cost measured, not guessed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.functions import vectors as VEC
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.llm import _KNN_K, _KNN_QUERIES, _SHINGLE_CTE
+from csv_loader_spark.queries.llm2 import _hash16_spark_sql, _hash16_sql
+from csv_loader_spark.queries.registry import query
+
+# ---------------------------------------------------------------------------
+# q115: passage-level exact dedup
+# ---------------------------------------------------------------------------
+
+_PASSAGE = 20  # words per passage
+
+_PASSAGE_CTE = rf"""
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM documents
+    ),
+    passages AS (
+      SELECT doc_id, i,
+             array_to_string(t[1 + i * {_PASSAGE} : i * {_PASSAGE} + {_PASSAGE}], ' ') AS passage
+      FROM toks, LATERAL unnest(range(0, (n - 1) // {_PASSAGE} + 1)) AS u(i)
+      WHERE n >= 1
+    ),
+    flagged AS (
+      SELECT doc_id, i, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, i) = 1 AS keep
+      FROM passages
+    )
+"""
+
+
+@query(
+    "q115_passage_dedup",
+    oracle=f"""
+    WITH {_PASSAGE_CTE}
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN passage END, ' ' ORDER BY i), ''))
+             AS kept_fp
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "llm"),
+)
+def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: split each doc into fixed
+    {_PASSAGE}-word passages, keep only the globally-first occurrence of
+    each distinct passage (first = smallest (doc_id, position)), and
+    report each doc's passage count, surviving count, and the fingerprint
+    of its reassembled (order-preserving) deduped text.
+
+    Scale: one shuffle on the passage string (window keep-first — the
+    dedup key, whose cardinality FALLS with duplication), one shuffle on
+    doc_id for reassembly. No pairwise joins; boilerplate passages
+    collapse into single hot groups that a window top-1 handles in one
+    pass. At 100 TB swap the raw-passage partition key for its md5 to
+    bound key width — kept as the raw string here so the oracle mirrors
+    exactly.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    base = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(F.col("n") >= 1)
+    passages = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE), " "
+        ).alias("passage"),
+    )
+    w = W.partitionBy("passage").orderBy("doc_id", "i")
+    flagged = passages.withColumn("keep", F.row_number().over(w) == 1)
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("keep"), F.struct(F.col("i"), F.col("passage")))
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept_structs, lambda s: s["passage"]), " ")
+        ).alias("kept_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116: deterministic stratified train/valid/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = ":split"
+
+
+def _split_case(h: str) -> str:
+    """Engine-shared bucket→split mapping over a 16-bit hash value."""
+    return (
+        f"CASE WHEN ({h}) % 100 < 96 THEN 'train' "
+        f"WHEN ({h}) % 100 < 98 THEN 'valid' ELSE 'test' END"
+    )
+
+
+@query(
+    "q116_stratified_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             {_split_case(_hash16_sql(f"CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'"))} AS split
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, split, count(*) AS n_docs FROM assigned GROUP BY source, split
+    )
+    SELECT source, split, n_docs,
+           CAST(n_docs * 10000 // sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+             AS share_bp
+    FROM counts
+    """,
+    tags=("sampling", "split", "llm"),
+)
+def q116_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/valid/test assignment: split =
+    hash16(doc_id || salt) % 100 bucketed — seed-free, engine-portable,
+    and stable under re-partitioning/appends (a doc's split never changes
+    when the corpus grows, unlike rand()-with-seed or ntile approaches).
+    Reports per (source, split) document counts and exact basis-point
+    shares — the stratification audit.
+
+    Scale: the assignment is a map-only expression on a pushed 2-column
+    scan; the report aggregates to |sources|x3 rows. The window total
+    runs on the already-aggregated frame, not the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_SPLIT_SALT}')")
+    assigned = d.select("source", F.expr(_split_case(h)).alias("split"))
+    counts = assigned.groupBy("source", "split").agg(F.count("*").alias("n_docs"))
+    tot = F.sum("n_docs").over(W.partitionBy("source"))
+    return counts.withColumn("_tot", tot).withColumn(
+        "share_bp", F.expr("CAST(n_docs * 10000 div _tot AS BIGINT)")
+    ).drop("_tot")
+
+
+# ---------------------------------------------------------------------------
+# q117: per-document duplication fraction (RefinedWeb-style dup meter)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_dup_fraction",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    df AS (
+      SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS c
+      FROM exploded
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+             AS dup_bp
+    FROM df
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "metrics", "llm"),
+)
+def q117_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction: the share of a doc's distinct
+    3-gram shingles that appear in >= 2 documents — the corpus-health
+    meter dedup pipelines track (a doc at 10000 bp is pure boilerplate;
+    the corpus-wide distribution decides whether near-dup dedup is worth
+    its shuffle). Integer basis points (floor) keep the exact gate away
+    from float rounding entirely.
+
+    Scale: explode per-doc DISTINCT shingles (bounded by doc length),
+    one shuffle on the shingle for the document-frequency window, one
+    shuffle back on doc_id for the roll-up. Same sub-quadratic posting
+    shape as q34/q96; a df cap (stop-list) bolts on unchanged if a
+    boilerplate flood makes shingle groups hot.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.filter(F.size(TXT.tokens("text")) >= 3).select(
+        "doc_id", F.explode(TXT.word_shingles("text")).alias("s")
+    )
+    c = F.count("*").over(W.partitionBy("s"))
+    df = sh.withColumn("c", c)
+    n_dup = F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        df.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), n_dup.alias("n_dup"))
+        .withColumn("dup_bp", F.expr("CAST(n_dup * 10000 div n_shingles AS BIGINT)"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118: int8 scalar-quantized KNN with exact-oracle recall
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_sq8_knn_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+      FROM e, LATERAL unnest(range(1, len(v) + 1)) AS u(i)
+      GROUP BY i
+    ),
+    arrs AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM dims
+    ),
+    dq AS (
+      SELECT vec_id, v,
+             list_transform(range(1, len(v) + 1), i ->
+               mns[i] + (CASE WHEN mxs[i] = mns[i] THEN 0.0
+                              ELSE CAST(floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5) AS DOUBLE)
+                         END) * (mxs[i] - mns[i]) / 255.0) AS d
+      FROM e, arrs
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim,
+             list_sum(list_transform(range(1, len(q.d) + 1), i -> q.d[i] * c.d[i]))
+               / (sqrt(list_sum(list_transform(q.d, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.d, x -> x * x)))) AS qsim
+      FROM dq q JOIN dq c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_KNN_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS exact_rank,
+             row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id)
+               AS quant_rank
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
+                         THEN 1 ELSE 0 END) * 10000 // {_KNN_K} AS BIGINT) AS recall_bp
+    FROM ranked
+    GROUP BY query_id
+    """,
+    tags=("similarity", "quantization", "llm"),
+)
+def q118_sq8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-dimension
+    min/max, the FAISS SQ8 recipe) + cosine top-{_KNN_K} over the
+    DEQUANTIZED vectors, reporting each query's recall against the exact
+    top-{_KNN_K} in integer basis points. The production memory trick —
+    4x smaller vectors, 4x less scan bandwidth — with its accuracy cost
+    measured per query and proven against an exact oracle (quantization,
+    both rankings, and the overlap are deterministic double arithmetic,
+    identical expression shapes both engines).
+
+    Scale: the per-dim min/max is one narrow agg broadcast back as two
+    d-length arrays (at 100 TB: train on a sample — the codebook is a
+    statistic, not a per-row artifact); quantize is map-only; the search
+    reuses q35's broadcast-queries shape so the corpus never shuffles;
+    both rankings come out of ONE pair pass (two windows over the same
+    |Q|x|corpus| similarity frame, one shuffle).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    stats = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    arrs = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i, 'mn', mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(named_struct('i', i, 'mx', mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+    # Quantize -> dequantize entirely in zip_with lambdas that touch only
+    # their own variables (functions/text.py documents why outer-expression
+    # references inside HOF lambdas are a 20x trap).
+    dq = (
+        e.crossJoin(F.broadcast(arrs))
+        .withColumn(
+            "z", F.expr("zip_with(v, mns, (x, lo) -> named_struct('x', x, 'lo', lo))")
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "zip_with(z, mxs, (s, hi) -> CASE WHEN hi = s.lo THEN 0.0D "
+                "ELSE CAST(floor((s.x - s.lo) * 255.0D / (hi - s.lo) + 0.5D) AS DOUBLE) END)"
+            ),
+        )
+        .withColumn(
+            "d",
+            F.expr(
+                "zip_with(q, zip_with(mns, mxs, (lo, hi) -> named_struct('lo', lo, 'hi', hi)), "
+                "(qi, s) -> s.lo + qi * (s.hi - s.lo) / 255.0D)"
+            ),
+        )
+        .select("vec_id", "v", "d")
+    )
+    corpus = (
+        dq.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("d").alias("cd"),
+        )
+        .withColumn("cn", VEC.norm("cv"))
+        .withColumn("cdn", VEC.norm("cd"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = (
+        dq.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("d").alias("qd"),
+        )
+        .withColumn("qn", VEC.norm("qv"))
+        .withColumn("qdn", VEC.norm("qd"))
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    qsim = VEC.dot("qd", "cd") / (F.col("qdn") * F.col("cdn"))
+    we = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    wq = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("neighbor_id"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", sim.alias("sim"), qsim.alias("qsim")
+    ).select(
+        "query_id",
+        F.row_number().over(we).alias("exact_rank"),
+        F.row_number().over(wq).alias("quant_rank"),
+    )
+    hit = F.sum(
+        F.when((F.col("exact_rank") <= _KNN_K) & (F.col("quant_rank") <= _KNN_K), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        ranked.groupBy("query_id")
+        .agg(hit.alias("n_hit"))
+        .withColumn("recall_bp", F.expr(f"CAST(n_hit * 10000 div {_KNN_K} AS BIGINT)"))
+    )

@@ -1,0 +1,118 @@
+"""Properties of the r8 part-two operators (llm7.py) beyond the oracle
+gate: conservation identities, determinism, and accuracy floors the
+gate's value-hash can't state."""
+
+from pyspark.sql import functions as F
+
+from csv_loader_spark.functions.text import tokens, word_shingles
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_PASSAGE = 20
+
+
+def test_q115_total_kept_equals_distinct_passages(spark):
+    """Conservation: Σ n_kept over the corpus == the number of DISTINCT
+    passage strings (keep-first keeps exactly one occurrence of each),
+    and no doc keeps more than it has."""
+    out = all_specs()["q115_passage_dedup"].fn(spark, SF_DIR).collect()
+    assert all(0 <= r["n_kept"] <= r["n_passages"] for r in out)
+    total_kept = sum(r["n_kept"] for r in out)
+    d = load_table(spark, SF_DIR, "documents")
+    t = tokens("text")
+    distinct_passages = (
+        d.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+        .filter(F.col("n") >= 1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
+            "t",
+        )
+        .select(
+            F.array_join(
+                F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE),
+                " ",
+            ).alias("p")
+        )
+        .distinct()
+        .count()
+    )
+    assert total_kept == distinct_passages > 0
+
+
+def test_q115_passage_counts_match_token_arithmetic(spark):
+    """Each doc contributes ceil(n_tok / PASSAGE) passages (n_tok >= 1)."""
+    out = {
+        r["doc_id"]: r["n_passages"]
+        for r in all_specs()["q115_passage_dedup"].fn(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents")
+    exp = {
+        r["doc_id"]: (r["n"] - 1) // _PASSAGE + 1
+        for r in d.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+        if r["n"] >= 1
+    }
+    assert out == exp
+
+
+def test_q116_split_is_a_partition_and_shares_floor_sum(spark):
+    """Every document lands in exactly one split (per-source counts add up
+    to the source totals), the basis-point floors per source sum to
+    (10000-3, 10000], and the assignment is deterministic across runs."""
+    fn = all_specs()["q116_stratified_split"].fn
+    rows1 = fn(spark, SF_DIR).collect()
+    rows2 = fn(spark, SF_DIR).collect()
+    key = lambda r: (r["source"], r["split"], r["n_docs"], r["share_bp"])
+    assert sorted(map(key, rows1)) == sorted(map(key, rows2))
+    d = load_table(spark, SF_DIR, "documents")
+    totals = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_source = {}
+    for r in rows1:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(totals)
+    for src, rows in by_source.items():
+        assert sum(r["n_docs"] for r in rows) == totals[src]
+        bp = sum(r["share_bp"] for r in rows)
+        assert 10000 - len(rows) < bp <= 10000
+        # train dominates under the 96/2/2 bucketing
+        splits = {r["split"]: r["n_docs"] for r in rows}
+        assert splits.get("train", 0) >= max(
+            splits.get("valid", 0), splits.get("test", 0)
+        )
+
+
+def test_q117_dup_fraction_arithmetic_and_bounds(spark):
+    """dup_bp is exactly the integer floor of n_dup/n_shingles, n_dup never
+    exceeds n_shingles, and n_shingles matches the doc's distinct-shingle
+    count computed independently."""
+    out = all_specs()["q117_dup_fraction"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_dup"] <= r["n_shingles"]
+        assert r["dup_bp"] == r["n_dup"] * 10000 // r["n_shingles"]
+    d = load_table(spark, SF_DIR, "documents")
+    exp = {
+        r["doc_id"]: r["n"]
+        for r in d.filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", F.size(word_shingles("text")).alias("n"))
+        .collect()
+    }
+    assert {r["doc_id"]: r["n_shingles"] for r in out} == exp
+
+
+def test_q118_recall_bounds_and_sq8_accuracy_floor(spark):
+    """One row per query vector, n_hit in [0, 5] with recall_bp = n_hit *
+    2000, and 8-bit scalar quantization keeps top-5 recall high on this
+    corpus (observed min 4/5, mean 0.98 — assert the conservative floor,
+    not the point estimate)."""
+    out = all_specs()["q118_sq8_knn_recall"].fn(spark, SF_DIR).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 0 <= r["n_hit"] <= 5
+        assert r["recall_bp"] == r["n_hit"] * 10000 // 5
+    assert min(r["n_hit"] for r in out) >= 3
+    assert sum(r["recall_bp"] for r in out) / len(out) >= 9000
