@@ -37,9 +37,14 @@ from pyspark.sql import functions as F
 from csv_loader_spark.functions import text as TXT
 from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
-from csv_loader_spark.queries.llm import _KNN_K, _KNN_QUERIES, _SHINGLE_CTE
+from csv_loader_spark.queries.llm import (
+    _KNN_K,
+    _KNN_QUERIES,
+    _SHINGLE_CTE,
+    _shingled,
+)
 from csv_loader_spark.queries.llm2 import _hash16_spark_sql, _hash16_sql
-from csv_loader_spark.queries.registry import query
+from csv_loader_spark.queries.registry import get, query
 
 # ---------------------------------------------------------------------------
 # q115: passage-level exact dedup
@@ -386,4 +391,191 @@ def q118_sq8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.groupBy("query_id")
         .agg(hit.alias("n_hit"))
         .withColumn("recall_bp", F.expr(f"CAST(n_hit * 10000 div {_KNN_K} AS BIGINT)"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119: prefix-filtered exact Jaccard join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_TAU = 0.5  # must match q33's threshold — q119 shares q33's oracle
+
+
+@query(
+    "q119_prefix_jaccard_join",
+    oracle=get("q33_ngram_jaccard").oracle,
+    tags=("dedup", "similarity", "llm"),
+)
+def q119_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard >= 0.5 join via PREFIX FILTERING (the
+    PPJoin/AllPairs family, Xiao et al. WWW'08; Bayardo et al. WWW'07):
+    order every doc's shingles by ascending document frequency (rarest
+    first, token string tie-break — one global total order), keep only the
+    first n - ceil(tau*n) + 1 tokens as the doc's PREFIX, generate
+    candidate pairs from prefix tokens only, then verify candidates
+    exactly on the full shingle sets. Provably lossless for J >= tau —
+    and proven here the strong way: the oracle is LITERALLY q33's naive
+    inverted-index SQL, so the exact gate certifies the optimized
+    algorithm returns the identical pair set with identical similarities.
+
+    Scale: this is the 100 TB form of exact set-similarity join. q33's
+    cost is sum(df^2) over ALL tokens — boilerplate shingles explode it;
+    here only PREFIX tokens (the rarest ~half of each doc, where df is
+    smallest by construction) generate candidates, so the quadratic term
+    runs over the low-df tail and the hot head tokens never join.
+    Verification ships full shingle arrays only for surviving candidate
+    pairs (array_intersect, JVM-side). Ordering by df is one extra
+    shuffle on the token — the classic trade.
+    """
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(dfreq, "s")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.expr("n_sh - (CAST(ceil(n_sh * 0.5) AS INT)) + 1"))
+        .select("doc_id", "s")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("na", F.size("sha"))
+        .withColumn("nb", F.size("shb"))
+    )
+    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        verified.filter(jac >= _TAU)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: pairwise-cosine histogram (dedup-threshold calibration audit)
+# ---------------------------------------------------------------------------
+
+_HIST_SAMPLE = 200  # vec_id < 200: the deterministic pair sample
+_HIST_BINS = 40  # [-1, 1] in 0.05 steps
+
+
+@query(
+    "q120_cosine_histogram",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_HIST_SAMPLE}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    binned AS (
+      SELECT least(CAST(floor((sim + 1.0) * 20.0) AS INTEGER), {_HIST_BINS - 1}) AS bin
+      FROM pairs
+    ),
+    counts AS (
+      SELECT bin, count(*) AS n_pairs FROM binned GROUP BY bin
+    )
+    SELECT bin, n_pairs,
+           CAST(n_pairs * 10000 // sum(n_pairs) OVER () AS BIGINT) AS share_bp
+    FROM counts
+    """,
+    tags=("similarity", "metrics", "llm"),
+)
+def q120_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosine similarities over a deterministic
+    vector sample, in 0.05-wide bins over [-1, 1] — the audit that picks
+    the near-dup threshold (q97/q98's 0.95, q33's 0.5) from the corpus's
+    actual similarity landscape instead of folklore. Integer bins and
+    basis-point shares keep the exact gate away from float output.
+
+    Scale: the sample is the knob — |S|^2/2 pairs from a broadcast
+    |S|-row frame, corpus untouched. The histogram is a |bins|-row agg;
+    the share window runs on 40 rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _HIST_SAMPLE
+    ).select("vec_id", VEC.as_double("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va")).withColumn(
+        "na", VEC.norm("va")
+    )
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb")).withColumn(
+        "nb", VEC.norm("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    sim = VEC.dot("va", "vb") / (F.col("na") * F.col("nb"))
+    binned = pairs.select(
+        F.least(
+            F.floor((sim + F.lit(1.0)) * F.lit(20.0)).cast("int"),
+            F.lit(_HIST_BINS - 1),
+        ).alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return counts.withColumn(
+        "_tot", F.sum("n_pairs").over(W.partitionBy())
+    ).withColumn("share_bp", F.expr("CAST(n_pairs * 10000 div _tot AS BIGINT)")).drop(
+        "_tot"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q121: per-source quota cap (domain-cap curation sampling)
+# ---------------------------------------------------------------------------
+
+_QUOTA = 30  # max docs kept per source
+_QUOTA_SALT = ":quota"
+
+
+@query(
+    "q121_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hash16_sql(f"CAST(doc_id AS VARCHAR) || '{_QUOTA_SALT}'")}, doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_QUOTA}
+    """,
+    tags=("sampling", "curation", "llm"),
+)
+def q121_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source cap: keep at most {_QUOTA} documents per source,
+    chosen by portable hash order (seed-free random-but-deterministic,
+    stable under re-partitioning; doc_id tie-break) — the 'no single
+    domain dominates the corpus' curation rule every web-scale pipeline
+    applies before training.
+
+    Scale: one shuffle on source; the rank<=N filter is the shape
+    Catalyst rewrites to WindowGroupLimit (per-partition partial top-N
+    before the shuffle, q13's plan), so a mega-source never materializes
+    beyond N rows per map task.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_QUOTA_SALT}')")
+    w = W.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _QUOTA)
     )

@@ -116,3 +116,97 @@ def test_q118_recall_bounds_and_sq8_accuracy_floor(spark):
         assert r["recall_bp"] == r["n_hit"] * 10000 // 5
     assert min(r["n_hit"] for r in out) >= 3
     assert sum(r["recall_bp"] for r in out) / len(out) >= 9000
+
+
+def test_q119_equals_naive_q33_pairset(spark):
+    """The prefix-filtered join returns EXACTLY the naive inverted-index
+    join's pairs (lossless candidate pruning) — same pairs, same rounded
+    similarities."""
+    specs = all_specs()
+    fast = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in specs["q119_prefix_jaccard_join"].fn(spark, SF_DIR).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in specs["q33_ngram_jaccard"].fn(spark, SF_DIR).collect()
+    }
+    assert fast == naive and naive
+
+
+def test_q119_prefix_prunes_candidates(spark):
+    """The point of prefix filtering: fewer candidate pairs than the naive
+    join's (counted before verification in both shapes)."""
+    from csv_loader_spark.queries.llm import _shingled
+
+    sh = _shingled(spark, SF_DIR)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    naive_cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        ex.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= F.expr("n_sh - CAST(ceil(n_sh * 0.5) AS INT) + 1"))
+        .select("doc_id", "s")
+    )
+    pruned_cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pruned_cand < naive_cand
+
+
+def test_q120_histogram_accounts_for_every_pair(spark):
+    """Bin counts sum to |S|*(|S|-1)/2 (every sampled pair lands in exactly
+    one bin), bins stay in [0, 39], and floors of the shares sum to at
+    most 10000."""
+    out = all_specs()["q120_cosine_histogram"].fn(spark, SF_DIR).collect()
+    n_vec = min(
+        200,
+        load_table(spark, SF_DIR, "embeddings").count(),
+    )
+    assert sum(r["n_pairs"] for r in out) == n_vec * (n_vec - 1) // 2
+    assert all(0 <= r["bin"] <= 39 for r in out)
+    bp = sum(r["share_bp"] for r in out)
+    assert 10000 - len(out) < bp <= 10000
+
+
+def test_q121_quota_binds_and_is_deterministic(spark):
+    """No source exceeds the 30-doc cap, sources under the cap survive
+    whole, and the selection is identical across runs."""
+    fn = all_specs()["q121_source_quota"].fn
+    rows1 = fn(spark, SF_DIR).collect()
+    rows2 = fn(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+    kept = {}
+    for r in rows1:
+        kept[r["source"]] = kept.get(r["source"], 0) + 1
+    totals = {
+        r["source"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, tot in totals.items():
+        assert kept[src] == min(tot, 30)
