@@ -54,6 +54,16 @@ NEW_OPS = (
     "q108_knn_arrow",
 )
 
+# The r8 operator surface: passage dedup, dup metering, quantized KNN,
+# prefix-filtered Jaccard join, per-source quota — same oracle pairing.
+R8_OPS = (
+    "q115_passage_dedup",
+    "q117_dup_fraction",
+    "q118_sq8_knn_recall",
+    "q119_prefix_jaccard_join",
+    "q121_source_quota",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,11 +87,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
-        for name in HEADLINE + NEW_OPS:
+        for name in HEADLINE + NEW_OPS + R8_OPS:
             specs[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE + NEW_OPS:
+    for name in HEADLINE + NEW_OPS + R8_OPS:
         fn = specs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -99,6 +109,7 @@ def main() -> None:
                 "groups": {
                     "headline": round(sum(times[n] for n in HEADLINE), 4),
                     "new_ops": round(sum(times[n] for n in NEW_OPS), 4),
+                    "r8_ops": round(sum(times[n] for n in R8_OPS), 4),
                 },
                 "sf": sf,
             }

@@ -135,3 +135,28 @@ def test_cand_cache_rebuild_logs_guard_stats(spark, tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="csv_loader_spark.queries.llm4"):
         _lsh_candidates(spark, sf_dir)
     assert any("hot-bucket cap inert" in r.message for r in caplog.records)
+
+
+def test_tokidx_cache_invalidates_on_regenerated_documents(spark, tmp_path):
+    """q119's persisted df-sorted token index follows the same contract:
+    same file -> same persisted frame; regenerated file -> stale frame
+    unpersisted and a fresh index built over the new rows."""
+    from csv_loader_spark.queries.llm7 import _TOKIDX_CACHE, _df_sorted_tokens
+
+    sf_dir = str(tmp_path)
+    p = os.path.join(sf_dir, "documents.parquet")
+    _write_documents(p, 6)
+    idx1 = _df_sorted_tokens(spark, sf_dir)
+    assert idx1.count() == 6
+    assert _df_sorted_tokens(spark, sf_dir) is idx1  # cache hit
+
+    _write_documents(p, 11, salt="regen")
+    _bump_mtime(p)
+    idx2 = _df_sorted_tokens(spark, sf_dir)
+    assert idx2 is not idx1
+    assert idx2.count() == 11
+    # the stale persisted entry was evicted and replaced, not leaked
+    # (storageLevel can't verify the unpersist — see the _CAND_CACHE
+    # test above for why: plan-equality matching in the cache manager)
+    assert _TOKIDX_CACHE[(spark, sf_dir)][1] is idx2
+    assert _df_sorted_tokens(spark, sf_dir) is idx2  # unchanged: hit again

@@ -147,7 +147,10 @@ def test_q97_candidate_shuffle_carries_ids_only(spark):
     )
 
 
-@pytest.mark.parametrize("name", ["q34_minhash_lsh", "q96_winnow_neardup"])
+@pytest.mark.parametrize(
+    "name",
+    ["q34_minhash_lsh", "q96_winnow_neardup", "q119_prefix_jaccard_join"],
+)
 def test_dedup_candidates_are_equi_joins(spark, name):
     """Every near-dup family's candidate generation must plan as an
     equi-join on the derived key (band/fingerprint) — any cartesian or
@@ -263,3 +266,49 @@ def test_q112_q113_topk_is_take_ordered_not_global_window(spark):
     for name in ("q112_skew_report", "q113_bpe_pairs"):
         plan = _plan(spark, name)
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q115_passage_dedup_two_narrow_exchanges_only(spark):
+    """Sub-document dedup must be two hash shuffles (passage keep-first,
+    doc_id reassembly) — no join of any kind, scan pruned to
+    (doc_id, text)."""
+    import re
+
+    plan = _plan(spark, "q115_passage_dedup")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    keys = {
+        m.split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
+    }
+    assert keys <= {"passage", "doc_id"}
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_q116_q121_scan_prunes_to_id_and_source(spark):
+    """Split assignment and quota cap never read the text column; the
+    quota's rank<=N filter must plan as WindowGroupLimit (partial top-N
+    per map task, q13's shape)."""
+    for name in ("q116_stratified_split", "q121_source_quota"):
+        plan = _plan(spark, name)
+        assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan, name
+        assert "Exchange hashpartitioning(doc_id" not in plan, name
+    assert "WindowGroupLimit" in _plan(spark, "q121_source_quota")
+
+
+def test_q118_sq8_broadcasts_queries_not_corpus(spark):
+    """The quantized KNN keeps q35's shape: query side broadcast
+    (nested-loop on the != condition), the corpus never hash-shuffles —
+    the only corpus-wide exchanges are the d-row per-dim stats agg and
+    the final per-query roll-up."""
+    plan = _plan(spark, "q118_sq8_knn_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Exchange hashpartitioning(neighbor_id" not in plan
+
+
+def test_q120_sample_filter_reaches_both_scans(spark):
+    """The pair sample bound must push into BOTH parquet scans (the whole
+    point: the corpus outside the sample is never read)."""
+    plan = _plan(spark, "q120_cosine_histogram")
+    assert plan.count("LessThan(vec_id,200)") >= 2
+    assert "CartesianProduct" not in plan
