@@ -485,12 +485,28 @@ def q119_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering by df costs one token-keyed shuffle — the classic trade.
     """
     docs = _df_sorted_tokens(spark, sf_dir)
-    prefix = docs.select("doc_id", F.explode("pref").alias("s"))
+    prefix = docs.select(
+        "doc_id", "n_sh", F.posexplode("pref").alias("p", "s")
+    )
+    # Two further LOSSLESS prunes from the AllPairs/PPJoin papers, both
+    # certified by the shared naive oracle + the q33-equality test:
+    # - length filter: J >= tau forces tau*max(|A|,|B|) <= min(|A|,|B|);
+    # - positional filter: for the FIRST shared token (positions pa, pb in
+    #   the df-sorted lists) every other common token follows it in BOTH
+    #   lists (one global total order), so overlap <= 1 + min(na-pa, nb-pb),
+    #   and J >= tau needs overlap >= ceil((na+nb) * tau/(1+tau)).
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    pa, pb = F.col("a.p") + 1, F.col("b.p") + 1
+    overlap_ub = F.lit(1) + F.least(na - pa, nb - pb)
+    overlap_need = F.expr(f"CAST(ceil((a.n_sh + b.n_sh) * {_TAU} / (1 + {_TAU})) AS INT)")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.greatest(na, nb) * _TAU <= F.least(na, nb))
+            & (overlap_ub >= overlap_need),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
