@@ -664,3 +664,108 @@ def q121_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _QUOTA)
     )
+
+
+# ---------------------------------------------------------------------------
+# q122: per-source corpus datacard
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_corpus_datacard",
+    oracle=r"""
+    WITH d AS (
+      SELECT source, lang, text,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
+             count(*) OVER (PARTITION BY text) AS text_df
+      FROM documents
+    ),
+    base AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(n_tok) * 100 // count(*) AS BIGINT) AS mean_tok_x100,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN text_df >= 2 THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS dup_docs_bp
+      FROM d GROUP BY source
+    ),
+    langs AS (
+      SELECT source, lang, count(*) AS cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY count(*) DESC, lang) AS rnk
+      FROM d GROUP BY source, lang
+    )
+    SELECT b.source, b.n_docs, b.total_tokens, b.mean_tok_x100, b.n_langs,
+           l.lang AS top_lang,
+           CAST(l.cnt * 10000 // b.n_docs AS BIGINT) AS top_lang_bp,
+           b.dup_docs_bp
+    FROM base b JOIN langs l ON l.source = b.source AND l.rnk = 1
+    """,
+    tags=("metrics", "report", "llm"),
+)
+def q122_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATACARD: document and token counts, mean doc
+    length, language diversity (distinct langs + dominant language and its
+    share), and the exact-duplicate document rate — the one-row-per-source
+    health report a curation pipeline publishes alongside the corpus
+    (HuggingFace dataset cards, Dolma's source tables). Integer basis
+    points and x100 fixings keep the exact gate rounding-free.
+
+    Scale: one corpus scan feeds both aggregates (per-source base stats,
+    per-(source, lang) mode); the exact-dup flag rides a text-keyed window
+    (the same shuffle exact dedup pays — at 100 TB partition on md5(text)
+    instead of raw text to bound key width). The mode table is
+    |sources|x|langs| rows; its window and the final join are broadcast-
+    sized.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(TXT.tokens("text"))
+    enriched = d.select(
+        "source",
+        "lang",
+        n_tok.alias("n_tok"),
+        F.count("*").over(W.partitionBy("text")).alias("text_df"),
+    )
+    base = (
+        enriched.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("text_df") >= 2, 1).otherwise(0)).alias("_dups"),
+        )
+        .withColumn(
+            "mean_tok_x100", F.expr("CAST(total_tokens * 100 div n_docs AS BIGINT)")
+        )
+        .withColumn("dup_docs_bp", F.expr("CAST(_dups * 10000 div n_docs AS BIGINT)"))
+        .drop("_dups")
+    )
+    langs = (
+        enriched.groupBy("source", "lang")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("lang"))
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    return (
+        base.join(
+            F.broadcast(langs.select("source", F.col("lang").alias("top_lang"), "cnt")),
+            "source",
+        )
+        .withColumn("top_lang_bp", F.expr("CAST(cnt * 10000 div n_docs AS BIGINT)"))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tok_x100",
+            "n_langs",
+            "top_lang",
+            "top_lang_bp",
+            "dup_docs_bp",
+        )
+    )

@@ -210,3 +210,19 @@ def test_q121_quota_binds_and_is_deterministic(spark):
     }
     for src, tot in totals.items():
         assert kept[src] == min(tot, 30)
+
+
+def test_q122_datacard_conserves_corpus_totals(spark):
+    """Σ n_docs == corpus size, Σ total_tokens == independently-computed
+    token total, the dominant language share and dup rate stay in
+    [0, 10000] bp, and the integer fixings match Python arithmetic."""
+    out = all_specs()["q122_corpus_datacard"].fn(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in out) == d.count()
+    tok_total = d.select(F.sum(F.size(tokens("text")))).collect()[0][0]
+    assert sum(r["total_tokens"] for r in out) == tok_total
+    for r in out:
+        assert r["mean_tok_x100"] == r["total_tokens"] * 100 // r["n_docs"]
+        assert 0 < r["top_lang_bp"] <= 10000
+        assert 0 <= r["dup_docs_bp"] <= 10000
+        assert r["n_langs"] >= 1 and r["top_lang"]
