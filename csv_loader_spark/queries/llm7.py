@@ -769,3 +769,65 @@ def q122_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_docs_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123: containment join (doc-inside-doc near-containment dedup)
+# ---------------------------------------------------------------------------
+
+_CONT_BP = 8000  # containment threshold: |A ∩ B| / |A| >= 0.8
+
+
+@query(
+    "q123_containment_join",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a
+      JOIN exploded b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(i.n_inter * 10000 // sa.n_sh AS BIGINT) AS cont_bp
+    FROM inter i
+    JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+    WHERE i.n_inter * 10000 // sa.n_sh >= {_CONT_BP}
+    """,
+    tags=("dedup", "similarity", "llm"),
+)
+def q123_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT join: ordered pairs (doc_a, doc_b) where at least
+    80% of doc_a's distinct 3-gram shingles also appear in doc_b — the
+    asymmetric cousin of the Jaccard join that catches quotes, excerpts,
+    and doc-inside-doc duplication that symmetric similarity misses (a
+    short doc fully quoted inside a long one has tiny Jaccard but
+    containment 1.0). Curation rule: drop the contained side, keep the
+    superset. Integer basis points (floor) keep the gate rounding-free.
+
+    Scale: same inverted-index equi-join shape as q33 — cost is
+    sum(df^2) over shingles, no cartesian; the q34/q96 df stop-list bolts
+    on unchanged when boilerplate floods posting lists, and the q119
+    prefix machinery specializes to containment (prefix length from the
+    PROBE side's threshold) if the candidate volume ever warrants it.
+    """
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .withColumn("cont_bp", F.expr("CAST(n_inter * 10000 div na AS BIGINT)"))
+        .filter(F.col("cont_bp") >= _CONT_BP)
+        .select("doc_a", "doc_b", F.col("n_inter").cast("long").alias("n_inter"), "cont_bp")
+    )

@@ -226,3 +226,28 @@ def test_q122_datacard_conserves_corpus_totals(spark):
         assert 0 < r["top_lang_bp"] <= 10000
         assert 0 <= r["dup_docs_bp"] <= 10000
         assert r["n_langs"] >= 1 and r["top_lang"]
+
+
+def test_q123_containment_matches_python_recompute(spark):
+    """Every reported pair's n_inter and cont_bp match a Python-side
+    recomputation from the shingle sets, the threshold binds, and full
+    containment of equal-sized sets implies a q33 Jaccard-1.0 pair."""
+    from csv_loader_spark.functions.text import word_shingles as ws
+
+    out = all_specs()["q123_containment_join"].fn(spark, SF_DIR).collect()
+    assert out
+    d = load_table(spark, SF_DIR, "documents")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in d.select("doc_id", ws("text").alias("sh")).collect()
+        if len(r["sh"]) >= 3
+    }
+    for r in out:
+        inter = len(sets[r["doc_a"]] & sets[r["doc_b"]])
+        assert r["n_inter"] == inter
+        assert r["cont_bp"] == inter * 10000 // len(sets[r["doc_a"]])
+        assert r["cont_bp"] >= 8000
+    # asymmetry is possible, but mutual full containment == exact dup set
+    full = {(r["doc_a"], r["doc_b"]) for r in out if r["cont_bp"] == 10000}
+    for a, b in full:
+        assert sets[a] <= sets[b]
