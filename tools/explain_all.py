@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE  # noqa: E402
+from bench import HEADLINE, R8_OPS  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 from csv_loader_spark.session import get_spark  # noqa: E402
 
@@ -44,6 +44,37 @@ NOTES = {
         "mergeable); this query exists to BE the exact twin. Plan is "
         "minimal — the ratio (~13x on 600k rows) is stage floor, "
         "amortizing with scale like q21's."
+    ),
+    "q117_dup_fraction": (
+        "**Two shuffles, both on shrinking keys (r8).** Explode per-doc "
+        "DISTINCT shingles, window count over the shingle (document "
+        "frequency), roll up on doc_id. The shingle exchange carries "
+        "(doc_id, s) only; the window is a count, not a sort-heavy rank. "
+        "Same posting-list shape as q34/q96, so the df stop-list bolts on "
+        "if a boilerplate flood ever makes shingle groups hot."
+    ),
+    "q118_sq8_knn_recall": (
+        "**q35's broadcast shape, twice the arithmetic, ONE pair pass "
+        "(r8).** The per-dim min/max agg is a d-row frame crossJoined "
+        "back (1-row broadcast — the allowed cross); quantize/dequantize "
+        "are zip_with lambdas touching only their own variables (the HOF "
+        "re-evaluation trap documented in functions/text.py does not "
+        "bite); the corpus never hash-shuffles — exact and quantized "
+        "ranks come from two windows over the same broadcast-join "
+        "output, then one roll-up per query."
+    ),
+    "q119_prefix_jaccard_join": (
+        "**The optimized exact join: index once, prune three ways, "
+        "verify narrow (r8).** The df-sorted token index is persisted "
+        "(three subtrees read it; building it thrice measured 8.2 s vs "
+        "0.9 s at sf0.1) and the candidate self-join runs on PREFIX "
+        "tokens only with the AllPairs length filter and PPJoin "
+        "positional filter in the join condition (candidates 409k -> "
+        "125k at sf0.1). Verification re-attaches the full token arrays "
+        "by id equi-join AFTER the distinct — arrays never ride the "
+        "token-keyed shuffle. Lossless by construction and by gate: the "
+        "oracle is q33's naive SQL. Boilerplate-flood immunity measured "
+        "in SCALING.json `prefix_filter`."
     ),
     "q05_nation_volume": (
         "**r7:** autoBroadcastJoinThreshold restored to the stock 10 MB, "
@@ -99,7 +130,10 @@ def main() -> None:
         f"Source: `{sf_dir}`; plan-shape assertions live in tests/test_plans.py.",
         "",
     ]
-    for name in HEADLINE:
+    heavy_r8 = tuple(
+        n for n in R8_OPS if n in NOTES
+    )  # the r8 queries whose plans warrant the human-readable snapshot
+    for name in HEADLINE + heavy_r8:
         df = specs[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", ""]
@@ -109,7 +143,7 @@ def main() -> None:
     out.append(APPENDIX)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(HEADLINE)} plans)")
+    print(f"wrote PLANS.md ({len(HEADLINE) + len(heavy_r8)} plans)")
 
 
 if __name__ == "__main__":
