@@ -324,3 +324,93 @@ def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q124: ordered funnel (first-touch cascade)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.vt
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    steps AS (
+      SELECT 1 AS ord, 'view' AS step, count(*) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase', count(*) FROM p
+    )
+    SELECT ord, step, n_users,
+           CAST(n_users * 10000 // first_value(n_users)
+                  OVER (ORDER BY ord) AS BIGINT) AS conv_bp
+    FROM steps
+    """,
+    tags=("analytics", "funnel", "events"),
+)
+def q124_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (first-touch cascade): users who VIEWED,
+    then CLICKED strictly after their first view, then PURCHASED strictly
+    after that first qualifying click — the product-analytics staple whose
+    ORDER constraint a naive per-type count gets wrong (a purchase before
+    any view must not convert). Conversion in integer basis points
+    relative to step 1.
+
+    Scale: three user-keyed aggregates, each a semi-join against the
+    previous step's (user_id, ts) frame — the step frames shrink
+    monotonically, join keys are all user_id (one partitioning reused),
+    and no window runs over raw events. The final window orders 3 rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    steps = (
+        v.agg(F.count("*").alias("n_users")).select(
+            F.lit(1).alias("ord"), F.lit("view").alias("step"), "n_users"
+        )
+        .unionAll(
+            c.agg(F.count("*").alias("n_users")).select(
+                F.lit(2).alias("ord"), F.lit("click").alias("step"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count("*").alias("n_users")).select(
+                F.lit(3).alias("ord"), F.lit("purchase").alias("step"), "n_users"
+            )
+        )
+    )
+    base = F.first("n_users").over(W.orderBy("ord"))
+    return steps.withColumn("_base", base).withColumn(
+        "conv_bp", F.expr("CAST(n_users * 10000 div _base AS BIGINT)")
+    ).drop("_base")

@@ -251,3 +251,25 @@ def test_q123_containment_matches_python_recompute(spark):
     full = {(r["doc_a"], r["doc_b"]) for r in out if r["cont_bp"] == 10000}
     for a, b in full:
         assert sets[a] <= sets[b]
+
+
+def test_q124_funnel_monotone_and_order_constrained(spark):
+    """Step counts are monotonically non-increasing, conv_bp matches the
+    integer arithmetic, and the order constraint is real: step-2 count is
+    strictly less than the naive 'has view AND click' count whenever some
+    user clicked only before their first view."""
+    out = {r["step"]: r for r in all_specs()["q124_funnel"].fn(spark, SF_DIR).collect()}
+    assert set(out) == {"view", "click", "purchase"}
+    nv, nc, np_ = (out[s]["n_users"] for s in ("view", "click", "purchase"))
+    assert nv >= nc >= np_ >= 0 and nv > 0
+    for s in out.values():
+        assert s["conv_bp"] == s["n_users"] * 10000 // nv
+    e = load_table(spark, SF_DIR, "events")
+    naive_vc = (
+        e.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 2)
+        .count()
+    )
+    assert nc <= naive_vc  # ordered funnel can only be stricter
