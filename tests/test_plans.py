@@ -149,7 +149,12 @@ def test_q97_candidate_shuffle_carries_ids_only(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["q34_minhash_lsh", "q96_winnow_neardup", "q119_prefix_jaccard_join"],
+    [
+        "q34_minhash_lsh",
+        "q96_winnow_neardup",
+        "q119_prefix_jaccard_join",
+        "q123_containment_join",
+    ],
 )
 def test_dedup_candidates_are_equi_joins(spark, name):
     """Every near-dup family's candidate generation must plan as an
