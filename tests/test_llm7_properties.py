@@ -273,3 +273,20 @@ def test_q124_funnel_monotone_and_order_constrained(spark):
         .count()
     )
     assert nc <= naive_vc  # ordered funnel can only be stricter
+
+
+def test_q125_pq_recall_bounds_and_determinism(spark):
+    """One row per query, n_hit in [0, 5] with exact bp arithmetic, and
+    the frozen-codebook encoding is bit-deterministic across runs (no
+    training inside the query). Recall itself is LOW here by measurement
+    (near-isotropic synthetic embeddings are PQ's worst case — the
+    docstring records it); the gate proves the VALUE, not a quality
+    target."""
+    fn = all_specs()["q125_pq_knn_recall"].fn
+    rows1 = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    rows2 = sorted(map(tuple, fn(spark, SF_DIR).collect()))
+    assert rows1 == rows2
+    assert len(rows1) == 20
+    for qid, n_hit, bp in rows1:
+        assert 0 <= n_hit <= 5
+        assert bp == n_hit * 10000 // 5
