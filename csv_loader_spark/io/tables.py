@@ -154,3 +154,32 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register temp views (for the SQL-surface operators, e.g. GROUPING SETS)."""
     for name, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(name)
+
+
+def persisted_by_fingerprint(cache, key, fp_path, build):
+    """One copy of the fingerprint-keyed persisted-DataFrame lifecycle:
+    return ``cache[key]`` while ``fp_path``'s :func:`file_fingerprint` is
+    unchanged; otherwise unpersist the stale entry, ``build()`` a fresh
+    frame, persist + materialize it (unpersisting on a failed
+    materialization rather than leaking), and register it.
+
+    Used by queries/llm7._df_sorted_tokens. queries/llm4._lsh_candidates
+    implements the same contract inline and CANNOT adopt this helper
+    as-is: its build materializes guard stats off a second, temporary
+    persisted frame that must stay alive through the candidate frame's
+    count — a two-frame lifecycle this single-frame helper doesn't model.
+    """
+    fp = file_fingerprint(fp_path)
+    hit = cache.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()
+    df = build().persist()
+    try:
+        df.count()  # materialize before registering
+    except BaseException:
+        df.unpersist()
+        raise
+    cache[key] = (fp, df)
+    return df

@@ -233,6 +233,10 @@ def _lsh_candidates(
         return hit[1], n
     if hit is not None:
         hit[1].unpersist()  # stale pairs for dead bytes — drop, rebuild
+    # NOTE: io.tables.persisted_by_fingerprint is the shared single-frame
+    # version of this lifecycle; this site keeps its own copy because the
+    # guard-stats frame below must stay persisted through cand's
+    # materializing count (two-frame lifecycle).
     # ONE signature/tagging pass per index build: persist the narrow
     # (vec_id, bucket, rn) frame, read the guard stats off it (this also
     # materializes it), build + materialize the candidate pairs from the

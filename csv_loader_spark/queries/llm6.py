@@ -157,6 +157,15 @@ def q112_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = t.groupBy(F.col(col).alias("key")).agg(
             F.count(F.lit(1)).alias("n_rows")
         )
+        # Adjudicated (r8 review): deriving the total from the counts
+        # frame does NOT save the second scan (no ReusedExchange — the
+        # limit and global-agg subtrees diverge before the exchange, so
+        # Spark re-runs the groupBy: scan + shuffle again), while the
+        # count-star pass below is an EMPTY-projection scan (no columns
+        # decoded) — the cheapest possible second pass. The true
+        # single-scan shape (sum() OVER () on counts, the oracle's form)
+        # is a single-partition window over |distinct keys| rows — the
+        # exact anti-pattern this docstring rules out at scale.
         total = t.groupBy().agg(F.count(F.lit(1)).alias("total"))
         top = counts.orderBy(F.col("n_rows").desc(), "key").limit(_SKEW_TOPK)
         parts.append(

@@ -237,6 +237,59 @@ def q117_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _quantized_knn_recall(spark: SparkSession, joined: DataFrame) -> DataFrame:
+    """Shared search/recall scaffolding for the quantized-KNN family
+    (q118 SQ8, q125 PQ): given (vec_id, v exact-double-vector, d
+    dequantized-vector), broadcast the query slice against the corpus
+    (q35's shape — the corpus never hash-shuffles), compute exact and
+    quantized cosine ranks in ONE pair pass with two windows, and roll up
+    per-query recall in basis points. One copy so a tie-break or recall
+    change can never drift between the two quantizers."""
+    corpus = (
+        joined.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col("d").alias("cd"),
+        )
+        .withColumn("cn", VEC.norm("cv"))
+        .withColumn("cdn", VEC.norm("cd"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    queries = (
+        joined.filter(F.col("vec_id") < _KNN_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("d").alias("qd"),
+        )
+        .withColumn("qn", VEC.norm("qv"))
+        .withColumn("qdn", VEC.norm("qd"))
+    )
+    pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    qsim = VEC.dot("qd", "cd") / (F.col("qdn") * F.col("cdn"))
+    we = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    wq = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("neighbor_id"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", sim.alias("sim"), qsim.alias("qsim")
+    ).select(
+        "query_id",
+        F.row_number().over(we).alias("exact_rank"),
+        F.row_number().over(wq).alias("quant_rank"),
+    )
+    hit = F.sum(
+        F.when((F.col("exact_rank") <= _KNN_K) & (F.col("quant_rank") <= _KNN_K), 1)
+        .otherwise(0)
+    ).cast("long")
+    return (
+        ranked.groupBy("query_id")
+        .agg(hit.alias("n_hit"))
+        .withColumn("recall_bp", F.expr(f"CAST(n_hit * 10000 div {_KNN_K} AS BIGINT)"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # q118: int8 scalar-quantized KNN with exact-oracle recall
 # ---------------------------------------------------------------------------
@@ -351,47 +404,7 @@ def q118_sq8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "v", "d")
     )
-    corpus = (
-        dq.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("d").alias("cd"),
-        )
-        .withColumn("cn", VEC.norm("cv"))
-        .withColumn("cdn", VEC.norm("cd"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    queries = (
-        dq.filter(F.col("vec_id") < _KNN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("d").alias("qd"),
-        )
-        .withColumn("qn", VEC.norm("qv"))
-        .withColumn("qdn", VEC.norm("qd"))
-    )
-    pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
-    qsim = VEC.dot("qd", "cd") / (F.col("qdn") * F.col("cdn"))
-    we = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    wq = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("neighbor_id"))
-    ranked = pairs.select(
-        "query_id", "neighbor_id", sim.alias("sim"), qsim.alias("qsim")
-    ).select(
-        "query_id",
-        F.row_number().over(we).alias("exact_rank"),
-        F.row_number().over(wq).alias("quant_rank"),
-    )
-    hit = F.sum(
-        F.when((F.col("exact_rank") <= _KNN_K) & (F.col("quant_rank") <= _KNN_K), 1)
-        .otherwise(0)
-    ).cast("long")
-    return (
-        ranked.groupBy("query_id")
-        .agg(hit.alias("n_hit"))
-        .withColumn("recall_bp", F.expr(f"CAST(n_hit * 10000 div {_KNN_K} AS BIGINT)"))
-    )
+    return _quantized_knn_recall(spark, dq)
 
 
 # ---------------------------------------------------------------------------
@@ -489,26 +502,19 @@ def _df_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; persisted because three plan subtrees read it (building it
     thrice measured 8.2 s vs 0.9 s at sf0.1). At 100 TB this
     materialization IS the algorithm's index — every set-similarity
-    system writes it before the join."""
+    system writes it before the join. Lifecycle (fingerprint
+    invalidation, persist, leak-safe materialization) lives in the shared
+    io.tables.persisted_by_fingerprint helper."""
     import os
 
-    from csv_loader_spark.io.tables import file_fingerprint
+    from csv_loader_spark.io.tables import persisted_by_fingerprint
 
-    key = (spark, sf_dir)
-    fp = file_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    hit = _TOKIDX_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
-        return hit[1]
-    if hit is not None:
-        hit[1].unpersist()
-    docs = prefix_jaccard_index(_shingled(spark, sf_dir)).persist()
-    try:
-        docs.count()  # materialize before registering
-    except BaseException:
-        docs.unpersist()
-        raise
-    _TOKIDX_CACHE[key] = (fp, docs)
-    return docs
+    return persisted_by_fingerprint(
+        _TOKIDX_CACHE,
+        (spark, sf_dir),
+        os.path.join(sf_dir, "documents.parquet"),
+        lambda: prefix_jaccard_index(_shingled(spark, sf_dir)),
+    )
 
 
 @query(
@@ -1028,44 +1034,4 @@ def q125_pq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = e.join(dq, "vec_id")
-    corpus = (
-        joined.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col("d").alias("cd"),
-        )
-        .withColumn("cn", VEC.norm("cv"))
-        .withColumn("cdn", VEC.norm("cd"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    queries = (
-        joined.filter(F.col("vec_id") < _KNN_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("d").alias("qd"),
-        )
-        .withColumn("qn", VEC.norm("qv"))
-        .withColumn("qdn", VEC.norm("qd"))
-    )
-    pairs = corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-    sim = VEC.dot("qv", "cv") / (F.col("qn") * F.col("cn"))
-    qsim = VEC.dot("qd", "cd") / (F.col("qdn") * F.col("cdn"))
-    we = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    wq = W.partitionBy("query_id").orderBy(F.col("qsim").desc(), F.col("neighbor_id"))
-    ranked = pairs.select(
-        "query_id", "neighbor_id", sim.alias("sim"), qsim.alias("qsim")
-    ).select(
-        "query_id",
-        F.row_number().over(we).alias("exact_rank"),
-        F.row_number().over(wq).alias("quant_rank"),
-    )
-    hit = F.sum(
-        F.when((F.col("exact_rank") <= _KNN_K) & (F.col("quant_rank") <= _KNN_K), 1)
-        .otherwise(0)
-    ).cast("long")
-    return (
-        ranked.groupBy("query_id")
-        .agg(hit.alias("n_hit"))
-        .withColumn("recall_bp", F.expr(f"CAST(n_hit * 10000 div {_KNN_K} AS BIGINT)"))
-    )
+    return _quantized_knn_recall(spark, joined)

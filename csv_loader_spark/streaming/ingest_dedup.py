@@ -102,15 +102,30 @@ def novel_documents(
 _FP_SCHEMA = T.StructType([T.StructField("fp", T.StringType(), True)])
 
 
-def read_index(spark: SparkSession, index_path: str) -> DataFrame:
+def read_index(
+    spark: SparkSession, index_path: str, *, exclude_batch: int | None = None
+) -> DataFrame:
     """The current fingerprint index: one ``fp`` column over every
     committed ``batch=<id>`` partition (plus any seed partition written by
     ``seed_index``). Bootstrap-safe: a missing or empty store reads as an
-    empty index."""
+    empty index.
+
+    ``exclude_batch`` drops that batch's OWN partition from the probe
+    (partition-pruned, hive-style ``batch`` dir column). The ingest loop
+    passes the in-flight batch id: a crash AFTER the index partition
+    landed but BEFORE the ledger record means redelivery re-runs the
+    batch with its own fingerprints already in the store — probing them
+    would anti-join every document of the batch away and overwrite the
+    accepted partition with an empty frame (silent loss). Excluding the
+    batch's own partition makes the re-run reproduce the original result
+    instead."""
     if os.path.isdir(index_path) and any(
         e.startswith("batch=") for e in os.listdir(index_path)
     ):
-        return spark.read.parquet(index_path).select("fp")
+        df = spark.read.parquet(index_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch") != exclude_batch)
+        return df.select("fp")
     return spark.createDataFrame([], _FP_SCHEMA)
 
 
@@ -156,7 +171,7 @@ def start_ingest_pipeline(
         spark = batch_df.sparkSession
         if _already_applied(index_path, batch_id):
             return
-        index = read_index(spark, index_path)
+        index = read_index(spark, index_path, exclude_batch=batch_id)
         novel = novel_documents(batch_df, index)
         # one materialization feeding both writes; also decouples the
         # accepted-write plan from a mid-write index refresh

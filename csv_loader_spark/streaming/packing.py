@@ -34,6 +34,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from csv_loader_spark.queries.llm5 import _PACK_CAP, pack_fold
 
 OUTPUT_SCHEMA = "source string, doc_id long, n_tok long, pack_id long"
+# STATE SCHEMA v2 (r8): widened from (pack_id, fill) by last_doc for the
+# order guard. applyInPandasWithState decodes persisted state with the
+# CURRENT schema, so a checkpoint written by the v1 schema cannot be
+# resumed under v2 — upgrading requires a fresh checkpoint_dir (the
+# standard stateful-schema-evolution constraint; Spark state stores have
+# no migration hook for this operator family).
 STATE_SCHEMA = "pack_id long, fill long, last_doc long"
 
 # pack_id emitted for docs that arrived at-or-behind the last folded
@@ -59,7 +65,14 @@ def pack_stream(docs: DataFrame, capacity: int = _PACK_CAP) -> DataFrame:
         else:
             cur, fill, last_doc, started = 0, 0, _NO_DOC, False
         batch = pd.concat(list(pdfs)).sort_values("doc_id")
-        late = batch["doc_id"].to_numpy() <= last_doc
+        # quarantine BOTH order violations: docs at-or-behind the carried
+        # last_doc (cross-batch) and repeated doc_ids WITHIN the batch (a
+        # doubled landing-zone file) — folding either would silently
+        # corrupt the fill carry. duplicated(keep="first") folds the first
+        # copy and surfaces the rest, matching the cross-batch behavior.
+        late = (
+            batch["doc_id"].to_numpy() <= last_doc
+        ) | batch["doc_id"].duplicated(keep="first").to_numpy()
         ok = batch[~late]
         packs, cur, fill, started = pack_fold(
             ok["n_tok"], cur, fill, started, capacity

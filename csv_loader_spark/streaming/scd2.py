@@ -43,6 +43,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, event_id long, valid_from string, valid_to string, attr string"
 )
+# STATE SCHEMA v2 (r8): widened from (attr, from_us, opener_id) by the
+# last-folded (ts, event_id) for the order guard. applyInPandasWithState
+# decodes persisted state with the CURRENT schema, so a v1 checkpoint
+# cannot be resumed under v2 — upgrading requires a fresh checkpoint_dir
+# (standard stateful-schema-evolution constraint; see
+# streaming/packing.py for the same note on its state).
 STATE_SCHEMA = (
     "attr string, from_us long, opener_id long, last_us long, last_eid long"
 )

@@ -188,3 +188,47 @@ def test_ingest_pipeline_grows_index_and_survives_replay(spark, tmp_path):
     batch1_docs = accepted.filter(F.col("batch") == 1).select("doc_id", "text")
     append_to_index(fingerprint_index(batch1_docs), idx, 1)
     assert read_index(spark, idx).count() == n_idx
+
+
+def test_redelivery_after_index_write_crash_does_not_lose_the_batch(spark, tmp_path):
+    """The nastiest window: the batch's index partition landed but the
+    ledger record did not (crash between the two). Redelivery re-runs the
+    batch with its own fingerprints already in the store — probing them
+    would anti-join the whole batch away and OVERWRITE the accepted
+    partition with an empty frame. read_index(exclude_batch=...) must
+    make the re-run reproduce the original accepted output instead."""
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    seed_index(
+        spark.createDataFrame([(0, "seed doc")], "doc_id long, text string"), idx
+    )
+    _write_batch(src / "b1.json", [(10, "2026-01-01 10:00:00", "fresh delta")])
+
+    # simulate the crash aftermath: batch 0's OWN fps are already in the
+    # index store, but neither the ledger record nor the accepted write
+    # exists (foreachBatch will redeliver batch 0)
+    delta = spark.createDataFrame([(10, "fresh delta")], "doc_id long, text string")
+    fingerprint_index(delta).write.mode("overwrite").parquet(
+        os.path.join(idx, "batch=0")
+    )
+    assert not os.path.exists(os.path.join(idx, "_applied_batches"))
+
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).json(str(src)),
+        idx,
+        acc,
+        ck,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    accepted = spark.read.parquet(acc)
+    assert {(r["doc_id"], r["text"]) for r in accepted.collect()} >= {
+        (10, "fresh delta")
+    }
+    # and the index still holds exactly seed + delta, no duplicates
+    assert read_index(spark, idx).count() == 2

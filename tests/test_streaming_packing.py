@@ -120,3 +120,34 @@ def test_pack_fold_resumption_equals_one_shot():
     second, cur2, fill2, _ = pack_fold(sizes[4:], cur, fill, started)
     assert first + second == one
     assert (cur2, fill2) == (cur1, fill1)
+
+
+def test_within_batch_duplicate_doc_is_quarantined(spark, tmp_path):
+    """A doubled landing-zone file delivers the same doc_id twice in ONE
+    micro-batch: the first copy folds, the second is quarantined — the
+    fill carry counts the doc once (same contract as the cross-batch
+    last_doc guard)."""
+    from csv_loader_spark.streaming.packing import QUARANTINED
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(
+        src / "b1.json",
+        [("s", 1, 600), ("s", 2, 500), ("s", 2, 500), ("s", 3, 400)],
+    )
+    stream = spark.readStream.schema(_SCHEMA).json(str(src))
+    q = (
+        pack_stream(stream)
+        .writeStream.format("memory")
+        .queryName("packed_dup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM packed_dup").collect()
+    assignments = sorted((r["doc_id"], r["pack_id"]) for r in rows)
+    # dedup'd fold at cap 256: each of [600], [500], [400] is oversize and
+    # packs alone (packs 0, 1, 2); the second copy of doc 2 surfaces as
+    # quarantine instead of folding into the carry
+    assert assignments == [(1, 0), (2, QUARANTINED), (2, 1), (3, 2)]
