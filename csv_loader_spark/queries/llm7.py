@@ -1035,3 +1035,86 @@ def q125_pq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = e.join(dq, "vec_id")
     return _quantized_knn_recall(spark, joined)
+
+
+# ---------------------------------------------------------------------------
+# q126: cross-source overlap (leakage meter between corpus sources)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_source_overlap",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, unnest(list_transform(range(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (
+      SELECT source, count(*) AS n_sh FROM sh GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST(i.n_shared * 10000 // (sa.n_sh + sb.n_sh - i.n_shared) AS BIGINT)
+             AS jaccard_bp
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    tags=("metrics", "dedup", "llm"),
+)
+def q126_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE overlap meter: for every pair of corpus sources, how
+    many distinct 3-gram shingles they share and the Jaccard of their
+    source-level shingle SETS — the leakage audit that catches one source
+    republishing another (mirror sites, syndication, scraped re-posts)
+    before doc-level dedup has to find every individual pair. Integer
+    basis points keep the gate rounding-free.
+
+    Scale: shingles are collapsed to DISTINCT (source, shingle) first, so
+    the self-join key's multiplicity is bounded by |sources| (20 here, a
+    few thousand at worst in a real corpus) — cost is sum over shingles
+    of df'^2 with df' <= |sources|, i.e. LINEAR in distinct shingles,
+    never quadratic in documents. One shingle-keyed shuffle, one
+    |sources|^2-row aggregate.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(TXT.tokens("text")) >= 3)
+        .select("source", F.explode(TXT.word_shingles("text")).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .withColumn(
+            "jaccard_bp",
+            F.expr("CAST(n_shared * 10000 div (na + nb - n_shared) AS BIGINT)"),
+        )
+        .select(
+            "source_a", "source_b", F.col("n_shared").cast("long").alias("n_shared"),
+            "jaccard_bp",
+        )
+    )

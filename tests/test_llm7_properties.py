@@ -290,3 +290,38 @@ def test_q125_pq_recall_bounds_and_determinism(spark):
     for qid, n_hit, bp in rows1:
         assert 0 <= n_hit <= 5
         assert bp == n_hit * 10000 // 5
+
+
+def test_q126_source_overlap_is_symmetric_complete_and_bounded(spark):
+    """One row per unordered source pair that shares >= 1 shingle, shared
+    counts never exceed either side's set size, jaccard_bp matches the
+    integer arithmetic, and a python recompute over source-level shingle
+    sets agrees exactly."""
+    from csv_loader_spark.functions.text import word_shingles as ws
+
+    out = all_specs()["q126_source_overlap"].fn(spark, SF_DIR).collect()
+    assert out
+    d = load_table(spark, SF_DIR, "documents")
+    sets = {}
+    for r in (
+        d.filter(F.size(tokens("text")) >= 3)
+        .select("source", ws("text").alias("sh"))
+        .collect()
+    ):
+        sets.setdefault(r["source"], set()).update(r["sh"])
+    seen = set()
+    for r in out:
+        a, b = r["source_a"], r["source_b"]
+        assert a < b and (a, b) not in seen
+        seen.add((a, b))
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert r["n_shared"] == inter
+        assert r["jaccard_bp"] == inter * 10000 // union
+    expected_pairs = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b and sets[a] & sets[b]
+    }
+    assert seen == expected_pairs
