@@ -1118,3 +1118,101 @@ def q126_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q127: curation manifest (blocklist -> quota -> split, one composition)
+# ---------------------------------------------------------------------------
+
+
+def _q127_oracle() -> str:
+    from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
+
+    blocked = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    h_quota = _hash16_sql(f"CAST(doc_id AS VARCHAR) || '{_QUOTA_SALT}'")
+    h_split = _hash16_sql(f"CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'")
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' see '
+                       || CASE WHEN doc_id % 2 = 0 THEN 'https://SITE'
+                               ELSE 'http://site' END
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE'
+                               ELSE '.example/page' || CAST(doc_id AS VARCHAR)
+                          END
+                  ELSE text END AS text
+      FROM documents
+    ),
+    surviving AS (
+      SELECT doc_id, source, text
+      FROM injected
+      WHERE lower(coalesce(regexp_extract(text, '{_URL_RE}', 1), ''))
+            NOT IN ({blocked})
+    ),
+    quota AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (PARTITION BY source ORDER BY {h_quota}, doc_id)
+               AS rnk
+      FROM surviving
+    )
+    SELECT doc_id, source,
+           {_split_case(h_split)} AS split,
+           CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+             AS n_tok
+    FROM quota WHERE rnk <= {_QUOTA}
+    """
+
+
+@query("q127_curation_manifest", oracle=_q127_oracle(), tags=("curation", "llm"))
+def q127_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURATION MANIFEST: the three admission rules composed in
+    pipeline order on one scan — domain blocklist (q102's provenance
+    filter, URL-injection scaffolding included so the rule actually
+    fires), then the per-source quota cap (q121, hash-ordered, applied to
+    the SURVIVING docs), then the deterministic split assignment (q116) —
+    emitting (doc_id, source, split, n_tok): exactly the manifest a
+    training job consumes. Proves the rules COMPOSE deterministically,
+    not just hold individually.
+
+    Scale: blocklist is a map-side regexp + NOT IN (broadcast-sized
+    list); quota is the one source-keyed WindowGroupLimit shuffle; split
+    and token count are map-only. One corpus scan end to end.
+    """
+    from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://SITE")).otherwise(
+                F.lit("http://site")
+            ),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE")).otherwise(
+                F.concat(F.lit(".example/page"), F.col("doc_id").cast("string"))
+            ),
+        ),
+    ).otherwise(F.col("text"))
+    tagged = d.select("doc_id", "source", injected.alias("text")).withColumn(
+        "domain",
+        F.lower(F.coalesce(F.regexp_extract("text", _URL_RE, 1), F.lit(""))),
+    )
+    surviving = tagged.filter(~F.col("domain").isin(*_BLOCKLIST)).drop("domain")
+    h_quota = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_QUOTA_SALT}')")
+    wq = W.partitionBy("source").orderBy(F.expr(h_quota), F.col("doc_id"))
+    kept = (
+        surviving.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _QUOTA)
+        .drop("rnk")
+    )
+    h_split = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_SPLIT_SALT}')")
+    return kept.select(
+        "doc_id",
+        "source",
+        F.expr(_split_case(h_split)).alias("split"),
+        F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
+    )

