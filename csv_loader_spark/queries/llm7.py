@@ -88,7 +88,7 @@ _PASSAGE_CTE = rf"""
 )
 def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style sub-document dedup: split each doc into fixed
-    {_PASSAGE}-word passages, keep only the globally-first occurrence of
+    20-word passages, keep only the globally-first occurrence of
     each distinct passage (first = smallest (doc_id, position)), and
     report each doc's passage count, surviving count, and the fingerprint
     of its reassembled (order-preserving) deduped text.
@@ -349,9 +349,9 @@ def _quantized_knn_recall(spark: SparkSession, joined: DataFrame) -> DataFrame:
 )
 def q118_sq8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-dimension
-    min/max, the FAISS SQ8 recipe) + cosine top-{_KNN_K} over the
+    min/max, the FAISS SQ8 recipe) + cosine top-k over the
     DEQUANTIZED vectors, reporting each query's recall against the exact
-    top-{_KNN_K} in integer basis points. The production memory trick —
+    top-k in integer basis points. The production memory trick —
     4x smaller vectors, 4x less scan bandwidth — with its accuracy cost
     measured per query and proven against an exact oracle (quantization,
     both rankings, and the overlap are deterministic double arithmetic,
@@ -651,7 +651,7 @@ _QUOTA_SALT = ":quota"
     tags=("sampling", "curation", "llm"),
 )
 def q121_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain/source cap: keep at most {_QUOTA} documents per source,
+    """Domain/source cap: keep at most 30 documents per source,
     chosen by portable hash order (seed-free random-but-deterministic,
     stable under re-partitioning; doc_id tie-break) — the 'no single
     domain dominates the corpus' curation rule every web-scale pipeline
@@ -964,7 +964,7 @@ def _pq_oracle() -> str:
 @query("q125_pq_knn_recall", oracle=_pq_oracle(), tags=("similarity", "quantization", "llm"))
 def q125_pq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT-quantized KNN + recall (Jegou et al., TPAMI 2011): each
-    vector is split into M={8} contiguous subvectors, each encoded as its
+    vector is split into M=8 contiguous subvectors, each encoded as its
     nearest frozen per-subspace centroid (trained offline by
     tools/train_pq_codebooks.py, literals shared with the oracle — the
     ivf_centroids recipe one level deeper), reconstructed, and searched
