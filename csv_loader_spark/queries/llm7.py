@@ -1216,3 +1216,168 @@ def q127_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_split_case(h_split)).alias("split"),
         F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q128: split-contamination meter (train/test shingle leakage)
+# ---------------------------------------------------------------------------
+
+
+def _q128_oracle() -> str:
+    h_split = _hash16_sql(f"CAST(doc_id AS VARCHAR) || '{_SPLIT_SALT}'")
+    return rf"""
+    WITH assigned AS (
+      SELECT doc_id, text, {_split_case(h_split)} AS split FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM assigned
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    train_sh AS (
+      SELECT DISTINCT s FROM sh WHERE split = 'train'
+    ),
+    ev AS (
+      SELECT sh.doc_id, sh.split, count(*) AS n_sh,
+             sum(CASE WHEN t.s IS NOT NULL THEN 1 ELSE 0 END) AS n_leaked
+      FROM sh LEFT JOIN train_sh t ON t.s = sh.s
+      WHERE sh.split <> 'train'
+      GROUP BY 1, 2
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_leaked) AS BIGINT) AS n_leaked,
+           CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+           CAST(sum(n_leaked) * 10000 // sum(n_sh) AS BIGINT) AS leak_bp
+    FROM ev
+    GROUP BY split
+    """
+
+
+@query("q128_split_contamination", oracle=_q128_oracle(), tags=("metrics", "split", "llm"))
+def q128_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONTAMINATION meter: after q116's deterministic hash split,
+    what fraction of each held-out split's distinct 3-gram shingles also
+    occur in ANY train document — the eval-integrity audit that says
+    whether the held-out loss is measuring generalization or memorized
+    n-gram overlap (a hash split guarantees disjoint DOCUMENTS, not
+    disjoint CONTENT — near-dup docs land in different splits and leak).
+    Integer basis points; one row per held-out split.
+
+    Scale: the train shingle set is a DISTINCT one-column frame keyed by
+    shingle — the held-out side left-joins it on the shingle (same
+    posting shape as q85's decontamination, whose gram-side broadcast
+    applies when the held-out side is small); the roll-up is two tiny
+    aggregates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h_split = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_SPLIT_SALT}')")
+    assigned = d.select(
+        "doc_id", "text", F.expr(_split_case(h_split)).alias("split")
+    ).filter(F.size(TXT.tokens("text")) >= 3)
+    sh = assigned.select(
+        "doc_id", "split", F.explode(TXT.word_shingles("text")).alias("s")
+    )
+    train_sh = sh.filter(F.col("split") == "train").select("s").distinct()
+    held = sh.filter(F.col("split") != "train")
+    ev = (
+        held.join(
+            train_sh.withColumn("_hit", F.lit(1)), "s", "left"
+        )
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias(
+                "n_leaked"
+            ),
+        )
+    )
+    return (
+        ev.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_leaked").cast("long").alias("n_leaked"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+        )
+        .withColumn(
+            "leak_bp", F.expr("CAST(n_leaked * 10000 div n_shingles AS BIGINT)")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q129: effective token count after passage dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_effective_tokens",
+    oracle=f"""
+    WITH {_PASSAGE_CTE},
+    sized AS (
+      SELECT f.doc_id, f.keep,
+             len(string_split_regex(f.passage, ' ')) AS n_tok,
+             d.source
+      FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
+    )
+    SELECT source,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) * 10000
+                // sum(n_tok) AS BIGINT) AS kept_bp
+    FROM sized
+    GROUP BY source
+    """,
+    tags=("dedup", "metrics", "llm"),
+)
+def q129_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE dataset size: per source, raw token count vs tokens
+    surviving passage-level dedup (q115's keep-first) — the number that
+    decides epochs/mixing when a source is internally repetitive (raw
+    size overstates a boilerplate-heavy source's real contribution;
+    Chinchilla-style budgeting needs the KEPT count). Integer basis
+    points for the survival rate.
+
+    Scale: exactly q115's two shuffles (passage keep-first, then a
+    source roll-up instead of a doc roll-up) plus a broadcast-sized
+    doc->source join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    base = d.select("doc_id", "source", t.alias("t"), F.size(t).alias("n")).filter(
+        F.col("n") >= 1
+    )
+    passages = base.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.array_join(
+            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE),
+            " ",
+        ).alias("passage"),
+    )
+    w = W.partitionBy("passage").orderBy("doc_id", "i")
+    flagged = passages.withColumn("keep", F.row_number().over(w) == 1).withColumn(
+        "n_tok", F.size(F.split(F.col("passage"), " "))
+    )
+    kept = F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("long")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("n_tok").cast("long").alias("raw_tokens"),
+            kept.alias("kept_tokens"),
+        )
+        .withColumn(
+            "kept_bp", F.expr("CAST(kept_tokens * 10000 div raw_tokens AS BIGINT)")
+        )
+    )

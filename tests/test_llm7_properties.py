@@ -359,3 +359,54 @@ def test_q127_manifest_composes_its_three_rules(spark):
     }
     got = {r["doc_id"]: r["split"] for r in out if r["doc_id"] in expected}
     assert got == expected
+
+
+def test_q128_leak_fraction_bounds_and_python_recompute(spark):
+    """leak_bp matches the integer arithmetic, n_leaked never exceeds
+    n_shingles, and a python recompute of the valid/test leak fraction
+    against the train shingle union agrees exactly."""
+    from csv_loader_spark.functions.text import word_shingles as ws
+    from csv_loader_spark.queries.llm2 import _hash16_spark_sql
+    from csv_loader_spark.queries.llm7 import _SPLIT_SALT, _split_case
+
+    out = {r["split"]: r for r in all_specs()["q128_split_contamination"].fn(spark, SF_DIR).collect()}
+    assert set(out) <= {"valid", "test"} and out
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_SPLIT_SALT}')")
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", F.expr(_split_case(h)).alias("split"), ws("text").alias("sh"))
+        .collect()
+    )
+    train = set()
+    for r in rows:
+        if r["split"] == "train":
+            train.update(r["sh"])
+    exp = {}
+    for r in rows:
+        if r["split"] == "train":
+            continue
+        e = exp.setdefault(r["split"], [0, 0, 0])
+        e[0] += 1
+        e[1] += sum(1 for s in set(r["sh"]) if s in train)
+        e[2] += len(set(r["sh"]))
+    for split, (n_docs, n_leaked, n_sh) in exp.items():
+        r = out[split]
+        assert (r["n_docs"], r["n_leaked"], r["n_shingles"]) == (n_docs, n_leaked, n_sh)
+        assert r["leak_bp"] == n_leaked * 10000 // n_sh
+
+
+def test_q129_token_conservation_with_q115(spark):
+    """raw == kept + dropped, kept_bp is the exact floor, Σ raw_tokens
+    equals the corpus token total, and per-source kept tokens are
+    consistent with q115's per-doc kept-passage counts (every kept
+    passage has <= 20 tokens, so kept_tokens <= 20 * Σ n_kept)."""
+    out = all_specs()["q129_effective_tokens"].fn(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    total = d.select(F.sum(F.size(tokens("text")))).collect()[0][0]
+    assert sum(r["raw_tokens"] for r in out) == total
+    for r in out:
+        assert 0 < r["kept_tokens"] <= r["raw_tokens"]
+        assert r["kept_bp"] == r["kept_tokens"] * 10000 // r["raw_tokens"]
+    q115 = all_specs()["q115_passage_dedup"].fn(spark, SF_DIR).collect()
+    assert sum(r["kept_tokens"] for r in out) <= 20 * sum(r["n_kept"] for r in q115)
