@@ -317,3 +317,29 @@ def test_q120_sample_filter_reaches_both_scans(spark):
     plan = _plan(spark, "q120_cosine_histogram")
     assert plan.count("LessThan(vec_id,200)") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q128_leak_join_is_shingle_equi(spark):
+    """The held-out-vs-train probe must be an equi-join on the shingle
+    (q85's posting shape) — no cartesian, no nested loop."""
+    plan = _plan(spark, "q128_split_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+
+
+def test_q129_reuses_q115_shuffle_shape(spark):
+    """Effective-token accounting pays q115's passage shuffle plus a
+    source roll-up — exchanges only on (passage, source), scan pruned to
+    the three needed columns."""
+    import re
+
+    plan = _plan(spark, "q129_effective_tokens")
+    keys = {
+        m.split("#")[0]
+        for m in re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
+    }
+    assert keys <= {"passage", "source"}
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
