@@ -414,3 +414,66 @@ def q124_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.withColumn("_base", base).withColumn(
         "conv_bp", F.expr("CAST(n_users * 10000 div _base AS BIGINT)")
     ).drop("_base")
+
+
+# ---------------------------------------------------------------------------
+# q130: analytic rank family (percent_rank / cume_dist / ntile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q130_analytic_ranks",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey, c.c_nationkey % 5 AS region_band,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, region_band, cents,
+           CAST(floor(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+           CAST(floor(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM spend
+    WINDOW w AS (PARTITION BY region_band ORDER BY cents DESC, c_custkey)
+    """,
+    tags=("window", "rank"),
+)
+def q130_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic rank family on one window: customer spend per
+    region band scored with percent_rank, cume_dist, and ntile(4)
+    quartiles — the remaining ranking functions the window surface
+    (q13/q14/q60) didn't exercise. Spend is summed in exact integer
+    cents (the q60 convention) and the rank ratios floored to basis
+    points, so the gate compares identical doubles, not decimal
+    renderings; the (cents DESC, custkey) order is tie-free.
+
+    Scale: one key-partitioned sort window over the pre-aggregated
+    |customers|-row frame — the join and agg shuffle on custkey first,
+    the window re-shuffles on the small region_band key. At real scale
+    band count should exceed executor count or the heavy band becomes
+    one task (the q112 skew audit's warning case).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_custkey", (F.col("c_nationkey") % 5).alias("region_band")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("region_band").orderBy(F.col("cents").desc(), F.col("c_custkey"))
+    return spend.select(
+        "c_custkey",
+        "region_band",
+        "cents",
+        F.floor(F.percent_rank().over(w) * 10000).cast("long").alias("pr_bp"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("long").alias("cd_bp"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )

@@ -410,3 +410,25 @@ def test_q129_token_conservation_with_q115(spark):
         assert r["kept_bp"] == r["kept_tokens"] * 10000 // r["raw_tokens"]
     q115 = all_specs()["q115_passage_dedup"].fn(spark, SF_DIR).collect()
     assert sum(r["kept_tokens"] for r in out) <= 20 * sum(r["n_kept"] for r in q115)
+
+
+def test_q130_rank_family_invariants(spark):
+    """Within each band: pr_bp/cd_bp are monotone in rank order, pr spans
+    [0, <=10000], cume_dist of the last row is exactly 10000, and ntile
+    quartile sizes differ by at most one."""
+    out = all_specs()["q130_analytic_ranks"].fn(spark, SF_DIR).collect()
+    assert out
+    by_band = {}
+    for r in out:
+        by_band.setdefault(r["region_band"], []).append(r)
+    for band, rows in by_band.items():
+        rows.sort(key=lambda r: (-r["cents"], r["c_custkey"]))
+        prs = [r["pr_bp"] for r in rows]
+        cds = [r["cd_bp"] for r in rows]
+        assert prs == sorted(prs) and cds == sorted(cds)
+        assert prs[0] == 0 and cds[-1] == 10000
+        sizes = {}
+        for r in rows:
+            sizes[r["quartile"]] = sizes.get(r["quartile"], 0) + 1
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
