@@ -356,8 +356,9 @@ def q107_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 3, 'purchase', count(*) FROM p
     )
     SELECT ord, step, n_users,
-           CAST(n_users * 10000 // first_value(n_users)
-                  OVER (ORDER BY ord) AS BIGINT) AS conv_bp
+           CAST(CASE WHEN first_value(n_users) OVER (ORDER BY ord) = 0 THEN 0
+                     ELSE n_users * 10000 // first_value(n_users)
+                            OVER (ORDER BY ord) END AS BIGINT) AS conv_bp
     FROM steps
     """,
     tags=("analytics", "funnel", "events"),
@@ -410,9 +411,16 @@ def q124_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # zero guard (r9): on a corpus with no 'view' events DuckDB's `//`
+    # raises division-by-zero while Spark's div yields NULL — both sides
+    # emit 0 bp instead so query and oracle agree on empty funnels too
     base = F.first("n_users").over(W.orderBy("ord"))
     return steps.withColumn("_base", base).withColumn(
-        "conv_bp", F.expr("CAST(n_users * 10000 div _base AS BIGINT)")
+        "conv_bp",
+        F.expr(
+            "CAST(CASE WHEN _base = 0 THEN 0"
+            " ELSE n_users * 10000 div _base END AS BIGINT)"
+        ),
     ).drop("_base")
 
 

@@ -64,7 +64,12 @@ def pack_stream(docs: DataFrame, capacity: int = _PACK_CAP) -> DataFrame:
             started = True
         else:
             cur, fill, last_doc, started = 0, 0, _NO_DOC, False
-        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        # sort by BOTH columns: pandas' default quicksort is unstable, so
+        # under duplicated doc_ids carrying different n_tok the copy that
+        # duplicated(keep="first") folds would be replay-nondeterministic;
+        # the (doc_id, n_tok) key makes the folded copy (smallest n_tok)
+        # deterministic under redelivery
+        batch = pd.concat(list(pdfs)).sort_values(["doc_id", "n_tok"])
         # quarantine BOTH order violations: docs at-or-behind the carried
         # last_doc (cross-batch) and repeated doc_ids WITHIN the batch (a
         # doubled landing-zone file) — folding either would silently

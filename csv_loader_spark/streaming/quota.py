@@ -48,6 +48,13 @@ def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
         (source,) = key
         n = state.get[0] if state.exists else 0
         batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        # within-batch duplicate guard (r9, packing.py's hardening applied
+        # here): a doubled landing-zone file delivers the same doc_id
+        # twice and both copies would consume the cap, breaking the
+        # documented count-parity with batch q121. Rows here are just
+        # (source, doc_id), so the extra copies carry no information —
+        # drop them rather than quarantine.
+        batch = batch[~batch["doc_id"].duplicated(keep="first")]
         k = len(batch)
         admit_n = max(0, min(cap - n, k))
         admitted = [True] * admit_n + [False] * (k - admit_n)

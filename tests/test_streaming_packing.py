@@ -151,3 +151,35 @@ def test_within_batch_duplicate_doc_is_quarantined(spark, tmp_path):
     # packs alone (packs 0, 1, 2); the second copy of doc 2 surfaces as
     # quarantine instead of folding into the carry
     assert assignments == [(1, 0), (2, QUARANTINED), (2, 1), (3, 2)]
+
+
+def test_duplicate_doc_with_differing_ntok_folds_smallest(spark, tmp_path):
+    """r9 determinism guard: duplicated doc_id rows carrying DIFFERENT
+    n_tok values (a corrupted redelivery) must fold a deterministic copy —
+    the (doc_id, n_tok) sort makes it the smallest n_tok, replay-stable
+    regardless of pandas' unstable default sort."""
+    from csv_loader_spark.streaming.packing import QUARANTINED
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # doc 2 arrives as 500 AND 90 tokens; the 90-token copy must fold
+    # (doc 3 at 160 then fits the same 256-cap pack iff 90 folded)
+    _write_batch(
+        src / "b1.json",
+        [("s", 1, 600), ("s", 2, 500), ("s", 2, 90), ("s", 3, 160)],
+    )
+    stream = spark.readStream.schema(_SCHEMA).json(str(src))
+    q = (
+        pack_stream(stream)
+        .writeStream.format("memory")
+        .queryName("packed_dup_ntok")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM packed_dup_ntok").collect()
+    got = sorted((r["doc_id"], r["n_tok"], r["pack_id"]) for r in rows)
+    # fold: [600] alone (pack 0), then 90+160=250 share pack 1;
+    # the 500-token copy surfaces as quarantine
+    assert got == [(1, 600, 0), (2, 90, 1), (2, 500, QUARANTINED), (3, 160, 1)]

@@ -53,3 +53,36 @@ def test_quota_binds_across_batches(spark, tmp_path):
     for (s, _d), (a, _n) in got.items():
         admitted[s] = admitted.get(s, 0) + int(a)
     assert admitted == {"a": 3, "b": 2}
+
+
+def test_duplicated_delivery_does_not_double_consume(spark, tmp_path):
+    """r9 guard: a doubled landing-zone file delivers the same doc_id
+    twice in one micro-batch — the duplicate must not consume the cap
+    (count parity with batch q121, which sees each doc once)."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    # doc 1 delivered twice in b1; cap=2 must still admit doc 2 from b2
+    _write_batch(src / "b1.json", [("a", 1), ("a", 1)])
+    _write_batch(src / "b2.json", [("a", 2), ("a", 3)])
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        quota_stream(stream, cap=2)
+        .writeStream.format("memory")
+        .queryName("quota_dup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM quota_dup").collect()
+    got = {(r["source"], r["doc_id"]): (r["admitted"], r["n_admitted"]) for r in rows}
+    # one verdict per doc_id (the doubled copy is dropped, not re-emitted)
+    assert got == {
+        ("a", 1): (True, 1),
+        ("a", 2): (True, 2),
+        ("a", 3): (False, 2),
+    }
