@@ -212,7 +212,9 @@ def _minhash_cand_ctes(cap: int, sfx: str = "") -> str:
     """
 
 
-def _minhash_oracle_sigs() -> str:
+def _minhash_oracle_band_ctes() -> str:
+    """sigs/bands CTEs (no candidate chain) over an existing ``exploded``
+    CTE — shared with the ingest near-dup twin (llm8.py q131)."""
     cols = ",\n             ".join(
         f"min(md5('{i}:' || s)) AS h{i}" for i in range(_N_HASHES)
     )
@@ -228,7 +230,13 @@ def _minhash_oracle_sigs() -> str:
     ),
     bands AS (
       {bands}
-    ),
+    )
+    """
+
+
+def _minhash_oracle_sigs() -> str:
+    return f"""
+    {_minhash_oracle_band_ctes()},
     {_minhash_cand_ctes(_BAND_CAP)}
     """
 
@@ -269,11 +277,14 @@ def q34_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
-    """q34's pipeline over an arbitrary (doc_id, text) frame (see
-    shingled_docs for why the DataFrame-in form exists). Each (band, bkey)
-    bucket is capped at ``cap`` members (first by doc_id) before the
-    candidate self-join — see _BAND_CAP."""
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band, bkey): the LSH band signatures of
+    q34's 6-minhash / 3-band md5 sketch. Factored out (r9) so the
+    ingest-time near-dup probe (streaming/ingest_dedup.py) indexes and
+    probes EXACTLY the sketch the batch pairwise join uses — one hash
+    family, no drift between the index a stream maintains and the batch
+    dedup's collision rule. Docs with < 3 tokens have no shingles and
+    therefore no bands (mirrors the oracle's ``len(t) >= 3`` shingle CTE)."""
     sh = shingled_docs(docs)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     sigs = ex.groupBy("doc_id").agg(*_minhash_sig_cols())
@@ -285,6 +296,17 @@ def minhash_lsh_pairs(docs: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
             F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bkey"),
         )
         bands = part if bands is None else bands.unionAll(part)
+    return bands
+
+
+def minhash_lsh_pairs(docs: DataFrame, cap: int = _BAND_CAP) -> DataFrame:
+    """q34's pipeline over an arbitrary (doc_id, text) frame (see
+    shingled_docs for why the DataFrame-in form exists). Each (band, bkey)
+    bucket is capped at ``cap`` members (first by doc_id) before the
+    candidate self-join — see _BAND_CAP."""
+    sh = shingled_docs(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    bands = minhash_bands(docs)
     bands = (
         bands.withColumn(
             "rn",

@@ -96,10 +96,137 @@ def novel_documents(
 
 
 # --------------------------------------------------------------------------
+# NEAR-dup at ingest (r9): probe arrivals against a band-signature index.
+# --------------------------------------------------------------------------
+
+VERDICTS = ("accepted", "exact_corpus", "exact_batch", "near_corpus", "near_batch")
+
+
+def band_signature_index(corpus: DataFrame) -> DataFrame:
+    """The NEAR-dup index of an accepted corpus: the DISTINCT MinHash LSH
+    band keys (q34's 6-minhash / 3-band sketch, queries/llm.py
+    minhash_bands) — two narrow columns (band, bkey). A band-key collision
+    is the same event that makes two docs LSH candidates in the batch
+    pairwise join, so index membership == "would have been a near-dup
+    candidate of something already accepted"."""
+    from csv_loader_spark.queries.llm import minhash_bands
+
+    return minhash_bands(corpus).select("band", "bkey").distinct()
+
+
+def ingest_verdicts(
+    arrivals: DataFrame, fp_index: DataFrame, band_index: DataFrame
+) -> DataFrame:
+    """Per-arrival admission verdict against BOTH indexes of the accepted
+    corpus: (doc_id, source, fp, verdict), verdict one of ``VERDICTS`` in
+    precedence order —
+
+    1. ``exact_corpus``: content fingerprint already in ``fp_index``.
+    2. ``exact_batch``: fp duplicates an EARLIER (smaller doc_id) arrival
+       that itself passed check 1 (min-doc_id survivor, q104's rule).
+    3. ``near_corpus``: any of the doc's LSH band keys is in
+       ``band_index`` — the doc would have been an LSH candidate pair
+       with an already-accepted doc (CCNet/RefinedWeb-style
+       dedup-against-snapshot: rejection on bucket membership, the
+       documented false-positive trade of banded LSH; no pairwise verify
+       against the corpus, which would require storing corpus shingles).
+    4. ``near_batch``: among arrivals surviving 1–3, the doc is NOT the
+       minimum doc_id in at least one of its band buckets. Keep-the-
+       bucket-minimum is a WINDOW MIN per (band, bkey) — linear, no
+       candidate self-join, so a degenerate batch (all near-identical)
+       costs one narrow shuffle instead of C(n, 2) pairs. Deterministic
+       and non-iterative: the comparison set is the step-3 survivors,
+       not the step-4 survivors (no transitive re-admission).
+    5. ``accepted`` otherwise. Docs with < 3 tokens have no bands and
+       skip the near checks (exact checks still apply).
+
+    Batch-mode only (the closed loop runs it inside foreachBatch): the
+    within-batch window rules need the whole micro-batch, which
+    foreachBatch provides; a pure stream-stream self-join shape is not
+    needed. Scale: every join is a semi/anti equi-join on fp, doc_id or
+    (band, bkey) — id-table probes, never a corpus rescan."""
+    from csv_loader_spark.queries.llm import minhash_bands
+
+    tagged = arrivals.withColumn("fp", TXT.fingerprint("text"))
+    arr_bands = minhash_bands(arrivals)
+
+    exact_c = tagged.join(fp_index, "fp", "left_semi").select("doc_id")
+    rest1 = tagged.join(fp_index, "fp", "left_anti")
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    rest1 = rest1.withColumn("_rn", F.row_number().over(wfp))
+    exact_b = rest1.filter(F.col("_rn") > 1).select("doc_id")
+    rest2 = rest1.filter(F.col("_rn") == 1).drop("_rn")
+
+    near_c = (
+        arr_bands.join(band_index, ["band", "bkey"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    rest3 = rest2.join(near_c, "doc_id", "left_anti")
+
+    b3 = arr_bands.join(rest3.select("doc_id"), "doc_id", "left_semi")
+    wmin = Window.partitionBy("band", "bkey")
+    near_b = (
+        b3.withColumn("_m", F.min("doc_id").over(wmin))
+        .filter(F.col("doc_id") != F.col("_m"))
+        .select("doc_id")
+        .distinct()
+    )
+
+    def _flag(ids: DataFrame, name: str) -> DataFrame:
+        return ids.withColumn(name, F.lit(True))
+
+    out = (
+        tagged.join(_flag(exact_c, "_ec"), "doc_id", "left")
+        .join(_flag(exact_b, "_eb"), "doc_id", "left")
+        .join(_flag(near_c, "_nc"), "doc_id", "left")
+        .join(_flag(near_b, "_nb"), "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("_ec"), F.lit("exact_corpus"))
+        .when(F.col("_eb"), F.lit("exact_batch"))
+        .when(F.col("_nc"), F.lit("near_corpus"))
+        .when(F.col("_nb"), F.lit("near_batch"))
+        .otherwise(F.lit("accepted"))
+    )
+    return out.withColumn("verdict", verdict).drop("_ec", "_eb", "_nc", "_nb")
+
+
+# --------------------------------------------------------------------------
 # The index append loop: accepted fingerprints flow BACK to the index store.
 # --------------------------------------------------------------------------
 
 _FP_SCHEMA = T.StructType([T.StructField("fp", T.StringType(), True)])
+_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), True),
+        T.StructField("bkey", T.StringType(), True),
+    ]
+)
+
+
+def read_band_index(
+    spark: SparkSession, band_index_path: str, *, exclude_batch: int | None = None
+) -> DataFrame:
+    """The current band-signature index: (band, bkey) over every committed
+    ``batch=<id>`` partition, with the same bootstrap and
+    ``exclude_batch`` crash-window semantics as ``read_index``."""
+    if os.path.isdir(band_index_path) and any(
+        e.startswith("batch=") for e in os.listdir(band_index_path)
+    ):
+        df = spark.read.parquet(band_index_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch") != exclude_batch)
+        return df.select("band", "bkey")
+    return spark.createDataFrame([], _BAND_SCHEMA)
+
+
+def seed_band_index(corpus: DataFrame, band_index_path: str) -> None:
+    """Bootstrap the near-dup index from an already-accepted corpus
+    (``batch=-1``, same convention as ``seed_index``)."""
+    band_signature_index(corpus).write.mode("overwrite").parquet(
+        os.path.join(band_index_path, "batch=-1")
+    )
 
 
 def read_index(
@@ -158,6 +285,7 @@ def start_ingest_pipeline(
     accepted_path: str,
     checkpoint_dir: str,
     *,
+    band_index_path: str | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """The closed-loop incremental ingest: per micro-batch, anti-join the
@@ -165,20 +293,41 @@ def start_ingest_pipeline(
     appends), dedup within the batch (batch-mode min-doc_id survivor —
     deterministic under replay, unlike first-arrival order), land accepted
     documents under ``accepted_path/batch=<id>`` and their fingerprints
-    under ``index_path/batch=<id>``, both overwrite-idempotent."""
+    under ``index_path/batch=<id>``, both overwrite-idempotent.
+
+    With ``band_index_path`` (r9) the probe is NEAR-dup as well: arrivals
+    run through ``ingest_verdicts`` against both the fingerprint index and
+    the band-signature index, only ``accepted`` docs land, and the
+    accepted docs' band keys are appended to ``band_index_path/batch=<id>``
+    alongside the fingerprints — so batch N+1 rejects near-dups of batch
+    N's admissions (CCNet's deduplicate-against-snapshot, incremental).
+    Same crash-window discipline as the exact loop: both index reads
+    exclude the in-flight batch's own partition, every write targets the
+    batch's own partition with overwrite, the ledger records last."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _already_applied(index_path, batch_id):
             return
         index = read_index(spark, index_path, exclude_batch=batch_id)
-        novel = novel_documents(batch_df, index)
-        # one materialization feeding both writes; also decouples the
+        if band_index_path is not None:
+            band_idx = read_band_index(
+                spark, band_index_path, exclude_batch=batch_id
+            )
+            verdicts = ingest_verdicts(batch_df, index, band_idx)
+            novel = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
+        else:
+            novel = novel_documents(batch_df, index)
+        # one materialization feeding all writes; also decouples the
         # accepted-write plan from a mid-write index refresh
         novel = novel.localCheckpoint(eager=True)
         novel.drop("fp").write.mode("overwrite").parquet(
             os.path.join(accepted_path, f"batch={batch_id}")
         )
+        if band_index_path is not None:
+            band_signature_index(novel).write.mode("overwrite").parquet(
+                os.path.join(band_index_path, f"batch={batch_id}")
+            )
         append_to_index(novel, index_path, batch_id)
 
     writer = (

@@ -343,3 +343,16 @@ def test_q129_reuses_q115_shuffle_shape(spark):
     }
     assert keys <= {"passage", "source"}
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
+
+
+def test_q131_ingest_neardup_probes_are_linear(spark):
+    """The ingest near-dup probe must be all semi/anti equi-joins plus a
+    window min per band bucket — never a candidate self-join or cartesian
+    (a degenerate all-near-identical batch stays one narrow shuffle)."""
+    plan = _plan(spark, "q131_ingest_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the within-batch near rule is the bucket-min window, not a join
+    assert "min(doc_id" in plan
+    # the index probes are semi/anti joins on derived keys
+    assert "LeftSemi" in plan and "LeftAnti" in plan

@@ -232,3 +232,152 @@ def test_redelivery_after_index_write_crash_does_not_lose_the_batch(spark, tmp_p
     }
     # and the index still holds exactly seed + delta, no duplicates
     assert read_index(spark, idx).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# r9: the NEAR-dup closed loop (band-signature index alongside the fp index)
+# ---------------------------------------------------------------------------
+
+# Fixtures chosen so the MinHash band collisions are deterministic (verified
+# against a pure-python replica of the md5 sketch): _NEAR collides with
+# _CORPUS_DOC in 2 of 3 bands, _N1/_N2 collide with each other (3 bands) but
+# not with the corpus, _N3 collides with _N1 (2 bands) only, _GAMMA with
+# nothing.
+_CORPUS_DOC = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "every sunny morning in spring"
+)
+_NEAR = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "every sunny morning in autumn"
+)
+_N1 = (
+    "distributed stream processing with incremental checkpoints handles "
+    "late data gracefully in production pipelines"
+)
+_N2 = (
+    "distributed stream processing with incremental checkpoints handles "
+    "late data gracefully in production systems"
+)
+_N3 = (
+    "distributed stream processing with incremental checkpoints handles "
+    "late data gracefully in modern pipelines"
+)
+_GAMMA = (
+    "graph algorithms on sparse matrices benefit from cache aware "
+    "blocking strategies tuned per architecture"
+)
+
+
+def test_ingest_verdicts_batch_rules(spark):
+    """The five-verdict precedence on one batch: exact-vs-corpus beats
+    near-vs-corpus beats near-vs-batch; the within-batch near rule keeps
+    the bucket-minimum doc_id."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_signature_index,
+        ingest_verdicts,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    arrivals = spark.createDataFrame(
+        [
+            (10, "s", _CORPUS_DOC),  # exact dup of corpus
+            (11, "s", _NEAR),        # near dup of corpus (band collision)
+            (12, "s", _N1),          # novel -> accepted
+            (13, "s", _N2),          # near dup of doc 12 within the batch
+            (14, "s", _N1),          # exact dup of doc 12 within the batch
+            (15, "s", _GAMMA),       # novel -> accepted
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = ingest_verdicts(
+        arrivals, fingerprint_index(corpus), band_signature_index(corpus)
+    )
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {
+        10: "exact_corpus",
+        11: "near_corpus",
+        12: "accepted",
+        13: "near_batch",
+        14: "exact_batch",
+        15: "accepted",
+    }
+
+
+def test_neardup_ingest_loop_grows_band_index(spark, tmp_path):
+    """The closed NEAR-dup loop: batch 2's near-dup of a batch-1 admission
+    is rejected by the GROWN band index (no stream state), rejected docs'
+    bands are NOT appended, and redelivery is overwrite-idempotent."""
+    from csv_loader_spark.streaming.ingest_dedup import read_band_index, seed_band_index
+
+    idx = str(tmp_path / "index")
+    bidx = str(tmp_path / "band_index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    seed_index(corpus, idx)
+    seed_band_index(corpus, bidx)
+    n_seed_bands = read_band_index(spark, bidx).count()
+    assert n_seed_bands >= 1
+
+    _write_batch(
+        src / "b1.json",
+        [
+            (100, "2026-01-01 10:00:00", _NEAR),  # near dup of corpus
+            (101, "2026-01-01 10:00:01", _N1),    # accepted
+            (102, "2026-01-01 10:00:02", _N2),    # near dup of 101 in-batch
+        ],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        band_index_path=bidx,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    accepted = spark.read.parquet(acc)
+    assert {r["doc_id"] for r in accepted.collect()} == {101}
+    # only the ACCEPTED doc's bands grew the index
+    n_after_b1 = read_band_index(spark, bidx).count()
+    assert n_after_b1 > n_seed_bands
+
+    # batch 2 after a restart: near-dup of batch 1's admission must be
+    # rejected by the index the loop itself grew
+    _write_batch(
+        src / "b2.json",
+        [
+            (200, "2026-01-01 10:01:00", _N3),    # near dup of 101 (cross-batch)
+            (201, "2026-01-01 10:01:01", _GAMMA), # accepted
+        ],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        band_index_path=bidx,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    accepted = spark.read.parquet(acc)
+    assert {r["doc_id"] for r in accepted.collect()} == {101, 201}
+
+    # redelivery idempotence: rerunning a batch's band write never
+    # double-appends (overwrite into its own partition)
+    n_final = read_band_index(spark, bidx).count()
+    from csv_loader_spark.streaming.ingest_dedup import band_signature_index
+
+    batch1 = accepted.filter(F.col("doc_id") == 101).select("doc_id", "text")
+    band_signature_index(batch1).write.mode("overwrite").parquet(
+        os.path.join(bidx, "batch=0")
+    )
+    assert read_band_index(spark, bidx).count() == n_final
