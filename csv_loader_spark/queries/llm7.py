@@ -30,7 +30,7 @@ search.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -66,7 +66,8 @@ _PASSAGE_CTE = rf"""
     ),
     flagged AS (
       SELECT doc_id, i, passage,
-             row_number() OVER (PARTITION BY passage ORDER BY doc_id, i) = 1 AS keep
+             row_number() OVER (PARTITION BY md5(passage)
+                                ORDER BY doc_id, i) = 1 AS keep
       FROM passages
     )
 """
@@ -93,13 +94,14 @@ def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     report each doc's passage count, surviving count, and the fingerprint
     of its reassembled (order-preserving) deduped text.
 
-    Scale: one shuffle on the passage string (window keep-first — the
-    dedup key, whose cardinality FALLS with duplication), one shuffle on
+    Scale: one shuffle on the passage key (window keep-first — the dedup
+    key, whose cardinality FALLS with duplication), one shuffle on
     doc_id for reassembly. No pairwise joins; boilerplate passages
     collapse into single hot groups that a window top-1 handles in one
-    pass. At 100 TB swap the raw-passage partition key for its md5 to
-    bound key width — kept as the raw string here so the oracle mirrors
-    exactly.
+    pass. The partition key is md5(passage) — the 100 TB shuffle-width
+    bound promoted to the code's default (r9), mirrored in the oracle;
+    a 32-byte key regardless of passage length, ordering within a
+    bucket unchanged (doc_id, i).
     """
     d = load_table(spark, sf_dir, "documents")
     t = TXT.tokens("text")
@@ -115,7 +117,7 @@ def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE), " "
         ).alias("passage"),
     )
-    w = W.partitionBy("passage").orderBy("doc_id", "i")
+    w = W.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
     flagged = passages.withColumn("keep", F.row_number().over(w) == 1)
     kept_structs = F.array_sort(
         F.collect_list(
@@ -683,7 +685,7 @@ def q121_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT source, lang, text,
              len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok,
-             count(*) OVER (PARTITION BY text) AS text_df
+             count(*) OVER (PARTITION BY md5(text)) AS text_df
       FROM documents
     ),
     base AS (
@@ -719,11 +721,11 @@ def q122_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     points and x100 fixings keep the exact gate rounding-free.
 
     Scale: one corpus scan feeds both aggregates (per-source base stats,
-    per-(source, lang) mode); the exact-dup flag rides a text-keyed window
-    (the same shuffle exact dedup pays — at 100 TB partition on md5(text)
-    instead of raw text to bound key width). The mode table is
-    |sources|x|langs| rows; its window and the final join are broadcast-
-    sized.
+    per-(source, lang) mode); the exact-dup flag rides an md5(text)-keyed
+    window (the same shuffle exact dedup pays, with the 32-byte hashed
+    key as the code default since r9 — raw text never becomes a shuffle
+    key). The mode table is |sources|x|langs| rows; its window and the
+    final join are broadcast-sized.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(TXT.tokens("text"))
@@ -731,7 +733,7 @@ def q122_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         n_tok.alias("n_tok"),
-        F.count("*").over(W.partitionBy("text")).alias("text_df"),
+        F.count("*").over(W.partitionBy(F.md5("text"))).alias("text_df"),
     )
     base = (
         enriched.groupBy("source")
@@ -1125,6 +1127,39 @@ def q126_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# URL-injection scaffolding (q127/q132): the synthetic corpus carries no
+# URLs, so the blocklist rule would be vacuous — every third doc gets a
+# deterministic doc_id-derived URL appended, identical expression on both
+# engines, so the rule measurably fires.
+_INJECTED_TEXT_SQL = """CASE WHEN doc_id % 3 = 0
+                  THEN text || ' see '
+                       || CASE WHEN doc_id % 2 = 0 THEN 'https://SITE'
+                               ELSE 'http://site' END
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE'
+                               ELSE '.example/page' || CAST(doc_id AS VARCHAR)
+                          END
+                  ELSE text END"""
+
+
+def injected_url_text() -> Column:
+    """Spark twin of ``_INJECTED_TEXT_SQL``."""
+    return F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https://SITE")).otherwise(
+                F.lit("http://site")
+            ),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE")).otherwise(
+                F.concat(F.lit(".example/page"), F.col("doc_id").cast("string"))
+            ),
+        ),
+    ).otherwise(F.col("text"))
+
+
 def _q127_oracle() -> str:
     from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
 
@@ -1134,15 +1169,7 @@ def _q127_oracle() -> str:
     return f"""
     WITH injected AS (
       SELECT doc_id, source, n_chars,
-             CASE WHEN doc_id % 3 = 0
-                  THEN text || ' see '
-                       || CASE WHEN doc_id % 2 = 0 THEN 'https://SITE'
-                               ELSE 'http://site' END
-                       || CAST(doc_id % 7 AS VARCHAR)
-                       || CASE WHEN doc_id % 2 = 0 THEN '.EXAMPLE'
-                               ELSE '.example/page' || CAST(doc_id AS VARCHAR)
-                          END
-                  ELSE text END AS text
+             {_INJECTED_TEXT_SQL} AS text
       FROM documents
     ),
     surviving AS (
@@ -1183,21 +1210,9 @@ def q127_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
 
     d = load_table(spark, sf_dir, "documents")
-    injected = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.col("text"),
-            F.lit(" see "),
-            F.when(F.col("doc_id") % 2 == 0, F.lit("https://SITE")).otherwise(
-                F.lit("http://site")
-            ),
-            (F.col("doc_id") % 7).cast("string"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(".EXAMPLE")).otherwise(
-                F.concat(F.lit(".example/page"), F.col("doc_id").cast("string"))
-            ),
-        ),
-    ).otherwise(F.col("text"))
-    tagged = d.select("doc_id", "source", injected.alias("text")).withColumn(
+    tagged = d.select(
+        "doc_id", "source", injected_url_text().alias("text")
+    ).withColumn(
         "domain",
         F.lower(F.coalesce(F.regexp_extract("text", _URL_RE, 1), F.lit(""))),
     )
@@ -1366,7 +1381,7 @@ def q129_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("passage"),
     )
-    w = W.partitionBy("passage").orderBy("doc_id", "i")
+    w = W.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
     flagged = passages.withColumn("keep", F.row_number().over(w) == 1).withColumn(
         "n_tok", F.size(F.split(F.col("passage"), " "))
     )

@@ -285,7 +285,10 @@ def test_q115_passage_dedup_two_narrow_exchanges_only(spark):
         m.split("#")[0]
         for m in re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
     }
-    assert keys <= {"passage", "doc_id"}
+    # _w0 is the projected md5(passage) key (r9 default: the keep-first
+    # window shuffles the 32-byte hash, never the raw passage string)
+    assert keys <= {"_w0", "doc_id"}
+    assert "md5" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
@@ -332,8 +335,8 @@ def test_q128_leak_join_is_shingle_equi(spark):
 
 def test_q129_reuses_q115_shuffle_shape(spark):
     """Effective-token accounting pays q115's passage shuffle plus a
-    source roll-up — exchanges only on (passage, source), scan pruned to
-    the three needed columns."""
+    source roll-up — exchanges only on (md5(passage) as _w0, source), scan
+    pruned to the three needed columns."""
     import re
 
     plan = _plan(spark, "q129_effective_tokens")
@@ -341,7 +344,8 @@ def test_q129_reuses_q115_shuffle_shape(spark):
         m.split("#")[0]
         for m in re.findall(r"Exchange hashpartitioning\(([a-zA-Z_#0-9]+)", plan)
     }
-    assert keys <= {"passage", "source"}
+    assert keys <= {"_w0", "source"}
+    assert "md5" in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in plan
 
 
@@ -356,3 +360,18 @@ def test_q131_ingest_neardup_probes_are_linear(spark):
     assert "min(doc_id" in plan
     # the index probes are semi/anti joins on derived keys
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q132_manifest_composes_without_pairwise_joins(spark):
+    """The five-rule admission manifest must stay linear: gram equi-join
+    for decontamination (broadcast eval side), window keep-first on the
+    HASHED passage key, WindowGroupLimit for the quota — no cartesian or
+    nested-loop anywhere."""
+    plan = _plan(spark, "q132_admission_manifest")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    # the passage keep-first partitions on md5(passage) (projected to a
+    # _w0 working column before the exchange), never the raw string
+    assert "md5" in plan
+    assert "hashpartitioning(passage" not in plan
