@@ -315,3 +315,186 @@ def q132_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_split_case(h_split)).alias("split"),
         F.size(TXT.tokens("text")).cast("long").alias("n_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133: perceptual-hash (dHash) near-dup over the media table
+# ---------------------------------------------------------------------------
+
+_GRID_ROWS, _GRID_COLS = 8, 9  # 8x9 cells -> 8x8 difference bits = 64
+_PHASH_BANDS = 4  # 4 bands x 16 bits; pigeonhole: hamming <= 3 => a band matches
+_PHASH_MAX_HAMMING = 3
+# Twin-injection scaffolding (q127's convention): the synthetic corpus has
+# no re-encoded assets, so every fifth long doc gets a twin with ONE char
+# overwritten at a fixed position — for texts >= 80 chars that perturbs at
+# most one sampled grid cell (position 5 is sampled by at most one of the
+# 72 fractional sample points once len > 72), i.e. <= 2 dHash bits, so the
+# twin lands inside the Hamming ball and the detector measurably fires.
+_TWIN_OFFSET = 1_000_000_000
+
+
+def _dhash_band_exprs() -> list[str]:
+    """Band value j (j = 0..3) as engine-shared integer SQL over a 72-cell
+    array named ``cell`` (1-indexed in both engines via element_at /
+    list indexing): 16 difference bits from grid rows 2j and 2j+1."""
+    out = []
+    for j in range(_PHASH_BANDS):
+        terms = []
+        for rr in range(2):
+            r = 2 * j + rr
+            for c in range(_GRID_COLS - 1):
+                idx = r * _GRID_COLS + c + 1  # 1-based
+                terms.append(
+                    f"(CASE WHEN cell[{idx}] < cell[{idx + 1}]"
+                    f" THEN {1 << (rr * 8 + c)} ELSE 0 END)"
+                )
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
+def _q133_oracle() -> str:
+    bands = _dhash_band_exprs()
+    band_cols = ", ".join(f"{e} AS v{j}" for j, e in enumerate(bands))
+    long_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {j} AS j, v{j} AS val FROM sigs" for j in range(_PHASH_BANDS)
+    )
+    ham = " + ".join(f"bit_count(xor(a.v{j}, b.v{j}))" for j in range(_PHASH_BANDS))
+    return rf"""
+    WITH media AS (
+      SELECT doc_id, text FROM documents WHERE len(text) >= 1
+      UNION ALL
+      SELECT doc_id + {_TWIN_OFFSET} AS doc_id,
+             substr(text, 1, 4) || '#' || substr(text, 6) AS text
+      FROM documents WHERE doc_id % 5 = 0 AND len(text) >= 80
+    ),
+    cells AS (
+      SELECT doc_id,
+             list_transform(range(0, {_GRID_ROWS * _GRID_COLS}),
+                 k -> unicode(substr(text,
+                     1 + CAST((k * len(text)) // {_GRID_ROWS * _GRID_COLS} AS INT),
+                     1))) AS cell
+      FROM media
+    ),
+    sigs AS (
+      SELECT doc_id, {band_cols} FROM cells
+    ),
+    long AS (
+      {long_union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM long a JOIN long b
+        ON a.j = b.j AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.doc_a
+    JOIN sigs b ON b.doc_id = c.doc_b
+    WHERE {ham} <= {_PHASH_MAX_HAMMING}
+    """
+
+
+@query(
+    "q133_phash_neardup",
+    oracle=_q133_oracle(),
+    tags=("dedup", "multimodal", "lsh", "llm"),
+)
+def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the media table: dHash (difference
+    hash) of each asset's decoded pixel grid, banded into 4 x 16 bits,
+    candidate pairs from a banded equi-join, verified by exact Hamming
+    distance <= 3. By pigeonhole the banding is LOSSLESS at this
+    threshold (<= 3 differing bits across 4 bands means at least one
+    band is untouched), so the output is EXACTLY the pairs within the
+    Hamming ball — q53's pigeonhole-band guarantee applied to images.
+
+    Decode tier (ops/multimodal.py convention): the container ships no
+    image codec and the synthetic payloads are the UTF-8 text bytes
+    (attach_fake_media), so the "pixel grid" is the deterministic
+    pseudo-decode — 72 characters sampled at fixed fractional positions,
+    their codepoints standing in for gray levels. Pure integer
+    arithmetic, identical in Spark (ascii/element_at) and DuckDB
+    (unicode/list index). With a real codec the grid comes from a
+    mapInPandas batch decode (multimodal.py's tiered PIL path) and
+    everything from the band signatures down is unchanged.
+
+    The natural corpus has no re-encoded assets (minimum pairwise dHash
+    distance 13 at sf0.01), so the query injects deterministic twins —
+    every fifth long doc re-appears with one character overwritten, a
+    <= 2-bit perturbation (see _TWIN_OFFSET) — the same
+    make-the-rule-fire scaffolding as q127's URL injection, mirrored
+    exactly in the oracle.
+
+    Scale: signatures are map-only (72 sampled chars per asset — no
+    full-payload scan per bit); candidates come from 4 equi-joins on
+    (band, 16-bit value) — collision rate n^2 / 65536 per band, the
+    usual banded-LSH bound, cappable per bucket like q34 if a
+    degenerate corpus floods one value; the verify is 4 xor/popcounts
+    per candidate pair. No all-pairs product at any size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    originals = d.filter(F.length("text") >= 1).select("doc_id", "text")
+    twins = (
+        d.filter((F.col("doc_id") % 5 == 0) & (F.length("text") >= 80))
+        .select(
+            (F.col("doc_id") + _TWIN_OFFSET).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 4), F.lit("#"), F.expr("substr(text, 6)")
+            ).alias("text"),
+        )
+    )
+    media = originals.unionAll(twins)
+    ncell = _GRID_ROWS * _GRID_COLS
+    cells = media.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {ncell - 1}), "
+            f"k -> ascii(substr(text, "
+            f"CAST(1 + (k * length(text)) div {ncell} AS INT), 1)))"
+        ).alias("cell"),
+    )
+    band_exprs = _dhash_band_exprs()
+    sigs = cells.select(
+        "doc_id",
+        *[
+            F.expr(e.replace("cell[", "element_at(cell, ").replace("]", ")")).alias(
+                f"v{j}"
+            )
+            for j, e in enumerate(band_exprs)
+        ],
+    )
+    long = None
+    for j in range(_PHASH_BANDS):
+        part = sigs.select(
+            "doc_id", F.lit(j).alias("j"), F.col(f"v{j}").alias("val")
+        )
+        long = part if long is None else long.unionAll(part)
+    la, lb = long.alias("a"), long.alias("b")
+    cand = (
+        la.join(
+            lb,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"v{j}").alias(f"a{j}") for j in range(_PHASH_BANDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"v{j}").alias(f"b{j}") for j in range(_PHASH_BANDS)],
+    )
+    ham = None
+    for j in range(_PHASH_BANDS):
+        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(ham <= _PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+    )

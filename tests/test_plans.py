@@ -375,3 +375,15 @@ def test_q132_manifest_composes_without_pairwise_joins(spark):
     # _w0 working column before the exchange), never the raw string
     assert "md5" in plan
     assert "hashpartitioning(passage" not in plan
+
+
+def test_q133_phash_candidates_from_banded_equijoin(spark):
+    """The perceptual-hash near-dup must draw candidates from the
+    (band, value) equi-join — no cartesian or nested-loop pair space —
+    and the signature stage must be join-free map work."""
+    plan = _plan(spark, "q133_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
