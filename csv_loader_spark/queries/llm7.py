@@ -868,6 +868,40 @@ def q123_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def quantized_recall_oracle_tail() -> str:
+    """The shared pairs/ranked/recall oracle tail of the quantized-KNN
+    family (q118/q125/q134): expects a CTE ``joined(vec_id, v, d)`` with
+    the exact and dequantized double vectors — the SQL twin of
+    :func:`_quantized_knn_recall`, factored (r9) so the IVFPQ twin cannot
+    drift from the PQ/SQ8 ones."""
+    return f"""pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
+               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim,
+             list_sum(list_transform(range(1, len(q.d) + 1), i -> q.d[i] * c.d[i]))
+               / (sqrt(list_sum(list_transform(q.d, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.d, x -> x * x)))) AS qsim
+      FROM joined q JOIN joined c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_KNN_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+               AS exact_rank,
+             row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id)
+               AS quant_rank
+      FROM pairs
+    )
+    SELECT query_id,
+           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
+                         THEN 1 ELSE 0 END) * 10000 // {_KNN_K} AS BIGINT) AS recall_bp
+    FROM ranked
+    GROUP BY query_id"""
+
+
 def _pq_cb_spark() -> str:
     """The frozen PQ codebooks as a 3-level Spark literal array fragment.
     Spark and DuckDB spell array literals differently (array(..) vs
@@ -934,32 +968,7 @@ def _pq_oracle() -> str:
     joined AS (
       SELECT e.vec_id, e.v, dq.d FROM e JOIN dq ON dq.vec_id = e.vec_id
     ),
-    pairs AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i]))
-               / (sqrt(list_sum(list_transform(q.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS sim,
-             list_sum(list_transform(range(1, len(q.d) + 1), i -> q.d[i] * c.d[i]))
-               / (sqrt(list_sum(list_transform(q.d, x -> x * x)))
-                  * sqrt(list_sum(list_transform(c.d, x -> x * x)))) AS qsim
-      FROM joined q JOIN joined c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < {_KNN_QUERIES}
-    ),
-    ranked AS (
-      SELECT query_id,
-             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
-               AS exact_rank,
-             row_number() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id)
-               AS quant_rank
-      FROM pairs
-    )
-    SELECT query_id,
-           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-           CAST(sum(CASE WHEN exact_rank <= {_KNN_K} AND quant_rank <= {_KNN_K}
-                         THEN 1 ELSE 0 END) * 10000 // {_KNN_K} AS BIGINT) AS recall_bp
-    FROM ranked
-    GROUP BY query_id
+    {quantized_recall_oracle_tail()}
     """
 
 
@@ -980,7 +989,9 @@ def q125_pq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic embeddings are near-isotropic (no cluster structure for
     the codebooks to exploit), which is PQ's worst case; real embedding
     manifolds compress far better, but the honest number on this data is
-    the low one, measured, not guessed.
+    the low one, measured, not guessed. q134 (llm8.py) closes the loop:
+    IVF-residual PQ — the coarse quantizer supplying the structure the
+    data lacks — lifts recall@5 to 0.52 on the same corpus.
 
     Scale: encoding is map-only against a broadcast-literal codebook
     (explode to M rows/vector so the argmin lambda touches a COLUMN, not

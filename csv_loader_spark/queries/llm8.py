@@ -498,3 +498,200 @@ def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(ham <= _PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q134: IVF-residual product-quantized KNN (IVFPQ) with exact-oracle recall
+# ---------------------------------------------------------------------------
+
+
+def _lit2_spark(rows) -> str:
+    from csv_loader_spark.functions import vectors as VEC
+
+    return "array(" + ", ".join(VEC.lit_array_sql(c) for c in rows) + ")"
+
+
+def _lit3_spark(books) -> str:
+    return "array(" + ", ".join(_lit2_spark(b) for b in books) + ")"
+
+
+def _duck_f(x: float) -> str:
+    # scientific notation forces DOUBLE typing (a plain decimal literal
+    # parses as DECIMAL and overflows scale 38 when multiplied)
+    r = repr(x)
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+def _lit2_duck(rows) -> str:
+    return "[" + ", ".join("[" + ", ".join(_duck_f(x) for x in c) + "]" for c in rows) + "]"
+
+
+def _lit3_duck(books) -> str:
+    return "[" + ", ".join(_lit2_duck(b) for b in books) + "]"
+
+
+def _q134_oracle() -> str:
+    from csv_loader_spark.functions.ivfpq_codebooks import (
+        COARSE,
+        CODEBOOKS,
+        K,
+        M_SUB,
+        SUB_WIDTH,
+    )
+    from csv_loader_spark.queries.llm7 import quantized_recall_oracle_tail
+
+    dim = len(COARSE[0])
+    cc = _lit2_duck(COARSE)
+    cb = _lit3_duck(CODEBOOKS)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, v,
+             list_sort(list_transform({cc}, c -> struct_pack(
+               d := list_sum(list_transform(range(1, {dim} + 1), i ->
+                      (c[i] - v[i]) * (c[i] - v[i]))),
+               c := c)))[1].c AS cvec
+      FROM e
+    ),
+    res AS (
+      SELECT vec_id, cvec,
+             list_transform(range(1, {dim} + 1), i -> v[i] - cvec[i]) AS r
+      FROM assigned
+    ),
+    subs AS (
+      SELECT vec_id, m,
+             r[m * {SUB_WIDTH} + 1 : m * {SUB_WIDTH} + {SUB_WIDTH}] AS sub,
+             {cb}[m + 1] AS cbm
+      FROM res, LATERAL unnest(range(0, {M_SUB})) AS u(m)
+    ),
+    enc AS (
+      SELECT vec_id, m,
+             list_sort(list_transform(range(1, {K + 1}), kk -> struct_pack(
+               d := list_sum(list_transform(range(1, {SUB_WIDTH} + 1), i ->
+                      (cbm[kk][i] - sub[i]) * (cbm[kk][i] - sub[i]))),
+               k := kk,
+               c := cbm[kk])))[1].c AS rec
+      FROM subs
+    ),
+    rq AS (
+      SELECT vec_id, flatten(list(rec ORDER BY m)) AS r
+      FROM enc GROUP BY vec_id
+    ),
+    dq AS (
+      SELECT a.vec_id,
+             list_transform(range(1, {dim} + 1), i -> rq.r[i] + a.cvec[i]) AS d
+      FROM assigned a JOIN rq ON rq.vec_id = a.vec_id
+    ),
+    joined AS (
+      SELECT e.vec_id, e.v, dq.d FROM e JOIN dq ON dq.vec_id = e.vec_id
+    ),
+    {quantized_recall_oracle_tail()}
+    """
+
+
+@query(
+    "q134_ivfpq_knn_recall",
+    oracle=_q134_oracle(),
+    tags=("similarity", "quantization", "llm"),
+)
+def q134_ivfpq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-RESIDUAL product-quantized KNN (IVFPQ — Jegou et al. TPAMI
+    2011 §III-C, the faiss "IVF,PQ" composition): each vector is first
+    assigned to its nearest coarse centroid (nlist=96, frozen by
+    tools/train_ivfpq.py), and PQ encodes the RESIDUAL v - c(v) with
+    M=16 subspaces x 4-bit codebooks (64-bit codes); reconstruction is
+    centroid + decoded residual, searched with cosine top-k and metered
+    against the exact ranking per query (q118/q125's shared recall
+    scaffold).
+
+    This closes the round-8 PQ adjudication: q125's plain PQ on these
+    near-isotropic synthetic vectors sits at recall@5 0.21 at sf0.01
+    (0.03-0.05 at the other SFs — no cluster structure for raw-vector
+    codebooks to exploit, PQ's documented worst case). The coarse
+    quantizer supplies the structure the data lacks — the residual
+    variance inside an IVF cell is a fraction of the raw variance
+    (trainer log: coarse MSE 0.669 vs residual-PQ MSE 0.013) — and the
+    measured mean recall@5 of THIS query's frozen artifact is 0.52 at
+    sf0.01 (a numpy prototype of the same recipe scored 0.52 vs 0.28
+    for plain PQ at an equal 64-bit code budget). The remaining gap to
+    SQ8's 0.98 is the honest price of 8x further compression on
+    isotropic data.
+
+    Scale: the coarse argmin is map-only against a constant-folded
+    broadcast literal (nlist x d doubles); encoding explodes to M rows
+    per vector so the argmin lambda touches COLUMNS, not re-evaluated
+    expressions (the functions/text.py HOF trap); search reuses q35's
+    broadcast-queries single pair pass. At index-serving scale the same
+    cell assignment also prunes the search to nprobe cells (q93's IVF
+    search); here the meter searches exhaustively so recall isolates the
+    QUANTIZATION error, not the probe policy.
+    """
+    from csv_loader_spark.functions.ivfpq_codebooks import (
+        COARSE,
+        CODEBOOKS,
+        M_SUB,
+        SUB_WIDTH,
+    )
+    from csv_loader_spark.functions import vectors as VEC
+    from csv_loader_spark.queries.llm7 import _quantized_knn_recall
+
+    cc = _lit2_spark(COARSE)
+    cb = _lit3_spark(CODEBOOKS)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    assigned = e.select(
+        "vec_id",
+        "v",
+        F.expr(
+            f"array_sort(transform({cc}, c -> named_struct("
+            "'d', aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x), 'c', c)))[0].c"
+        ).alias("cvec"),
+    )
+    res = assigned.withColumn("r", F.expr("zip_with(v, cvec, (x, y) -> x - y)"))
+    subs = res.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.expr(f"slice(r, {m * SUB_WIDTH + 1}, {SUB_WIDTH})").alias(
+                            "sub"
+                        ),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("ms"),
+    ).select(
+        "vec_id",
+        F.col("ms.m").alias("m"),
+        F.col("ms.sub").alias("sub"),
+        F.expr(f"element_at({cb}, ms.m + 1)").alias("cbm"),
+    )
+    enc = subs.withColumn(
+        "rec",
+        F.expr(
+            "array_sort(transform(cbm, (c, i) -> "
+            "named_struct('d', aggregate(zip_with(sub, c, (x, y) -> (x - y) * (x - y)),"
+            " 0.0D, (acc, x) -> acc + x), 'k', i, 'c', c)))[0].c"
+        ),
+    )
+    rq = enc.groupBy("vec_id").agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(named_struct('m', m,"
+            " 'rec', rec))), s -> s.rec))"
+        ).alias("rr")
+    )
+    joined = (
+        assigned.select("vec_id", "v", "cvec")
+        .join(rq, "vec_id")
+        .withColumn("d", F.expr("zip_with(rr, cvec, (x, y) -> x + y)"))
+        .select("vec_id", "v", "d")
+    )
+    return _quantized_knn_recall(spark, joined)

@@ -387,3 +387,14 @@ def test_q133_phash_candidates_from_banded_equijoin(spark):
     assert any(
         j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+def test_q134_ivfpq_corpus_never_hash_shuffles(spark):
+    """IVFPQ keeps the quantized-KNN family's shape: coarse assignment and
+    residual encoding are map work against constant-folded literals, the
+    query side broadcasts (nested-loop on !=), and the corpus never hash-
+    shuffles by vector id for the search."""
+    plan = _plan(spark, "q134_ivfpq_knn_recall")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(neighbor_id" not in plan
+    assert "CartesianProduct" not in plan
