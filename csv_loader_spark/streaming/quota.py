@@ -17,9 +17,11 @@ payload by doc_id downstream, the q101 narrow-frame convention).
 Semantics note (documented divergence from the batch twin): the batch
 rule samples by hash (corpus-stable), the streaming rule by arrival
 order (prefix-stable) — the two agree on the COUNT admitted per source,
-not necessarily the identity of the admitted docs. A pipeline that needs
-hash-identical selection runs q121 as a batch job over the landed
-prefix instead.
+not necessarily the identity of the admitted docs. A pipeline that
+needs hash-identical selection uses ``quota_stream_hash`` below (r9):
+the same state operator re-ranking by the batch rule's hash order,
+with explicit eviction rows when a later arrival displaces an earlier
+admission.
 """
 
 from __future__ import annotations
@@ -74,6 +76,111 @@ def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
         _fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# r9: hash-consistent admission (the batch q121 rule over the landed prefix)
+# ---------------------------------------------------------------------------
+
+HASH_OUTPUT_SCHEMA = (
+    "source string, doc_id long, admitted boolean, evicted boolean"
+)
+# STATE SCHEMA: the current admitted set as parallel (hash, doc_id) arrays —
+# bounded by `cap` entries per source, the index a re-ranking admission
+# needs and nothing more (payloads stay out of state, as everywhere).
+HASH_STATE_SCHEMA = "hs array<long>, ids array<long>"
+
+
+def _q121_hash(doc_id: int) -> int:
+    """The batch rule's portable 16-bit order key: first 4 hex digits of
+    md5(CAST(doc_id AS STRING) || ':quota') — bit-identical to
+    queries/llm7.py q121's _hash16_spark_sql expression (and the DuckDB
+    oracle's instr arithmetic), so streaming and batch rank identically."""
+    import hashlib
+
+    from csv_loader_spark.queries.llm7 import _QUOTA_SALT
+
+    return int(
+        hashlib.md5(f"{doc_id}{_QUOTA_SALT}".encode()).hexdigest()[:4], 16
+    )
+
+
+def quota_stream_hash(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
+    """Hash-CONSISTENT streaming quota: admit per source exactly the docs
+    batch q121 would admit over the prefix landed so far — the documented
+    alternative to ``quota_stream``'s arrival-order rule, for pipelines
+    that need hash-identical selection (quota.py's original divergence
+    note, promoted into code in r9).
+
+    Each micro-batch re-ranks the union of the currently-admitted set and
+    the batch's newcomers by (hash16(doc_id || ':quota'), doc_id) and
+    keeps the top ``cap``. Because the hash order is corpus-stable, a
+    later arrival CAN displace an earlier admission — the displaced doc
+    is emitted as an ``evicted = true`` revision row (append mode cannot
+    retract, so revocation is an explicit event the consumer folds:
+    a doc's standing verdict is its LAST row). After every batch,
+    {rows with admitted and not later evicted} == batch q121 over the
+    landed prefix, identity included — asserted by
+    tests/test_streaming_quota.py against the batch rule's own Spark
+    expression.
+
+    Scale: state is at most ``cap`` (hash, id) pairs per source — the
+    same bounded index the batch rule's WindowGroupLimit holds per
+    group — and each batch does an O((cap + b) log(cap + b)) local sort
+    per source; payloads never enter Python (q101's narrow-frame
+    convention)."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        if state.exists:
+            hs, ids = state.get
+            current = list(zip(hs, ids))
+        else:
+            current = []
+        batch = pd.concat(list(pdfs)).sort_values("doc_id")
+        batch = batch[~batch["doc_id"].duplicated(keep="first")]
+        batch_ids = [int(x) for x in batch["doc_id"]]
+        prev_ids = {i for _, i in current}
+        merged = current + [
+            (_q121_hash(i), i) for i in batch_ids if i not in prev_ids
+        ]
+        merged.sort()
+        admitted = merged[:cap]
+        adm_ids = {i for _, i in admitted}
+        out_src, out_id, out_adm, out_ev = [], [], [], []
+        for i in batch_ids:
+            out_src.append(source)
+            out_id.append(i)
+            out_adm.append(i in adm_ids)
+            out_ev.append(False)
+        in_batch = set(batch_ids)
+        for _, i in current:
+            if i not in adm_ids and i not in in_batch:
+                out_src.append(source)
+                out_id.append(i)
+                out_adm.append(False)
+                out_ev.append(True)
+        state.update(
+            ([int(h) for h, _ in admitted], [int(i) for _, i in admitted])
+        )
+        yield pd.DataFrame(
+            {
+                "source": out_src,
+                "doc_id": pd.array(out_id, dtype="int64"),
+                "admitted": pd.array(out_adm, dtype="boolean"),
+                "evicted": pd.array(out_ev, dtype="boolean"),
+            }
+        )
+
+    return docs.groupBy("source").applyInPandasWithState(
+        _fn,
+        outputStructType=HASH_OUTPUT_SCHEMA,
+        stateStructType=HASH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

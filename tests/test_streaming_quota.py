@@ -86,3 +86,62 @@ def test_duplicated_delivery_does_not_double_consume(spark, tmp_path):
         ("a", 2): (True, 2),
         ("a", 3): (False, 2),
     }
+
+
+def test_hash_mode_matches_batch_identity(spark, tmp_path):
+    """r9 hash-consistent mode: after the full replay, the standing
+    admitted set (admitted rows minus later evictions) must equal the
+    BATCH q121 rule's selection over the same docs — identity, not just
+    count — computed here with the batch rule's own Spark expression."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.llm2 import _hash16_spark_sql
+    from csv_loader_spark.queries.llm7 import _QUOTA_SALT
+    from csv_loader_spark.streaming.quota import quota_stream_hash
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    all_rows = [("a", i) for i in range(1, 13)] + [("b", i) for i in range(20, 24)]
+    # two batches, split mid-source so re-ranking crosses the boundary
+    _write_batch(src / "b1.json", all_rows[:8])
+    _write_batch(src / "b2.json", all_rows[8:])
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    cap = 3
+    q = (
+        quota_stream_hash(stream, cap=cap)
+        .writeStream.format("memory")
+        .queryName("quota_hash")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM quota_hash").collect()
+    admitted, evicted = set(), set()
+    for r in rows:
+        key = (r["source"], r["doc_id"])
+        if r["evicted"]:
+            evicted.add(key)
+        elif r["admitted"]:
+            admitted.add(key)
+    standing = admitted - evicted
+
+    # the batch rule, via its own expression (q121's order key)
+    batch_df = spark.createDataFrame(all_rows, "source string, doc_id long")
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_QUOTA_SALT}')")
+    w = W.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
+    expected = {
+        (r["source"], r["doc_id"])
+        for r in batch_df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .collect()
+    }
+    assert standing == expected
+    # the displacement path actually fired: something admitted in batch 1
+    # was evicted by a batch-2 arrival (if not, the fixture is too easy)
+    assert evicted, "expected at least one eviction across the batch boundary"
