@@ -64,6 +64,15 @@ R8_OPS = (
     "q121_source_quota",
 )
 
+# The r9 operator surface: ingest-time near-dup verdicts, the five-rule
+# admission manifest, perceptual-hash image dedup, IVF-residual PQ.
+R9_OPS = (
+    "q131_ingest_neardup",
+    "q132_admission_manifest",
+    "q133_phash_neardup",
+    "q134_ivfpq_knn_recall",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,11 +96,11 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
-        for name in HEADLINE + NEW_OPS + R8_OPS:
+        for name in HEADLINE + NEW_OPS + R8_OPS + R9_OPS:
             specs[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE + NEW_OPS + R8_OPS:
+    for name in HEADLINE + NEW_OPS + R8_OPS + R9_OPS:
         fn = specs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -110,6 +119,7 @@ def main() -> None:
                     "headline": round(sum(times[n] for n in HEADLINE), 4),
                     "new_ops": round(sum(times[n] for n in NEW_OPS), 4),
                     "r8_ops": round(sum(times[n] for n in R8_OPS), 4),
+                    "r9_ops": round(sum(times[n] for n in R9_OPS), 4),
                 },
                 "sf": sf,
             }

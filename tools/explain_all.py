@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, R8_OPS  # noqa: E402
+from bench import HEADLINE, R8_OPS, R9_OPS  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 from csv_loader_spark.session import get_spark  # noqa: E402
 
@@ -62,6 +62,19 @@ NOTES = {
         "bite); the corpus never hash-shuffles — exact and quantized "
         "ranks come from two windows over the same broadcast-join "
         "output, then one roll-up per query."
+    ),
+    "q131_ingest_neardup": (
+        "Ingest-time near-dup verdicts: every index probe is a semi/anti\n"
+        "equi-join on a derived key (fp / (band, bkey) / doc_id) and the\n"
+        "within-batch near rule is a window MIN per band bucket — look for\n"
+        "LeftSemi/LeftAnti joins and min(doc_id) windows, and the absence\n"
+        "of any candidate self-join."
+    ),
+    "q132_admission_manifest": (
+        "The five-rule admission manifest: map-side regexp blocklist,\n"
+        "broadcast gram equi-join (decontamination), window keep-first on\n"
+        "md5(passage) (projected to _w0), WindowGroupLimit quota, map-only\n"
+        "split/token-count. No pairwise joins anywhere."
     ),
     "q119_prefix_jaccard_join": (
         "**The optimized exact join: index once, prune three ways, "
@@ -131,8 +144,8 @@ def main() -> None:
         "",
     ]
     heavy_r8 = tuple(
-        n for n in R8_OPS if n in NOTES
-    )  # the r8 queries whose plans warrant the human-readable snapshot
+        n for n in (R8_OPS + R9_OPS) if n in NOTES
+    )  # the r8/r9 queries whose plans warrant the human-readable snapshot
     for name in HEADLINE + heavy_r8:
         df = specs[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
