@@ -695,3 +695,264 @@ def q134_ivfpq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "v", "d")
     )
     return _quantized_knn_recall(spark, joined)
+
+
+# ---------------------------------------------------------------------------
+# q135: corpus snapshot diff (version-over-version changelog)
+# ---------------------------------------------------------------------------
+
+# Simulated next snapshot (deterministic, mirrored in the oracle): docs with
+# doc_id % 11 = 0 are REMOVED, docs with doc_id % 7 = 0 are EDITED (marker
+# appended -> new fingerprint), and every doc with doc_id % 13 = 0 spawns an
+# ADDED doc at doc_id + _SNAP_OFFSET. Modulus choices overlap on purpose
+# (doc 77 is removed AND would have been edited -> removal wins, it's gone).
+_SNAP_OFFSET = 2_000_000_000
+
+
+@query(
+    "q135_snapshot_diff",
+    oracle=rf"""
+    WITH a AS (
+      SELECT doc_id, source, {_FP_SQL} AS fp,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    b_kept AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' [v2 erratum]' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    b_new AS (
+      SELECT doc_id + {_SNAP_OFFSET} AS doc_id, source,
+             'fresh v2 document derived from ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    b AS (
+      SELECT doc_id, source, {_FP_SQL} AS fp,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+      FROM (SELECT * FROM b_kept UNION ALL SELECT * FROM b_new)
+    ),
+    diff AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             coalesce(b.n_tok, 0) - coalesce(a.n_tok, 0) AS tok_delta
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT source, verdict, count(*) AS n_docs,
+           CAST(sum(tok_delta) AS BIGINT) AS tok_delta
+    FROM diff GROUP BY source, verdict
+    """,
+    tags=("versioning", "dedup", "llm"),
+)
+def q135_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SNAPSHOT DIFF: the version-over-version changelog a curated
+    dataset publishes with each release (Dolma/RedPajama changelogs) —
+    per (source, verdict) counts of added / removed / changed / unchanged
+    documents plus the net token delta, where 'changed' means same doc_id
+    with a different content fingerprint. Snapshot B is simulated with
+    deterministic injections (removals, edits, additions by doc_id
+    modulus — the q127 scaffolding convention) mirrored in the oracle.
+
+    Scale: ONE full-outer equi-join on doc_id between two fingerprint
+    frames (each one scan, narrow columns: id, source, fp, n_tok) and a
+    tiny (source, verdict) roll-up. Content never rides the join — the
+    md5 fingerprint is the comparison key, so a 10^10-doc diff is an
+    id-table join, the same shape as the ingest index probe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def _fp_frame(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "source",
+            TXT.fingerprint("text").alias("fp"),
+            F.size(TXT.tokens("text")).alias("n_tok"),
+        )
+
+    a = _fp_frame(d)
+    b_kept = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [v2 erratum]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    b_new = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + _SNAP_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("fresh v2 document derived from "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    b = _fp_frame(b_kept.unionAll(b_new))
+    aa, bb = a.alias("a"), b.alias("b")
+    diff = aa.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("verdict"),
+        (
+            F.coalesce(F.col("b.n_tok"), F.lit(0))
+            - F.coalesce(F.col("a.n_tok"), F.lit(0))
+        ).alias("tok_delta"),
+    )
+    return diff.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_delta").cast("long").alias("tok_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136: rare-token fraction (unigram-frequency quality meter)
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_OCC = 2  # a token is "rare" if it occurs <= 2 times corpus-wide
+
+
+@query(
+    "q136_rare_tokens",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*) AS c FROM toks GROUP BY w
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tok,
+           CAST(sum(CASE WHEN f.c <= {_RARE_MAX_OCC} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(sum(CASE WHEN f.c <= {_RARE_MAX_OCC} THEN 1 ELSE 0 END) * 10000
+                // count(*) AS BIGINT) AS rare_bp
+    FROM toks t JOIN freq f ON f.w = t.w
+    GROUP BY t.doc_id
+    """,
+    tags=("quality", "text", "llm"),
+)
+def q136_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token fraction per document: the share of a doc's token
+    OCCURRENCES whose corpus-wide unigram count is <= 2 — the
+    integer-domain stand-in for the LM-perplexity quality bucket CCNet
+    filters on (a doc full of corpus-rare tokens is gibberish, OCR
+    noise, or code dumped into a text source; a doc with none is
+    boilerplate). Pure integer arithmetic end to end: a float unigram
+    log-probability would make the gate hostage to libm log() ULP
+    differences between engines, so the meter reports basis points of
+    rare occurrences instead.
+
+    Scale: one explode + one token-keyed count (the unigram table — the
+    same shuffle the tf-idf family pays), one equi-join back on the
+    token, one doc_id roll-up. The unigram table is vocabulary-sized
+    (Heaps' law: sublinear in the corpus); the join is the posting-list
+    shape with per-token fan-out = that token's df, never pairwise.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TXT.tokens("text")).alias("w"))
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.sum(F.when(F.col("c") <= _RARE_MAX_OCC, 1).otherwise(0)).cast("long")
+    return (
+        toks.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), rare.alias("n_rare"))
+        .withColumn("rare_bp", F.expr("CAST(n_rare * 10000 div n_tok AS BIGINT)"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137: Gopher-style quality rule pack (per-doc admission verdicts)
+# ---------------------------------------------------------------------------
+
+# Rule constants (Rae et al., Gopher appendix A1.1, adapted to this corpus's
+# scale): doc length bounds, mean-word-length band, minimum stopword
+# evidence, minimum alphabetic-word share. All comparisons are INTEGER
+# cross-multiplications so the gate never touches float division.
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3, 10  # mean word length in [3, 10]
+_G_MIN_STOP = 2  # >= 2 stopword occurrences
+_G_ALPHA_NUM, _G_ALPHA_DEN = 8, 10  # >= 80% of words contain a letter
+
+
+def _q137_oracle() -> str:
+    from csv_loader_spark.functions.text import STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             list_sum(list_transform(t, x -> len(x))) AS sum_len,
+             len(list_filter(t, x -> x IN ({stops}))) AS n_stop,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM toks
+    )
+    SELECT doc_id,
+           n_tok BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS ok_len,
+           sum_len >= {_G_MIN_MWL} * n_tok
+             AND sum_len <= {_G_MAX_MWL} * n_tok AS ok_mwl,
+           n_stop >= {_G_MIN_STOP} AS ok_stop,
+           {_G_ALPHA_DEN} * n_alpha >= {_G_ALPHA_NUM} * n_tok AS ok_alpha,
+           (n_tok BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+             AND sum_len >= {_G_MIN_MWL} * n_tok
+             AND sum_len <= {_G_MAX_MWL} * n_tok
+             AND n_stop >= {_G_MIN_STOP}
+             AND {_G_ALPHA_DEN} * n_alpha >= {_G_ALPHA_NUM} * n_tok AS ok_all
+    FROM feats
+    """
+
+
+@query("q137_gopher_rules", oracle=_q137_oracle(), tags=("quality", "curation", "llm"))
+def q137_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality RULE PACK (Rae et al. 2021, appendix A1.1):
+    per-document pass/fail for the four classic heuristics — word-count
+    bounds, mean word length in [3, 10], minimum stopword evidence,
+    minimum alphabetic-word share — plus the conjunction ``ok_all`` a
+    filter stage consumes. Every threshold is an integer
+    cross-multiplication (mean word length 3 <= sum_len/n <= 10 becomes
+    3n <= sum_len <= 10n), so both engines decide each rule exactly.
+
+    Scale: map-only — one scan, per-row array arithmetic inside
+    higher-order functions whose lambdas touch only their own variables
+    (the functions/text.py HOF discipline), no shuffle at all. This is
+    the quality-filter shape that runs FIRST in a real pipeline
+    precisely because it is embarrassingly parallel.
+    """
+    from csv_loader_spark.functions.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    t = TXT.tokens("text")
+    feats = d.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+    )
+    ok_len = F.col("n_tok").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    ok_mwl = (F.col("sum_len") >= _G_MIN_MWL * F.col("n_tok")) & (
+        F.col("sum_len") <= _G_MAX_MWL * F.col("n_tok")
+    )
+    ok_stop = F.col("n_stop") >= _G_MIN_STOP
+    ok_alpha = _G_ALPHA_DEN * F.col("n_alpha") >= _G_ALPHA_NUM * F.col("n_tok")
+    return feats.select(
+        "doc_id",
+        ok_len.alias("ok_len"),
+        ok_mwl.alias("ok_mwl"),
+        ok_stop.alias("ok_stop"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_len & ok_mwl & ok_stop & ok_alpha).alias("ok_all"),
+    )

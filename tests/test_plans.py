@@ -398,3 +398,20 @@ def test_q134_ivfpq_corpus_never_hash_shuffles(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning(neighbor_id" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q135_diff_is_one_id_join(spark):
+    """The snapshot diff must be a single full-outer equi-join on doc_id
+    between two narrow fingerprint frames — text never rides the join."""
+    plan = _plan(spark, "q135_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # the join carries fingerprints, not document text
+    assert "text" not in plan.split("FullOuter")[0].split("Join")[-1]
+
+
+def test_q137_rule_pack_has_no_shuffle(spark):
+    """The Gopher rule pack is map-only: one scan, per-row array
+    arithmetic, zero Exchange."""
+    plan = _plan(spark, "q137_gopher_rules")
+    assert "Exchange" not in plan
