@@ -279,6 +279,63 @@ def append_to_index(novel_fps: DataFrame, index_path: str, batch_id: int) -> Non
     _record_applied(index_path, batch_id)
 
 
+def compact_index(spark: SparkSession, index_path: str) -> int:
+    """Fold every committed ``batch=<id>`` partition of an index store
+    (fingerprint or band-signature — schema-agnostic) into the single
+    seed partition ``batch=-1``, returning the number of batch
+    partitions folded (0 = nothing to do).
+
+    WHY this op exists: the closed loop writes one parquet directory per
+    micro-batch — after 100k batches the store is 100k directories and
+    every probe pays 100k file-listing opens (the classic streaming
+    small-file problem). Compaction restores O(1) directories; the probe
+    plan is unchanged.
+
+    Crash-safety (ops/compaction.py's swap discipline, adapted to the
+    partitioned store): the folded union is written to a TMP directory
+    OUTSIDE the store (so a crash never leaves a non-partition directory
+    inside it to break partition discovery), the old seed is renamed
+    aside, the tmp renamed in, and only then are the batch partitions
+    deleted. Every intermediate crash state is safe: before the swap the
+    store is untouched; after it the seed already holds the full union,
+    so surviving batch directories merely duplicate fingerprints —
+    harmless to the semi/anti-join probes and removed by the next
+    compaction. The ``_applied_batches`` ledger is kept as-is: fast-skip
+    of redelivered batches keeps working, and a ledger-stripped
+    redelivery recreates its own batch partition with fingerprints the
+    seed already holds (duplicate rows, same probe semantics)."""
+    import shutil
+
+    base = index_path.rstrip("/")
+    seed = os.path.join(base, "batch=-1")
+    tmp = base + "._compact_tmp"
+    backup = base + "._seed_backup"
+    # recover any interrupted previous run (mirrors compaction.py)
+    if os.path.exists(backup):
+        if os.path.exists(seed):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, seed)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if not os.path.isdir(base):
+        return 0
+    batch_dirs = [e for e in os.listdir(base) if e.startswith("batch=")]
+    fold = [e for e in batch_dirs if int(e.split("=", 1)[1]) >= 0]
+    if not fold:
+        return 0
+    df = spark.read.parquet(base).drop("batch").distinct()
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(seed):
+        os.rename(seed, backup)
+    os.rename(tmp, seed)
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    for e in fold:
+        shutil.rmtree(os.path.join(base, e))
+    return len(fold)
+
+
 def start_ingest_pipeline(
     arrivals: DataFrame,
     index_path: str,

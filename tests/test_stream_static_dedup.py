@@ -381,3 +381,70 @@ def test_neardup_ingest_loop_grows_band_index(spark, tmp_path):
         os.path.join(bidx, "batch=0")
     )
     assert read_band_index(spark, bidx).count() == n_final
+
+
+def test_compact_index_folds_batches_and_preserves_probe(spark, tmp_path):
+    """r9: compaction folds every batch partition into the seed — same
+    fingerprint set, one directory — and the grown-index probe behaves
+    identically before and after; a ledger-stripped redelivery after
+    compaction recreates its partition without corrupting the probe."""
+    from csv_loader_spark.streaming.ingest_dedup import compact_index
+
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    seed_index(
+        spark.createDataFrame(
+            [(i, f"seed doc {i}") for i in range(3)], "doc_id long, text string"
+        ),
+        idx,
+    )
+    _write_batch(
+        src / "b1.json",
+        [(10, "2026-01-01 10:00:00", "novel one"), (11, "2026-01-01 10:00:01", "novel two")],
+    )
+    _write_batch(src / "b2.json", [(20, "2026-01-01 10:01:00", "novel three")])
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    before = {r["fp"] for r in read_index(spark, idx).collect()}
+    assert len(before) == 6  # 3 seed + 3 admitted
+
+    folded = compact_index(spark, idx)
+    assert folded == 2  # batch=0 and batch=1 folded into the seed
+    assert [e for e in os.listdir(idx) if e.startswith("batch=")] == ["batch=-1"]
+    after = {r["fp"] for r in read_index(spark, idx).collect()}
+    assert after == before
+
+    # probe against the compacted index still rejects all known content
+    arrivals = spark.createDataFrame(
+        [(100, "novel one"), (101, "truly new")], "doc_id long, text string"
+    )
+    out = novel_documents(arrivals, read_index(spark, idx))
+    assert [r["doc_id"] for r in out.collect()] == [101]
+
+    # second compaction with nothing to fold is a no-op
+    assert compact_index(spark, idx) == 0
+
+    # ledger-stripped redelivery of old batch 0: recreates batch=0 with
+    # fps the seed already holds — probe semantics unchanged
+    ledger = os.path.join(idx, "_applied_batches")
+    with open(ledger) as f:
+        lines = [ln for ln in f.read().split() if ln != "0"]
+    with open(ledger, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    batch0 = spark.createDataFrame(
+        [(10, "novel one"), (11, "novel two")], "doc_id long, text string"
+    )
+    append_to_index(fingerprint_index(batch0), idx, 0)
+    assert {r["fp"] for r in read_index(spark, idx).collect()} == before
+    out = novel_documents(arrivals, read_index(spark, idx))
+    assert [r["doc_id"] for r in out.collect()] == [101]
