@@ -52,6 +52,32 @@ from csv_loader_spark.queries.registry import get, query
 
 _PASSAGE = 20  # words per passage
 
+
+def doc_passages(docs: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, text[, *extra]) → (doc_id[, *extra], i, passage): every
+    doc split into fixed _PASSAGE-word passages (q115's segmentation),
+    factored (r9) so the batch dedup family (q115/q129/q132) and the
+    ingest-time passage probe (streaming/ingest_dedup.py) segment
+    IDENTICALLY — one rule, no drift between index and probe."""
+    t = TXT.tokens("text")
+    base = docs.select(
+        "doc_id", *extra, t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") >= 1)
+    return base.select(
+        "doc_id",
+        *extra,
+        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        *extra,
+        "i",
+        F.array_join(
+            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE),
+            " ",
+        ).alias("passage"),
+    )
+
 _PASSAGE_CTE = rf"""
     toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
@@ -104,19 +130,7 @@ def q115_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket unchanged (doc_id, i).
     """
     d = load_table(spark, sf_dir, "documents")
-    t = TXT.tokens("text")
-    base = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(F.col("n") >= 1)
-    passages = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "i",
-        F.array_join(
-            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE), " "
-        ).alias("passage"),
-    )
+    passages = doc_passages(d)
     w = W.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
     flagged = passages.withColumn("keep", F.row_number().over(w) == 1)
     kept_structs = F.array_sort(
@@ -1374,24 +1388,7 @@ def q129_effective_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc->source join.
     """
     d = load_table(spark, sf_dir, "documents")
-    t = TXT.tokens("text")
-    base = d.select("doc_id", "source", t.alias("t"), F.size(t).alias("n")).filter(
-        F.col("n") >= 1
-    )
-    passages = base.select(
-        "doc_id",
-        "source",
-        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.array_join(
-            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE),
-            " ",
-        ).alias("passage"),
-    )
+    passages = doc_passages(d, extra=("source",))
     w = W.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
     flagged = passages.withColumn("keep", F.row_number().over(w) == 1).withColumn(
         "n_tok", F.size(F.split(F.col("passage"), " "))

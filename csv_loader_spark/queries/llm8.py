@@ -243,7 +243,6 @@ def q132_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
     from csv_loader_spark.queries.llm7 import (
-        _PASSAGE,
         _QUOTA,
         _QUOTA_SALT,
         _SPLIT_SALT,
@@ -269,22 +268,9 @@ def q132_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = corpus.join(contaminated, "doc_id", "left_anti")
     # rule 3: passage-level dup exclusion over the survivors
-    t = TXT.tokens("text")
-    base = clean.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(
-        F.col("n") >= 1
-    )
-    passages = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.expr(f"(n - 1) div {_PASSAGE}"))).alias("i"),
-        "t",
-    ).select(
-        "doc_id",
-        "i",
-        F.array_join(
-            F.slice("t", (F.lit(1) + F.col("i") * _PASSAGE).cast("int"), _PASSAGE),
-            " ",
-        ).alias("passage"),
-    )
+    from csv_loader_spark.queries.llm7 import doc_passages
+
+    passages = doc_passages(clean)
     wp = W.partitionBy(F.md5("passage")).orderBy("doc_id", "i")
     pstats = (
         passages.withColumn("rn", F.row_number().over(wp))
@@ -956,3 +942,157 @@ def q137_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_alpha.alias("ok_alpha"),
         (ok_len & ok_mwl & ok_stop & ok_alpha).alias("ok_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q138: ingest-time PASSAGE-granularity dedup verdicts (q115 in the loop)
+# ---------------------------------------------------------------------------
+
+# Injection scaffolding: the natural corpus has few cross-parity passage
+# overlaps, so two deterministic "recycled content" arrival families make
+# both passage verdicts fire — a near-copy of a CORPUS doc (one word
+# appended -> new exact fp, majority of passages already indexed) and a
+# near-copy of an earlier ARRIVAL (loses its keep-first majority to the
+# original in the same batch). Docs with >= 41 tokens have >= 3 passages,
+# so the one changed tail passage cannot break the strict majority.
+_RECYC_C_OFFSET = 3_000_000_000
+_RECYC_B_OFFSET = 4_000_000_000
+
+
+def _q138_oracle() -> str:
+    from csv_loader_spark.queries.llm7 import _PASSAGE
+
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents
+    ),
+    arrivals AS (
+      SELECT doc_id, source, text FROM base WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + {_RECYC_C_OFFSET} AS doc_id, source,
+             text || ' recycledcorpustail' AS text
+      FROM base
+      WHERE doc_id % 6 = 0
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 41
+      UNION ALL
+      SELECT doc_id + {_RECYC_B_OFFSET} AS doc_id, source,
+             text || ' recycledbatchtail' AS text
+      FROM base
+      WHERE doc_id % 10 = 5
+        AND len(string_split_regex(trim(lower(text)), '\s+')) >= 41
+    ),
+    corpus AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+    cp AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM corpus
+    ),
+    corpus_passages AS (
+      SELECT md5(array_to_string(
+               t[1 + i * {_PASSAGE} : i * {_PASSAGE} + {_PASSAGE}], ' ')) AS pfp
+      FROM cp, LATERAL unnest(range(0, (n - 1) // {_PASSAGE} + 1)) AS u(i)
+      WHERE n >= 1
+    ),
+    idx_pfp AS (SELECT DISTINCT pfp FROM corpus_passages),
+    idx_fp AS (
+      SELECT DISTINCT {_FP_SQL} AS fp FROM corpus
+    ),
+    arr AS (
+      SELECT doc_id, source, {_FP_SQL} AS fp FROM arrivals
+    ),
+    ap AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM arrivals
+    ),
+    pf AS (
+      SELECT doc_id, i,
+             md5(array_to_string(
+               t[1 + i * {_PASSAGE} : i * {_PASSAGE} + {_PASSAGE}], ' ')) AS pfp
+      FROM ap, LATERAL unnest(range(0, (n - 1) // {_PASSAGE} + 1)) AS u(i)
+      WHERE n >= 1
+    ),
+    exc AS (SELECT doc_id FROM arr WHERE fp IN (SELECT fp FROM idx_fp)),
+    r1 AS (SELECT * FROM arr WHERE doc_id NOT IN (SELECT doc_id FROM exc)),
+    eb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM r1
+      ) WHERE rn > 1
+    ),
+    r2 AS (SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM eb)),
+    pstats AS (
+      SELECT doc_id, count(*) AS n_p,
+             sum(CASE WHEN pfp IN (SELECT pfp FROM idx_pfp)
+                      THEN 1 ELSE 0 END) AS n_known
+      FROM pf WHERE doc_id IN (SELECT doc_id FROM r2)
+      GROUP BY doc_id
+    ),
+    pc AS (SELECT doc_id FROM pstats WHERE 2 * n_known > n_p),
+    r3 AS (SELECT * FROM r2 WHERE doc_id NOT IN (SELECT doc_id FROM pc)),
+    l AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY pfp) AS m
+      FROM pf WHERE doc_id IN (SELECT doc_id FROM r3)
+    ),
+    lstats AS (
+      SELECT doc_id, count(*) AS n_p,
+             sum(CASE WHEN m < doc_id THEN 1 ELSE 0 END) AS n_lost
+      FROM l GROUP BY doc_id
+    ),
+    pb AS (SELECT doc_id FROM lstats WHERE 2 * n_lost > n_p)
+    SELECT a.doc_id, a.source,
+           CASE WHEN a.doc_id IN (SELECT doc_id FROM exc) THEN 'exact_corpus'
+                WHEN a.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+                WHEN a.doc_id IN (SELECT doc_id FROM pc) THEN 'passage_corpus'
+                WHEN a.doc_id IN (SELECT doc_id FROM pb) THEN 'passage_batch'
+                ELSE 'accepted' END AS verdict
+    FROM arr a
+    """
+
+
+@query(
+    "q138_ingest_passage_dedup",
+    oracle=_q138_oracle(),
+    tags=("dedup", "incremental", "llm"),
+)
+def q138_ingest_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time PASSAGE-granularity dedup: arrivals probed against the
+    accepted corpus's exact-fingerprint index AND its passage-fingerprint
+    index (q115's segmentation, shared via llm7.doc_passages), each
+    arrival tagged with its admission verdict — exact dup, majority of
+    passages already in the corpus ('passage_corpus': recycled content
+    under a fresh fingerprint, the case the exact probe cannot see), or
+    majority lost to an earlier surviving arrival ('passage_batch').
+    This is the sub-document sibling of q131's band probe, and the batch
+    twin of ``start_ingest_pipeline(..., passage_index_path=...)``
+    (streaming/ingest_dedup.py ingest_verdicts_passage — same function,
+    same rules, stream==batch tested).
+
+    Scale: the index is one hashed column (distinct passage md5s, whose
+    count FALLS with duplication); probes are semi/anti equi-joins; the
+    within-batch rule is a window min per passage hash. Fan-out per doc
+    = its passage count, the same explode the batch q115 pays.
+    """
+    from csv_loader_spark.streaming.ingest_dedup import (
+        fingerprint_index,
+        ingest_verdicts_passage,
+        passage_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    n_tok = F.size(TXT.tokens("text"))
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    recyc_c = d.filter((F.col("doc_id") % 6 == 0) & (n_tok >= 41)).select(
+        (F.col("doc_id") + _RECYC_C_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" recycledcorpustail")).alias("text"),
+    )
+    recyc_b = d.filter((F.col("doc_id") % 10 == 5) & (n_tok >= 41)).select(
+        (F.col("doc_id") + _RECYC_B_OFFSET).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" recycledbatchtail")).alias("text"),
+    )
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).unionAll(recyc_c).unionAll(recyc_b)
+    return ingest_verdicts_passage(
+        arrivals, fingerprint_index(corpus), passage_index(corpus)
+    ).select("doc_id", "source", "verdict")

@@ -279,6 +279,128 @@ def append_to_index(novel_fps: DataFrame, index_path: str, batch_id: int) -> Non
     _record_applied(index_path, batch_id)
 
 
+# --------------------------------------------------------------------------
+# Passage-granularity NEAR-dup at ingest (r9): the q115 index in the loop.
+# --------------------------------------------------------------------------
+
+_PFP_SCHEMA = T.StructType([T.StructField("pfp", T.StringType(), True)])
+
+
+def passage_index(corpus: DataFrame) -> DataFrame:
+    """The passage-granularity dedup index of an accepted corpus: DISTINCT
+    md5 fingerprints of its fixed 20-word passages (q115's segmentation,
+    queries/llm7.py doc_passages — one rule shared by index and probe).
+    One narrow column, like the exact-fp index; grows with distinct
+    passages, which FALLS with duplication."""
+    from csv_loader_spark.queries.llm7 import doc_passages
+
+    return doc_passages(corpus).select(F.md5("passage").alias("pfp")).distinct()
+
+
+def read_passage_index(
+    spark: SparkSession, passage_index_path: str, *, exclude_batch: int | None = None
+) -> DataFrame:
+    """Current passage-fingerprint index (same bootstrap / exclude_batch
+    semantics as ``read_index``)."""
+    if os.path.isdir(passage_index_path) and any(
+        e.startswith("batch=") for e in os.listdir(passage_index_path)
+    ):
+        df = spark.read.parquet(passage_index_path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch") != exclude_batch)
+        return df.select("pfp")
+    return spark.createDataFrame([], _PFP_SCHEMA)
+
+
+def seed_passage_index(corpus: DataFrame, passage_index_path: str) -> None:
+    """Bootstrap the passage index from an accepted corpus (``batch=-1``)."""
+    passage_index(corpus).write.mode("overwrite").parquet(
+        os.path.join(passage_index_path, "batch=-1")
+    )
+
+
+def ingest_verdicts_passage(
+    arrivals: DataFrame, fp_index: DataFrame, pfp_index: DataFrame
+) -> DataFrame:
+    """Per-arrival verdict at PASSAGE granularity — the sub-document twin
+    of ``ingest_verdicts``: (arrival columns…, fp, verdict), precedence —
+
+    1. ``exact_corpus`` / 2. ``exact_batch``: as in ``ingest_verdicts``.
+    3. ``passage_corpus``: a strict MAJORITY of the doc's passage
+       occurrences already exist in the index (2 * n_known > n_passages)
+       — the doc is mostly recycled corpus content even though its exact
+       fingerprint is new (CCNet's paragraph-level dedup as an admission
+       rule; q132's novelty threshold applied cross-corpus).
+    4. ``passage_batch``: among survivors of 1–3, a strict majority of
+       the doc's passages LOSE their keep-first race to an EARLIER
+       surviving arrival (min doc_id per md5(passage) window — linear;
+       a passage repeated within one doc loses only to other docs, not
+       to its own first occurrence).
+    5. ``accepted``. Docs with zero passages (empty token stream cannot
+       happen: any text yields >= 1 passage) need no special case.
+
+    Scale: identical shapes to the band probe — the index is one hashed
+    column, probes are semi/anti equi-joins, the within-batch rule is a
+    window min. The passage join fans out each doc to its passage count
+    (bounded by doc length), the same explode the batch q115 pays."""
+    from csv_loader_spark.queries.llm7 import doc_passages
+
+    tagged = arrivals.withColumn("fp", TXT.fingerprint("text"))
+    arr_p = doc_passages(arrivals).withColumn("pfp", F.md5("passage")).select(
+        "doc_id", "i", "pfp"
+    )
+
+    exact_c = tagged.join(fp_index, "fp", "left_semi").select("doc_id")
+    rest1 = tagged.join(fp_index, "fp", "left_anti")
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    rest1 = rest1.withColumn("_rn", F.row_number().over(wfp))
+    exact_b = rest1.filter(F.col("_rn") > 1).select("doc_id")
+    rest2 = rest1.filter(F.col("_rn") == 1).drop("_rn")
+
+    # majority-known vs the corpus index. Semi-join, NOT a left join: the
+    # store may hold the same pfp in several batch partitions (an accepted
+    # doc re-contributes passages the index already has), and a left join
+    # against duplicate index rows would multiply occurrences.
+    p2 = arr_p.join(rest2.select("doc_id"), "doc_id", "left_semi")
+    p2n = p2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_p"))
+    kn = (
+        p2.join(pfp_index, "pfp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_known"))
+    )
+    pstats = p2n.join(kn, "doc_id", "left").fillna(0, ["n_known"])
+    pass_c = pstats.filter(2 * F.col("n_known") > F.col("n_p")).select("doc_id")
+    rest3 = rest2.join(pass_c, "doc_id", "left_anti")
+
+    # majority-lost vs earlier surviving arrivals
+    p3 = arr_p.join(rest3.select("doc_id"), "doc_id", "left_semi")
+    wmin = Window.partitionBy("pfp")
+    lost = p3.withColumn("_m", F.min("doc_id").over(wmin))
+    lstats = lost.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.when(F.col("_m") < F.col("doc_id"), 1).otherwise(0)).alias("n_lost"),
+    )
+    pass_b = lstats.filter(2 * F.col("n_lost") > F.col("n_p")).select("doc_id")
+
+    def _flag(ids: DataFrame, name: str) -> DataFrame:
+        return ids.withColumn(name, F.lit(True))
+
+    out = (
+        tagged.join(_flag(exact_c, "_ec"), "doc_id", "left")
+        .join(_flag(exact_b, "_eb"), "doc_id", "left")
+        .join(_flag(pass_c, "_pc"), "doc_id", "left")
+        .join(_flag(pass_b, "_pb"), "doc_id", "left")
+    )
+    verdict = (
+        F.when(F.col("_ec"), F.lit("exact_corpus"))
+        .when(F.col("_eb"), F.lit("exact_batch"))
+        .when(F.col("_pc"), F.lit("passage_corpus"))
+        .when(F.col("_pb"), F.lit("passage_batch"))
+        .otherwise(F.lit("accepted"))
+    )
+    return out.withColumn("verdict", verdict).drop("_ec", "_eb", "_pc", "_pb")
+
+
 def compact_index(spark: SparkSession, index_path: str) -> int:
     """Fold every committed ``batch=<id>`` partition of an index store
     (fingerprint or band-signature — schema-agnostic) into the single
@@ -343,6 +465,7 @@ def start_ingest_pipeline(
     checkpoint_dir: str,
     *,
     band_index_path: str | None = None,
+    passage_index_path: str | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """The closed-loop incremental ingest: per micro-batch, anti-join the
@@ -358,9 +481,18 @@ def start_ingest_pipeline(
     accepted docs' band keys are appended to ``band_index_path/batch=<id>``
     alongside the fingerprints — so batch N+1 rejects near-dups of batch
     N's admissions (CCNet's deduplicate-against-snapshot, incremental).
+    ``passage_index_path`` selects the PASSAGE-granularity probe instead
+    (``ingest_verdicts_passage``: majority-recycled docs rejected, the
+    accepted docs' passage fingerprints appended) — one near-dup
+    granularity per loop, so the two paths are mutually exclusive.
     Same crash-window discipline as the exact loop: both index reads
     exclude the in-flight batch's own partition, every write targets the
     batch's own partition with overwrite, the ledger records last."""
+    if band_index_path is not None and passage_index_path is not None:
+        raise ValueError(
+            "choose ONE near-dup granularity: band_index_path or "
+            "passage_index_path, not both"
+        )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -373,6 +505,12 @@ def start_ingest_pipeline(
             )
             verdicts = ingest_verdicts(batch_df, index, band_idx)
             novel = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
+        elif passage_index_path is not None:
+            pfp_idx = read_passage_index(
+                spark, passage_index_path, exclude_batch=batch_id
+            )
+            verdicts = ingest_verdicts_passage(batch_df, index, pfp_idx)
+            novel = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
         else:
             novel = novel_documents(batch_df, index)
         # one materialization feeding all writes; also decouples the
@@ -384,6 +522,10 @@ def start_ingest_pipeline(
         if band_index_path is not None:
             band_signature_index(novel).write.mode("overwrite").parquet(
                 os.path.join(band_index_path, f"batch={batch_id}")
+            )
+        if passage_index_path is not None:
+            passage_index(novel).write.mode("overwrite").parquet(
+                os.path.join(passage_index_path, f"batch={batch_id}")
             )
         append_to_index(novel, index_path, batch_id)
 

@@ -415,3 +415,14 @@ def test_q137_rule_pack_has_no_shuffle(spark):
     arithmetic, zero Exchange."""
     plan = _plan(spark, "q137_gopher_rules")
     assert "Exchange" not in plan
+
+
+def test_q138_passage_probe_is_linear(spark):
+    """The passage-granularity ingest probe: semi/anti equi-joins on
+    hashed keys plus a window min per passage hash — no candidate
+    self-join, no cartesian."""
+    plan = _plan(spark, "q138_ingest_passage_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "min(doc_id" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan

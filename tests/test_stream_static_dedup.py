@@ -448,3 +448,73 @@ def test_compact_index_folds_batches_and_preserves_probe(spark, tmp_path):
     assert {r["fp"] for r in read_index(spark, idx).collect()} == before
     out = novel_documents(arrivals, read_index(spark, idx))
     assert [r["doc_id"] for r in out.collect()] == [101]
+
+
+def test_passage_ingest_loop_rejects_recycled_content(spark, tmp_path):
+    """r9 passage-granularity loop: an arrival that recycles a majority of
+    an ACCEPTED doc's passages under a fresh fingerprint is rejected by
+    the grown passage index (the case the exact loop cannot see); novel
+    docs land and extend the index for the next batch."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        read_passage_index,
+        seed_passage_index,
+    )
+
+    idx = str(tmp_path / "index")
+    pidx = str(tmp_path / "passage_index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    # a 60-token corpus doc = 3 passages
+    corpus_text = " ".join(f"corpusword{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(0, corpus_text)], "doc_id long, text string"
+    )
+    seed_index(corpus, idx)
+    seed_passage_index(corpus, pidx)
+    n_seed = read_passage_index(spark, pidx).count()
+    assert n_seed == 3
+
+    novel_text = " ".join(f"novelword{i}" for i in range(60))
+    recycled_corpus = corpus_text + " freshtailword"  # 2/4... 3 of 4 passages known
+    _write_batch(
+        src / "b1.json",
+        [
+            (100, "2026-01-01 10:00:00", recycled_corpus),  # passage_corpus
+            (101, "2026-01-01 10:00:01", novel_text),       # accepted
+        ],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        passage_index_path=pidx,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    accepted = spark.read.parquet(acc)
+    assert {r["doc_id"] for r in accepted.collect()} == {101}
+    # the accepted doc's 3 passages grew the index
+    assert read_passage_index(spark, pidx).count() == n_seed + 3
+
+    # batch 2: recycling a majority of doc 101's passages must be caught
+    # by the index the loop itself grew
+    recycled_batch1 = novel_text + " anothertailword"
+    _write_batch(
+        src / "b2.json",
+        [(200, "2026-01-01 10:01:00", recycled_batch1)],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        passage_index_path=pidx,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    accepted = spark.read.parquet(acc)
+    assert {r["doc_id"] for r in accepted.collect()} == {101}
