@@ -71,6 +71,10 @@ R9_OPS = (
     "q132_admission_manifest",
     "q133_phash_neardup",
     "q134_ivfpq_knn_recall",
+    "q135_snapshot_diff",
+    "q136_rare_tokens",
+    "q137_gopher_rules",
+    "q138_ingest_passage_dedup",
 )
 
 
