@@ -338,6 +338,34 @@ def _dhash_band_exprs() -> list[str]:
     return out
 
 
+def dhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, v0..v3): q133's engine-side dHash band
+    signatures — 72 codepoints sampled at fixed fractional positions, the
+    8x8 difference bits packed into 4 x 16-bit bands. For ASCII text this
+    is bit-identical to ops/multimodal.py media_dhash's pseudo-decode tier
+    over the UTF-8 payload bytes (same sample positions, byte == codepoint)
+    — asserted by tests/test_multimodal.py, so engine-side and
+    decoder-side signatures can be mixed in one index."""
+    ncell = _GRID_ROWS * _GRID_COLS
+    cells = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {ncell - 1}), "
+            f"k -> ascii(substr(text, "
+            f"CAST(1 + (k * length(text)) div {ncell} AS INT), 1)))"
+        ).alias("cell"),
+    )
+    return cells.select(
+        "doc_id",
+        *[
+            F.expr(e.replace("cell[", "element_at(cell, ").replace("]", ")")).alias(
+                f"v{j}"
+            )
+            for j, e in enumerate(_dhash_band_exprs())
+        ],
+    )
+
+
 def _q133_oracle() -> str:
     bands = _dhash_band_exprs()
     band_cols = ", ".join(f"{e} AS v{j}" for j, e in enumerate(bands))
@@ -430,25 +458,7 @@ def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     media = originals.unionAll(twins)
-    ncell = _GRID_ROWS * _GRID_COLS
-    cells = media.select(
-        "doc_id",
-        F.expr(
-            f"transform(sequence(0, {ncell - 1}), "
-            f"k -> ascii(substr(text, "
-            f"CAST(1 + (k * length(text)) div {ncell} AS INT), 1)))"
-        ).alias("cell"),
-    )
-    band_exprs = _dhash_band_exprs()
-    sigs = cells.select(
-        "doc_id",
-        *[
-            F.expr(e.replace("cell[", "element_at(cell, ").replace("]", ")")).alias(
-                f"v{j}"
-            )
-            for j, e in enumerate(band_exprs)
-        ],
-    )
+    sigs = dhash_sigs(media)
     long = None
     for j in range(_PHASH_BANDS):
         part = sigs.select(
