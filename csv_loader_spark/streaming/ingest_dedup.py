@@ -147,8 +147,16 @@ def ingest_verdicts(
     (band, bkey) — id-table probes, never a corpus rescan."""
     from csv_loader_spark.queries.llm import minhash_bands
 
-    tagged = arrivals.withColumn("fp", TXT.fingerprint("text"))
-    arr_bands = minhash_bands(arrivals)
+    # lazy localCheckpoint: the verdict DAG references the tagged frame 5x
+    # and the band frame 3x, and Spark recomputes unshared subtrees per
+    # stage — without this the md5 minhash work runs ~8x per batch
+    # (measured superlinear on the x10 flood, tools/bench_ingest_probe.py).
+    # eager=False keeps construction lazy: blocks materialize on first use
+    # and later stages read them.
+    tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
+        eager=False
+    )
+    arr_bands = minhash_bands(arrivals).localCheckpoint(eager=False)
 
     exact_c = tagged.join(fp_index, "fp", "left_semi").select("doc_id")
     rest1 = tagged.join(fp_index, "fp", "left_anti")
@@ -345,9 +353,16 @@ def ingest_verdicts_passage(
     (bounded by doc length), the same explode the batch q115 pays."""
     from csv_loader_spark.queries.llm7 import doc_passages
 
-    tagged = arrivals.withColumn("fp", TXT.fingerprint("text"))
-    arr_p = doc_passages(arrivals).withColumn("pfp", F.md5("passage")).select(
-        "doc_id", "i", "pfp"
+    # lazy localCheckpoint for the same multi-reference reason as
+    # ingest_verdicts (tagged 5x, passages 2x)
+    tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
+        eager=False
+    )
+    arr_p = (
+        doc_passages(arrivals)
+        .withColumn("pfp", F.md5("passage"))
+        .select("doc_id", "i", "pfp")
+        .localCheckpoint(eager=False)
     )
 
     exact_c = tagged.join(fp_index, "fp", "left_semi").select("doc_id")
