@@ -266,7 +266,13 @@ def q132_admission_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    # lazy localCheckpoint (the ingest_verdicts pattern): `clean` feeds
+    # both the passage keep-first subtree and the novelty semi-join, and
+    # its own lineage re-runs the injection + blocklist + contamination
+    # anti-join per reference otherwise
+    clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
     # rule 3: passage-level dup exclusion over the survivors
     from csv_loader_spark.queries.llm7 import doc_passages
 
