@@ -150,7 +150,13 @@ def ingest_verdicts(
     # lazy localCheckpoint: the verdict DAG references the tagged frame 5x
     # and the band frame 3x, and Spark recomputes unshared subtrees per
     # stage — without this the md5 minhash work runs ~8x per batch
-    # (measured superlinear on the x10 flood, tools/bench_ingest_probe.py).
+    # (measured superlinear on the x10 flood, tools/bench_ingest_probe.py:
+    # 21 s -> 3.4 s at the x10 all-near-copy batch). Adjudicated trade
+    # (BASELINE.md r9): at sf0.1 the materialization barrier COSTS ~1.3 s
+    # on the natural 2.5k-doc batch (1.4 -> 2.7 s) because the sketch
+    # recompute is cheap at toy text sizes — but at 100 TB the 8x sketch
+    # recompute dwarfs the barrier, and a dup-heavy crawl batch is the
+    # expected case, not the corner. Scale wins (the AQE-stays-on rule).
     # eager=False keeps construction lazy: blocks materialize on first use
     # and later stages read them.
     tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
