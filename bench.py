@@ -75,6 +75,7 @@ R9_OPS = (
     "q136_rare_tokens",
     "q137_gopher_rules",
     "q138_ingest_passage_dedup",
+    "q139_bpe_apply",
 )
 
 

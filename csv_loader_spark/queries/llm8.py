@@ -1112,3 +1112,83 @@ def q138_ingest_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest_verdicts_passage(
         arrivals, fingerprint_index(corpus), passage_index(corpus)
     ).select("doc_id", "source", "verdict")
+
+
+# ---------------------------------------------------------------------------
+# q139: BPE tokenizer application (frozen merge table, exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def _q139_oracle() -> str:
+    from csv_loader_spark.functions.bpe_merges import MERGES
+
+    enc = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    for a, b, _ in MERGES:
+        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+    return rf"""
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    enc AS (
+      SELECT source, w, {enc} AS e
+      FROM words WHERE len(w) >= 1
+    )
+    SELECT source,
+           count(*) AS n_words,
+           CAST(sum(len(w)) AS BIGINT) AS n_chars,
+           CAST(sum(len(string_split(e, ' '))) AS BIGINT) AS n_subwords,
+           CAST(sum(len(string_split(e, ' '))) * 100 // count(*) AS BIGINT)
+             AS subwords_per_word_x100
+    FROM enc
+    GROUP BY source
+    """
+
+
+@query("q139_bpe_apply", oracle=_q139_oracle(), tags=("tokenizer", "text", "llm"))
+def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZATION with a trained merge table (Sennrich et al., ACL
+    2016): every word splits to characters and the frozen 24-merge table
+    (tools/train_bpe.py — trained offline with one distributed
+    aggregation per merge, the codebook-trainer recipe applied to
+    tokenization) is applied IN TRAINING ORDER as literal string
+    replaces over the space-joined symbol string — the classic
+    equivalence that makes BPE application expressible as pure string
+    expressions, no per-word loop. Reports per-source word/char/subword
+    counts and the integer subwords-per-word ratio — the tokenizer-fit
+    number (chars-per-subword rises as merges capture the corpus's
+    morphology) a data pipeline tracks per source.
+
+    Scale: application is MAP-ONLY — one explode to words, 24 chained
+    JVM string replaces inside whole-stage codegen, one (source) roll-up;
+    the merge table is a frozen broadcast-literal artifact exactly like
+    the PQ codebooks. Training is offline because each merge changes the
+    next merge's statistics (inherently sequential), but each iteration
+    is one distributed agg over the DISTINCT-WORD frame, not the corpus.
+    """
+    from csv_loader_spark.functions.bpe_merges import MERGES
+
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(TXT.tokens("text")).alias("w")).filter(
+        F.length("w") >= 1
+    )
+    enc = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b, _ in MERGES:
+        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(a + b))
+    return (
+        words.select(
+            "source",
+            F.length("w").alias("nc"),
+            F.size(F.split(enc, " ")).alias("ns"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nc").cast("long").alias("n_chars"),
+            F.sum("ns").cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "subwords_per_word_x100",
+            F.expr("CAST(n_subwords * 100 div n_words AS BIGINT)"),
+        )
+    )

@@ -426,3 +426,11 @@ def test_q138_passage_probe_is_linear(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "min(doc_id" in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q139_bpe_apply_is_map_only_plus_rollup(spark):
+    """BPE application must be map work (24 chained JVM replaces) plus
+    ONE source-keyed aggregate exchange — no joins, no extra shuffles."""
+    plan = _plan(spark, "q139_bpe_apply")
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
