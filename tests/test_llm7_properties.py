@@ -432,3 +432,33 @@ def test_q130_rank_family_invariants(spark):
             sizes[r["quartile"]] = sizes.get(r["quartile"], 0) + 1
         assert set(sizes) == {1, 2, 3, 4}
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_bpe_apply_is_lossless(spark):
+    """BPE merges only JOIN adjacent symbols — concatenating a word's
+    subwords must reproduce the word exactly, for every corpus word (the
+    tokenizer-integrity invariant; a failure means a merge crossed a word
+    boundary or dropped a character)."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.functions import text as TXT
+    from csv_loader_spark.functions.bpe_merges import MERGES
+    from csv_loader_spark.io.tables import load_table
+
+    words = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(TXT.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    enc = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for a, b, _ in MERGES:
+        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(a + b))
+    bad = words.filter(F.replace(enc, F.lit(" "), F.lit("")) != F.col("w"))
+    assert bad.count() == 0
+    # and the merges actually compress: some word must tokenize to fewer
+    # symbols than characters
+    compressed = words.filter(
+        F.size(F.split(enc, " ")) < F.length("w")
+    )
+    assert compressed.count() > 0
