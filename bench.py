@@ -76,6 +76,7 @@ R9_OPS = (
     "q137_gopher_rules",
     "q138_ingest_passage_dedup",
     "q139_bpe_apply",
+    "q140_html_strip",
 )
 
 

@@ -1192,3 +1192,91 @@ def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(n_subwords * 100 div n_words AS BIGINT)"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q140: HTML/markup extraction (the extractor stage, q86's injection recipe)
+# ---------------------------------------------------------------------------
+
+_TAG_RE = r"<[^>]*>"
+# entity decode table applied AFTER tag removal, in this order
+_ENTITIES = (
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+)
+
+
+def _q140_oracle() -> str:
+    clean = f"regexp_replace(text, '{_TAG_RE}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{rep_sql}')"
+    clean = rf"trim(regexp_replace({clean}, '\s+', ' ', 'g'))"
+    return rf"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '<html><body class="m' || CAST(doc_id % 5 AS VARCHAR)
+                       || '"><h1>Title ' || CAST(doc_id % 7 AS VARCHAR)
+                       || '</h1><p>' || text
+                       || '</p><br/>&amp; footer &nbsp;</body></html>'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(text, '{_TAG_RE}')) AS BIGINT) AS n_tags,
+           md5({clean}) AS clean_fp,
+           CAST(len(string_split_regex(trim(lower({clean})), '\s+')) AS BIGINT)
+             AS n_tok_clean
+    FROM injected
+    """
+
+
+@query("q140_html_strip", oracle=_q140_oracle(), tags=("cleaning", "text", "llm"))
+def q140_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup EXTRACTION — the extractor stage every web-crawl
+    pipeline runs before any text op (trafilatura/jusText class, reduced
+    to its deterministic core): strip tags, decode the common entities,
+    collapse whitespace; report per doc the tag count, the fingerprint of
+    the extracted text, and its clean token count. The synthetic corpus
+    carries no markup, so every fourth doc is wrapped in a deterministic
+    doc_id-derived HTML shell (q86's make-the-rule-fire injection recipe,
+    mirrored in the oracle) — the fingerprints then prove the extractor
+    removes exactly the injected markup and nothing else.
+
+    Scale: map-only — two regexp passes and five literal replaces per
+    row, all inside whole-stage codegen, zero shuffles. The tag regex is
+    lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    injected = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<html><body class="m'),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit('"><h1>Title '),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("</h1><p>"),
+                F.col("text"),
+                F.lit("</p><br/>&amp; footer &nbsp;</body></html>"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    clean = F.regexp_replace(injected, _TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(rep))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(injected, F.lit(_TAG_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tags"),
+        F.md5(clean).alias("clean_fp"),
+        F.size(TXT.tokens(clean)).cast("long").alias("n_tok_clean"),
+    )

@@ -434,3 +434,10 @@ def test_q139_bpe_apply_is_map_only_plus_rollup(spark):
     plan = _plan(spark, "q139_bpe_apply")
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_q140_html_strip_has_no_shuffle(spark):
+    """The extractor stage is row-local regex work: one Exchange would be
+    a planner regression (q86's property, applied to markup removal)."""
+    plan = _plan(spark, "q140_html_strip")
+    assert "Exchange" not in plan
