@@ -77,6 +77,7 @@ R9_OPS = (
     "q138_ingest_passage_dedup",
     "q139_bpe_apply",
     "q140_html_strip",
+    "q141_unicode_normalize",
 )
 
 

@@ -1280,3 +1280,89 @@ def q140_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_fp"),
         F.size(TXT.tokens(clean)).cast("long").alias("n_tok_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141: unicode/typography normalization (the mojibake cleaner)
+# ---------------------------------------------------------------------------
+
+# (from, to) pairs; multi-char targets use replace, 1:1 pairs could use
+# translate but replace keeps one mechanism and both engines share it.
+_UNINORM = (
+    ("\u201c", '"'),   # left curly double quote
+    ("\u201d", '"'),   # right curly double quote
+    ("\u2018", "'"),   # left curly single quote
+    ("\u2019", "'"),   # right curly single quote
+    ("\u00a0", " "),   # no-break space
+    ("\u2014", "-"),   # em dash
+    ("\u2013", "-"),   # en dash
+    ("\u2026", "..."),  # ellipsis
+)
+# printable-ASCII complement: counts the characters normalization targets
+_NONASCII_RE = "[^ -~]"
+# deterministic injected suffix exercising every rule
+_WEIRD_SUFFIX = (
+    " \u201cquoted\u201d\u00a0and\u2018single\u2019"
+    " em\u2014dash en\u2013dash wait\u2026"
+)
+
+
+def _q141_oracle() -> str:
+    suffix_sql = _WEIRD_SUFFIX.replace("'", "''")
+    clean = "text"
+    for src, dst in _UNINORM:
+        dst_sql = dst.replace("'", "''")
+        clean = f"replace({clean}, '{src}', '{dst_sql}')"
+    return rf"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 1 THEN text || '{suffix_sql}'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(text) - len(regexp_replace(text, '{_NONASCII_RE}', '', 'g'))
+                AS BIGINT) AS n_weird,
+           CAST(len({clean})
+                - len(regexp_replace({clean}, '{_NONASCII_RE}', '', 'g'))
+                AS BIGINT) AS n_weird_after,
+           md5({clean}) AS norm_fp
+    FROM injected
+    """
+
+
+@query("q141_unicode_normalize", oracle=_q141_oracle(), tags=("cleaning", "text", "llm"))
+def q141_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/typography NORMALIZATION — the ftfy-class cleanup every
+    web corpus needs before tokenization: curly quotes to straight,
+    no-break spaces to spaces, en/em dashes to hyphens, ellipsis to
+    three dots, with before/after counts of the non-printable-ASCII
+    characters the rules target and the normalized fingerprint. The
+    synthetic corpus is pure ASCII, so every third doc gets a
+    deterministic suffix exercising every rule (the injection recipe),
+    and n_weird_after == 0 everywhere proves the table is COMPLETE for
+    what it injects — a new weird character would surface as a nonzero.
+
+    Scale: map-only — eight literal replaces and two char counts per
+    row inside whole-stage codegen, zero shuffles. Literal (non-regex)
+    replaces keep the rule table engine-portable; char-based len()
+    agrees between engines because both count codepoints, not bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(_WEIRD_SUFFIX))
+    ).otherwise(F.col("text"))
+    clean = injected
+    for src, dst in _UNINORM:
+        clean = F.replace(clean, F.lit(src), F.lit(dst))
+    n_weird = F.length(injected) - F.length(
+        F.regexp_replace(injected, _NONASCII_RE, "")
+    )
+    n_after = F.length(clean) - F.length(F.regexp_replace(clean, _NONASCII_RE, ""))
+    return d.select(
+        "doc_id",
+        "source",
+        n_weird.cast("long").alias("n_weird"),
+        n_after.cast("long").alias("n_weird_after"),
+        F.md5(clean).alias("norm_fp"),
+    )

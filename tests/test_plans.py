@@ -441,3 +441,9 @@ def test_q140_html_strip_has_no_shuffle(spark):
     a planner regression (q86's property, applied to markup removal)."""
     plan = _plan(spark, "q140_html_strip")
     assert "Exchange" not in plan
+
+
+def test_q141_normalize_has_no_shuffle(spark):
+    """Typography normalization is row-local replace work: zero Exchange."""
+    plan = _plan(spark, "q141_unicode_normalize")
+    assert "Exchange" not in plan
