@@ -78,6 +78,7 @@ R9_OPS = (
     "q139_bpe_apply",
     "q140_html_strip",
     "q141_unicode_normalize",
+    "q142_intradoc_dedup",
 )
 
 

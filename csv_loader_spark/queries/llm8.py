@@ -1366,3 +1366,95 @@ def q141_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_after.cast("long").alias("n_weird_after"),
         F.md5(clean).alias("norm_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q142: intra-document passage dedup (within-page boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _q142_oracle() -> str:
+    from csv_loader_spark.queries.llm7 import _PASSAGE
+
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t0
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 2 AND len(t0) >= {_PASSAGE}
+                  THEN list_concat(t0[1:{_PASSAGE}], t0) ELSE t0 END AS t,
+             CASE WHEN doc_id % 6 = 2 AND len(t0) >= {_PASSAGE}
+                  THEN len(t0) + {_PASSAGE} ELSE len(t0) END AS n
+      FROM raw
+    ),
+    passages AS (
+      SELECT doc_id, i,
+             array_to_string(t[1 + i * {_PASSAGE} : i * {_PASSAGE} + {_PASSAGE}], ' ')
+               AS passage
+      FROM toks, LATERAL unnest(range(0, (n - 1) // {_PASSAGE} + 1)) AS u(i)
+      WHERE n >= 1
+    ),
+    flagged AS (
+      SELECT doc_id, i, passage,
+             row_number() OVER (PARTITION BY doc_id, md5(passage)
+                                ORDER BY i) = 1 AS keep
+      FROM passages
+    )
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN passage END, ' '
+                                   ORDER BY i), '')) AS kept_fp
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
+@query("q142_intradoc_dedup", oracle=_q142_oracle(), tags=("dedup", "text", "llm"))
+def q142_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document passage dedup — q115's sub-document rule scoped to
+    each document alone (Dolma's within-page paragraph dedup): a passage
+    repeated INSIDE one doc (nav chrome, boilerplate footers duplicated
+    by the extractor) keeps only its first occurrence; other documents'
+    identical passages are untouched. Reports per doc the passage count,
+    survivors, and the fingerprint of the reassembled text — composable
+    with (and deliberately distinct from) the global q115 rule: run this
+    FIRST so within-page repetition cannot inflate a doc's weight in the
+    global keep-first race. The corpus has no natural within-doc
+    repetition, so every sixth long-enough doc gets its first passage
+    prepended (injection recipe) and the rule measurably fires.
+
+    Scale: the window partitions on (doc_id, md5(passage)) — doc-local
+    groups, so the shuffle key includes the doc and boilerplate shared
+    ACROSS docs never concentrates in one partition; everything else is
+    q115's shape with the doc roll-up reusing the same partitioning
+    prefix.
+    """
+    from csv_loader_spark.queries.llm7 import _PASSAGE, doc_passages
+
+    d = load_table(spark, sf_dir, "documents")
+    # injection scaffolding: the synthetic corpus has no within-doc
+    # repeated passages, so every sixth long-enough doc gets its first
+    # passage PREPENDED — passages 0 and 1 become identical, the rule
+    # measurably fires, mirrored in the oracle
+    t0 = TXT.tokens("text")
+    injected = F.when(
+        (F.col("doc_id") % 6 == 2) & (F.size(t0) >= _PASSAGE),
+        F.array_join(F.concat(F.slice(t0, 1, _PASSAGE), t0), " "),
+    ).otherwise(F.col("text"))
+    d = d.select("doc_id", injected.alias("text"))
+    passages = doc_passages(d)
+    w = W.partitionBy("doc_id", F.md5("passage")).orderBy("i")
+    flagged = passages.withColumn("keep", F.row_number().over(w) == 1)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct(F.col("i"), F.col("passage"))))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_passages"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept_structs, lambda s: s["passage"]), " ")
+        ).alias("kept_fp"),
+    )

@@ -447,3 +447,11 @@ def test_q141_normalize_has_no_shuffle(spark):
     """Typography normalization is row-local replace work: zero Exchange."""
     plan = _plan(spark, "q141_unicode_normalize")
     assert "Exchange" not in plan
+
+
+def test_q142_intradoc_window_keys_include_doc(spark):
+    """The within-doc dedup window must partition on (doc_id, hash) so
+    cross-doc boilerplate can never concentrate one partition; no joins."""
+    plan = _plan(spark, "q142_intradoc_dedup")
+    assert "Join" not in plan
+    assert "hashpartitioning(doc_id" in plan
