@@ -79,6 +79,7 @@ R9_OPS = (
     "q140_html_strip",
     "q141_unicode_normalize",
     "q142_intradoc_dedup",
+    "q143_cluster_keep_best",
 )
 
 

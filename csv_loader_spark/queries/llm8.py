@@ -1458,3 +1458,125 @@ def q142_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform(kept_structs, lambda s: s["passage"]), " ")
         ).alias("kept_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143: duplicate-cluster representative selection (keep-best per component)
+# ---------------------------------------------------------------------------
+
+
+def _q143_oracle() -> str:
+    from csv_loader_spark.queries.llm import _SHINGLE_CTE
+
+    return rf"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM exploded a
+      JOIN exploded b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sb ON sb.doc_id = i.doc_b
+      WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, root) AS (
+      SELECT DISTINCT a, a FROM und
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(root) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    sized AS (
+      SELECT c.cluster_id, c.doc_id,
+             len(string_split_regex(trim(lower(d.text)), '\s+')) AS n_tok
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_tok,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tok DESC, doc_id) AS rnk
+      FROM sized
+    )
+    SELECT cluster_id,
+           count(*) AS n_members,
+           CAST(min(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           CAST(sum(CASE WHEN rnk > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS dropped_tokens
+    FROM ranked
+    GROUP BY cluster_id
+    """
+
+
+@query("q143_cluster_keep_best", oracle=_q143_oracle(), tags=("dedup", "graph", "iterative", "llm"))
+def q143_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster REPRESENTATIVE selection: q67's connected
+    components (exact Jaccard >= 0.5 edges, iterative min-label
+    propagation) composed with the keep-best rule — each cluster keeps
+    its longest member (token count, doc_id tie-break) and reports the
+    cluster size and the token mass the drop decision removes. This is
+    the decision step near-dup dedup exists for: q79 picks a survivor
+    per EXACT fingerprint, this picks one per NEAR-dup component, so
+    transitive near-duplicates (A~B~C where A and C never pair) still
+    collapse to one document.
+
+    Scale: the edge list and components are q67's (posting-list candidate
+    join, label propagation in diameter rounds over node-id frames); the
+    new work is one broadcast-sized join to token counts and a window
+    argmax per cluster — both linear in cluster membership. Iterative on
+    the Spark side; the oracle computes the same fixpoint with a
+    recursive CTE, so the gate stays exact.
+    """
+    from csv_loader_spark.ops.graph import connected_components
+    from csv_loader_spark.queries.llm import _shingled
+
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    edges = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(edges, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    sized = comp.join(
+        d.select("doc_id", F.size(TXT.tokens("text")).alias("n_tok")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_tok").desc(), F.col("doc_id"))
+    ranked = sized.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("rep_doc_id"),
+        F.sum(F.when(F.col("rnk") > 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("dropped_tokens"),
+    )
