@@ -1,0 +1,134 @@
+"""The closed-loop admission pipeline (streaming/curation.py): blocklist →
+near-dup probe → hash-consistent quota composed per micro-batch over a
+growing store, with the commutes-with-batching property asserted against
+the batch q121 rule."""
+
+import json
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from csv_loader_spark.streaming.curation import (
+    read_quota_snapshot,
+    start_curation_pipeline,
+)
+
+_SCHEMA = "doc_id long, ts timestamp, source string, text string"
+
+# MinHash-verified fixture texts (see test_stream_static_dedup.py): _N1 and
+# _N3 collide in 2 of 3 bands; the others share no bands.
+_N1 = (
+    "distributed stream processing with incremental checkpoints handles "
+    "late data gracefully in production pipelines"
+)
+_N3 = (
+    "distributed stream processing with incremental checkpoints handles "
+    "late data gracefully in modern pipelines"
+)
+_A = "an entirely original first document about columnar storage engines"
+_B = "another unrelated piece describing vectorized execution and codegen"
+_C = "a third standalone text on adaptive query replanning at runtime"
+_BLOCKED = "spam content see http://site1.example/landing page now"
+
+# q121 hash order (md5 first-16-bits of '<id>:quota'):
+# h(2)=1994 < h(22)=15594 < h(12)=15758 < h(6)=17484
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for doc_id, ts, source, text in rows:
+            f.write(
+                json.dumps(
+                    {"doc_id": doc_id, "ts": ts, "source": source, "text": text}
+                )
+                + "\n"
+            )
+
+
+def _run(spark, src, store, ck):
+    q = start_curation_pipeline(
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        store,
+        ck,
+        cap=2,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+
+
+def test_curation_loop_composes_and_commutes(spark, tmp_path):
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    _write_batch(
+        src / "b1.json",
+        [
+            (6, "2026-01-01 10:00:00", "s", _A),
+            (12, "2026-01-01 10:00:01", "s", _B),
+            (22, "2026-01-01 10:00:02", "s", _N1),
+            (13, "2026-01-01 10:00:03", "s", _A),        # exact dup of 6
+            (7, "2026-01-01 10:00:04", "s", _BLOCKED),   # blocklisted
+        ],
+    )
+    _run(spark, src, store, ck)
+    snap1 = {
+        r["doc_id"] for r in read_quota_snapshot(spark, store).collect()
+    }
+    # cap=2, hash order 22 < 12 < 6: doc 6 is dedup-accepted but over cap
+    assert snap1 == {22, 12}
+
+    # batch 2 lands after a RESTART (state lives in the store, not memory):
+    # a better-hash newcomer displaces doc 12; a near-dup of doc 22 is
+    # rejected by the band index the loop grew
+    _write_batch(
+        src / "b2.json",
+        [
+            (2, "2026-01-01 10:01:00", "s", _C),
+            (19, "2026-01-01 10:01:01", "s", _N3),       # near dup of 22
+        ],
+    )
+    _run(spark, src, store, ck)
+    snap2 = {
+        r["doc_id"] for r in read_quota_snapshot(spark, store).collect()
+    }
+    assert snap2 == {2, 22}
+
+    # manifest verdicts, folded over the replay
+    manifest = spark.read.parquet(os.path.join(store, "manifest"))
+    got = {
+        (r["doc_id"], r["verdict"])
+        for r in manifest.select("doc_id", "verdict").collect()
+    }
+    assert (7, "blocked") in got
+    assert (13, "exact_batch") in got
+    assert (19, "near_corpus") in got
+    assert (6, "quota_rejected") in got
+    assert (12, "admitted") in got and (12, "quota_evicted") in got
+    assert (2, "admitted") in got and (22, "admitted") in got
+
+    # the COMMUTES-WITH-BATCHING property: the standing set equals the
+    # batch q121 rule applied to every dedup-accepted doc of the whole
+    # replay, computed with the rule's own expression
+    from csv_loader_spark.queries.llm2 import _hash16_spark_sql
+    from csv_loader_spark.queries.llm7 import _QUOTA_SALT
+
+    accepted = spark.read.parquet(os.path.join(store, "accepted"))
+    h = _hash16_spark_sql(f"concat(CAST(doc_id AS STRING), '{_QUOTA_SALT}')")
+    w = Window.partitionBy("source").orderBy(F.expr(h), F.col("doc_id"))
+    expected = {
+        r["doc_id"]
+        for r in accepted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .collect()
+    }
+    assert snap2 == expected
+
+    # blocked docs never reached any store surface
+    for sub in ("accepted", "quota"):
+        df = spark.read.parquet(os.path.join(store, sub))
+        assert df.filter(F.col("doc_id") == 7).count() == 0
