@@ -1122,9 +1122,11 @@ def q138_ingest_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q139_oracle() -> str:
     from csv_loader_spark.functions.bpe_merges import MERGES
 
-    enc = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    # double-space symbol separators + single-space padding: replace-all
+    # of ' a  b ' is exactly leftmost-greedy BPE (see tools/train_bpe.py)
+    enc = r"' ' || trim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '"
     for a, b, _ in MERGES:
-        enc = f"replace({enc}, '{a} {b}', '{a}{b}')"
+        enc = f"replace({enc}, ' {a}  {b} ', ' {a}{b} ')"
     return rf"""
     WITH words AS (
       SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -1137,8 +1139,8 @@ def _q139_oracle() -> str:
     SELECT source,
            count(*) AS n_words,
            CAST(sum(len(w)) AS BIGINT) AS n_chars,
-           CAST(sum(len(string_split(e, ' '))) AS BIGINT) AS n_subwords,
-           CAST(sum(len(string_split(e, ' '))) * 100 // count(*) AS BIGINT)
+           CAST(sum(len(string_split(trim(e), '  '))) AS BIGINT) AS n_subwords,
+           CAST(sum(len(string_split(trim(e), '  '))) * 100 // count(*) AS BIGINT)
              AS subwords_per_word_x100
     FROM enc
     GROUP BY source
@@ -1152,9 +1154,13 @@ def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tools/train_bpe.py — trained offline with one distributed
     aggregation per merge, the codebook-trainer recipe applied to
     tokenization) is applied IN TRAINING ORDER as literal string
-    replaces over the space-joined symbol string — the classic
-    equivalence that makes BPE application expressible as pure string
-    expressions, no per-word loop. Reports per-source word/char/subword
+    replaces over the double-space-separated, space-padded symbol
+    string — an encoding on which replace-all is EXACTLY leftmost-greedy
+    BPE (matches cannot share characters or cross symbol boundaries; the
+    r9 review caught the naive single-space form merging a symbol's
+    suffix with the next symbol's prefix), verified word-for-word
+    against a reference BPE implementation in
+    tests/test_llm7_properties.py. Reports per-source word/char/subword
     counts and the integer subwords-per-word ratio — the tokenizer-fit
     number (chars-per-subword rises as merges capture the corpus's
     morphology) a data pipeline tracks per source.
@@ -1172,14 +1178,16 @@ def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("source", F.explode(TXT.tokens("text")).alias("w")).filter(
         F.length("w") >= 1
     )
-    enc = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    enc = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), F.lit(" ")
+    )
     for a, b, _ in MERGES:
-        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(a + b))
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
     return (
         words.select(
             "source",
             F.length("w").alias("nc"),
-            F.size(F.split(enc, " ")).alias("ns"),
+            F.size(F.split(F.trim(enc), "  ")).alias("ns"),
         )
         .groupBy("source")
         .agg(

@@ -147,6 +147,19 @@ def ingest_verdicts(
     (band, bkey) — id-table probes, never a corpus rescan."""
     from csv_loader_spark.queries.llm import minhash_bands
 
+    # doubled-delivery guard (r9 review): a duplicated doc_id within the
+    # batch would otherwise make BOTH copies exact_batch (rn 1 and 2 share
+    # the doc_id the verdict flags key on) and the document would never be
+    # admitted. Keep one deterministic copy per doc_id (min fp orders the
+    # corrupted different-content case) — one verdict per doc_id, matching
+    # the quota/packing hardening.
+    wdup = Window.partitionBy("doc_id").orderBy(TXT.fingerprint("text"))
+    arrivals = (
+        arrivals.withColumn("_dup_rn", F.row_number().over(wdup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+
     # lazy localCheckpoint: the verdict DAG references the tagged frame 5x
     # and the band frame 3x, and Spark recomputes unshared subtrees per
     # stage — without this the md5 minhash work runs ~8x per batch
@@ -359,6 +372,14 @@ def ingest_verdicts_passage(
     (bounded by doc length), the same explode the batch q115 pays."""
     from csv_loader_spark.queries.llm7 import doc_passages
 
+    # doubled-delivery guard: see ingest_verdicts
+    wdup = Window.partitionBy("doc_id").orderBy(TXT.fingerprint("text"))
+    arrivals = (
+        arrivals.withColumn("_dup_rn", F.row_number().over(wdup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+
     # lazy localCheckpoint for the same multi-reference reason as
     # ingest_verdicts (tagged 5x, passages 2x)
     tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
@@ -464,10 +485,28 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     if not os.path.isdir(base):
         return 0
     batch_dirs = [e for e in os.listdir(base) if e.startswith("batch=")]
-    fold = [e for e in batch_dirs if int(e.split("=", 1)[1]) >= 0]
+    # fold ONLY ledger-committed batches (r9 review): an unledgered
+    # partition belongs to an IN-FLIGHT batch that crashed between its
+    # index write and the ledger record — folding it into the seed would
+    # defeat read_index(exclude_batch=...) on redelivery (the batch's own
+    # fingerprints, no longer hidden, would anti-join the whole batch
+    # away and overwrite its accepted partition with an empty frame).
+    # Such partitions stay put until their redelivery commits them.
+    fold = [
+        e
+        for e in batch_dirs
+        if int(e.split("=", 1)[1]) >= 0
+        and _already_applied(base, int(e.split("=", 1)[1]))
+    ]
     if not fold:
         return 0
-    df = spark.read.parquet(base).drop("batch").distinct()
+    paths = [os.path.join(base, e) for e in fold]
+    seed_dir = os.path.join(base, "batch=-1")
+    if os.path.isdir(seed_dir):
+        paths.append(seed_dir)
+    df = spark.read.parquet(*paths).distinct()
+    if "batch" in df.columns:
+        df = df.drop("batch")
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(seed):
         os.rename(seed, backup)

@@ -32,11 +32,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "source string, doc_id long, admitted boolean, n_admitted long"
-# STATE SCHEMA v1: the single running admission counter per source.
-STATE_SCHEMA = "n_admitted long"
+OUTPUT_SCHEMA = (
+    "source string, doc_id long, admitted boolean, n_admitted long, stale boolean"
+)
+# STATE SCHEMA v2 (r9 review): widened from the bare counter by last_doc —
+# packing.py's cross-batch order guard, so a doubled landing-zone FILE
+# (same doc_ids in a later micro-batch) cannot re-consume the cap. Same
+# stateful-schema-evolution constraint as packing.py: a v1 checkpoint
+# cannot resume under v2 (fresh checkpoint_dir required).
+STATE_SCHEMA = "n_admitted long, last_doc long"
 
 _DEFAULT_CAP = 30  # mirrors q121's _QUOTA
+_NO_DOC = -(1 << 62)  # "no doc seen yet" sentinel, below any real id
 
 
 def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
@@ -48,7 +55,10 @@ def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
-        n = state.get[0] if state.exists else 0
+        if state.exists:
+            n, last_doc = state.get
+        else:
+            n, last_doc = 0, _NO_DOC
         batch = pd.concat(list(pdfs)).sort_values("doc_id")
         # within-batch duplicate guard (r9, packing.py's hardening applied
         # here): a doubled landing-zone file delivers the same doc_id
@@ -57,20 +67,48 @@ def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
         # (source, doc_id), so the extra copies carry no information —
         # drop them rather than quarantine.
         batch = batch[~batch["doc_id"].duplicated(keep="first")]
-        k = len(batch)
+        # CROSS-batch duplicate guard (r9 review): a doc at-or-behind the
+        # carried last_doc is a redelivery (or an order violation) — it
+        # surfaces as stale=True, never consumes the cap, and its verdict
+        # row is a marker, not an admission decision.
+        ids = batch["doc_id"].to_numpy()
+        stale_mask = ids <= last_doc
+        fresh = ids[~stale_mask]
+        k = len(fresh)
         admit_n = max(0, min(cap - n, k))
         admitted = [True] * admit_n + [False] * (k - admit_n)
         running = [n + min(i + 1, admit_n) for i in range(k)]
         n += admit_n
-        state.update((int(n),))
-        yield pd.DataFrame(
+        if k:
+            last_doc = max(last_doc, int(fresh[-1]))
+        state.update((int(n), int(last_doc)))
+        out = pd.DataFrame(
             {
                 "source": [source] * k,
-                "doc_id": batch["doc_id"].to_numpy(),
+                "doc_id": fresh,
                 "admitted": pd.array(admitted, dtype="boolean"),
                 "n_admitted": pd.array(running, dtype="int64"),
+                "stale": pd.array([False] * k, dtype="boolean"),
             }
         )
+        if stale_mask.any():
+            st = ids[stale_mask]
+            out = pd.concat(
+                [
+                    out,
+                    pd.DataFrame(
+                        {
+                            "source": [source] * len(st),
+                            "doc_id": st,
+                            "admitted": pd.array([False] * len(st), dtype="boolean"),
+                            "n_admitted": pd.array([n] * len(st), dtype="int64"),
+                            "stale": pd.array([True] * len(st), dtype="boolean"),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        yield out
 
     return docs.groupBy("source").applyInPandasWithState(
         _fn,

@@ -462,3 +462,52 @@ def test_bpe_apply_is_lossless(spark):
         F.size(F.split(enc, " ")) < F.length("w")
     )
     assert compressed.count() > 0
+
+
+def test_bpe_apply_matches_reference_implementation(spark):
+    """r9 review fix verification: the double-space replace encoding must
+    tokenize EVERY corpus word identically to a reference leftmost-greedy
+    BPE applying the same merges in training order — the property the
+    naive single-space encoding violated (it merged a symbol's suffix
+    with the next symbol's prefix, e.g. 'fast' -> ['f','ast'])."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.functions import text as TXT
+    from csv_loader_spark.functions.bpe_merges import MERGES
+    from csv_loader_spark.io.tables import load_table
+
+    def reference_bpe(word):
+        sym = list(word)
+        for a, b, _ in MERGES:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    words = (
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.explode(TXT.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    enc = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), F.lit(" ")
+    )
+    for a, b, _ in MERGES:
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+    got = {
+        r["w"]: list(r["subs"])
+        for r in words.select("w", F.split(F.trim(enc), "  ").alias("subs")).collect()
+    }
+    assert got, "vocabulary must be non-empty"
+    mismatches = {
+        w: (subs, reference_bpe(w)) for w, subs in got.items()
+        if subs != reference_bpe(w)
+    }
+    assert not mismatches, f"{len(mismatches)} diverging words, e.g. {list(mismatches.items())[:3]}"

@@ -518,3 +518,69 @@ def test_passage_ingest_loop_rejects_recycled_content(spark, tmp_path):
     q.awaitTermination(180)
     accepted = spark.read.parquet(acc)
     assert {r["doc_id"] for r in accepted.collect()} == {101}
+
+
+def test_compact_index_skips_unledgered_inflight_partition(spark, tmp_path):
+    """r9 review fix: a batch partition whose ledger record never landed
+    (crash between index write and ledger) must NOT be folded into the
+    seed — folding would defeat read_index(exclude_batch=...) on
+    redelivery and the batch would anti-join itself away."""
+    from csv_loader_spark.streaming.ingest_dedup import compact_index
+
+    idx = str(tmp_path / "index")
+    seed_index(
+        spark.createDataFrame([(0, "seed doc")], "doc_id long, text string"), idx
+    )
+    # committed batch 0
+    append_to_index(
+        fingerprint_index(
+            spark.createDataFrame([(1, "committed doc")], "doc_id long, text string")
+        ),
+        idx,
+        0,
+    )
+    # IN-FLIGHT batch 1: partition written, ledger record missing
+    fingerprint_index(
+        spark.createDataFrame([(2, "inflight doc")], "doc_id long, text string")
+    ).write.mode("overwrite").parquet(os.path.join(idx, "batch=1"))
+
+    folded = compact_index(spark, idx)
+    assert folded == 1  # only the committed batch folds
+    dirs = sorted(e for e in os.listdir(idx) if e.startswith("batch="))
+    assert dirs == ["batch=-1", "batch=1"]
+    # redelivery of batch 1 still sees its own partition excluded and the
+    # seed WITHOUT its fingerprints — the crash window stays closed
+    probe = read_index(spark, idx, exclude_batch=1)
+    inflight_fp = fingerprint_index(
+        spark.createDataFrame([(2, "inflight doc")], "doc_id long, text string")
+    ).collect()[0]["fp"]
+    assert inflight_fp not in {r["fp"] for r in probe.collect()}
+
+
+def test_doubled_delivery_of_novel_doc_is_still_admitted(spark):
+    """r9 review fix: a doubled landing-zone file delivering the same
+    (doc_id, text) row twice in one batch must yield ONE accepted verdict
+    — not two exact_batch rejections that silently drop a novel doc."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_signature_index,
+        ingest_verdicts,
+        ingest_verdicts_passage,
+        passage_index,
+    )
+
+    corpus = spark.createDataFrame([(0, _CORPUS_DOC)], "doc_id long, text string")
+    arrivals = spark.createDataFrame(
+        [(10, "s", _N1), (10, "s", _N1), (11, "s", _GAMMA)],
+        "doc_id long, source string, text string",
+    )
+    out = ingest_verdicts(
+        arrivals, fingerprint_index(corpus), band_signature_index(corpus)
+    )
+    got = sorted((r["doc_id"], r["verdict"]) for r in out.collect())
+    assert got == [(10, "accepted"), (11, "accepted")]
+
+    out_p = ingest_verdicts_passage(
+        arrivals, fingerprint_index(corpus), passage_index(corpus)
+    )
+    got_p = sorted((r["doc_id"], r["verdict"]) for r in out_p.collect())
+    assert got_p == [(10, "accepted"), (11, "accepted")]

@@ -4,6 +4,7 @@ admit everything, and the admitted count per source equals the batch
 rule's (the documented divergence is selection identity, not count)."""
 
 import json
+import os
 
 from csv_loader_spark.streaming.quota import quota_stream
 
@@ -145,3 +146,47 @@ def test_hash_mode_matches_batch_identity(spark, tmp_path):
     # the displacement path actually fired: something admitted in batch 1
     # was evicted by a batch-2 arrival (if not, the fixture is too easy)
     assert evicted, "expected at least one eviction across the batch boundary"
+
+
+def test_cross_batch_redelivery_does_not_reconsume(spark, tmp_path):
+    """r9 review fix: a doubled landing-zone FILE (same doc_ids arriving
+    again in a LATER micro-batch) must not re-consume the cap — the
+    last_doc carry surfaces the copies as stale=True markers and a
+    subsequent genuinely-new doc is still admitted (count parity with
+    batch q121 over the distinct docs)."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    _write_batch(src / "b1.json", [("a", 1), ("a", 2)])
+    _write_batch(src / "b2.json", [("a", 1), ("a", 2)])  # doubled file
+    _write_batch(src / "b3.json", [("a", 3)])
+    # pin distinct mtimes: the file source orders batches by modification
+    # time, and same-second ties would scramble the delivery order
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json")):
+        os.utime(src / name, (1700000000 + i, 1700000000 + i))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        quota_stream(stream, cap=3)
+        .writeStream.format("memory")
+        .queryName("quota_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM quota_xbatch").collect()
+    fresh = {
+        (r["source"], r["doc_id"]): (r["admitted"], r["n_admitted"])
+        for r in rows
+        if not r["stale"]
+    }
+    stale = {(r["source"], r["doc_id"]) for r in rows if r["stale"]}
+    assert fresh == {
+        ("a", 1): (True, 1),
+        ("a", 2): (True, 2),
+        ("a", 3): (True, 3),  # still admitted: the redelivery consumed nothing
+    }
+    assert stale == {("a", 1), ("a", 2)}
