@@ -81,3 +81,35 @@ def fingerprint(col: Column | str) -> Column:
     to formatting-only edits — the cheap first pass of an exact-dedup pipeline.
     """
     return F.md5(F.concat_ws(" ", tokens(col)))
+
+
+def bpe_symbols(col: Column | str) -> Column:
+    """A word as its BPE symbol string: characters separated by DOUBLE
+    spaces, single-space padded at both ends. On this encoding a literal
+    replace-all of ``' a  b '`` with ``' ab '`` is EXACTLY leftmost-greedy
+    BPE for the pair (a, b): matches cannot share characters (each takes
+    one space from each side's double separator), cannot cross symbol
+    boundaries (symbol interiors contain no spaces), and consecutive
+    occurrences all merge in one pass. The naive single-space encoding
+    fails both ways — r9 review caught it merging a symbol's suffix with
+    the next symbol's prefix ('fast' -> ['f','ast'])."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(
+        F.lit(" "), F.trim(F.regexp_replace(c, "(.)", "$1  ")), F.lit(" ")
+    )
+
+
+def bpe_encode(col: Column | str, merges) -> Column:
+    """Apply a trained merge table (``[(left, right, ...), ...]`` in
+    training order) to a word column — the ONE implementation shared by
+    q139, tools/train_bpe.py, and the reference-equivalence test, so
+    application can never drift from training."""
+    enc = bpe_symbols(col)
+    for a, b, *_ in merges:
+        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
+    return enc
+
+
+def bpe_subwords(col: Column | str, merges) -> Column:
+    """The word's subword array under the merge table."""
+    return F.split(F.trim(bpe_encode(col, merges)), "  ")

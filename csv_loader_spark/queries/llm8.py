@@ -1178,16 +1178,11 @@ def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = d.select("source", F.explode(TXT.tokens("text")).alias("w")).filter(
         F.length("w") >= 1
     )
-    enc = F.concat(
-        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), F.lit(" ")
-    )
-    for a, b, _ in MERGES:
-        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
     return (
         words.select(
             "source",
             F.length("w").alias("nc"),
-            F.size(F.split(F.trim(enc), "  ")).alias("ns"),
+            F.size(TXT.bpe_subwords("w", MERGES)).alias("ns"),
         )
         .groupBy("source")
         .agg(

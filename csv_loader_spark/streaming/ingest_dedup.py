@@ -114,6 +114,22 @@ def band_signature_index(corpus: DataFrame) -> DataFrame:
     return minhash_bands(corpus).select("band", "bkey").distinct()
 
 
+def _dedup_and_tag(arrivals: DataFrame) -> DataFrame:
+    """Doubled-delivery guard shared by both verdict functions (r9
+    review): keep ONE deterministic copy per doc_id — min fingerprint
+    orders the corrupted different-content case — with the content
+    fingerprint tagged a single time (the guard's sort key and the exact
+    probe key are the same md5, so computing it twice would double the
+    normalization work per row)."""
+    tagged = arrivals.withColumn("fp", TXT.fingerprint("text"))
+    wdup = Window.partitionBy("doc_id").orderBy("fp")
+    return (
+        tagged.withColumn("_dup_rn", F.row_number().over(wdup))
+        .filter(F.col("_dup_rn") == 1)
+        .drop("_dup_rn")
+    )
+
+
 def ingest_verdicts(
     arrivals: DataFrame, fp_index: DataFrame, band_index: DataFrame
 ) -> DataFrame:
@@ -147,19 +163,6 @@ def ingest_verdicts(
     (band, bkey) — id-table probes, never a corpus rescan."""
     from csv_loader_spark.queries.llm import minhash_bands
 
-    # doubled-delivery guard (r9 review): a duplicated doc_id within the
-    # batch would otherwise make BOTH copies exact_batch (rn 1 and 2 share
-    # the doc_id the verdict flags key on) and the document would never be
-    # admitted. Keep one deterministic copy per doc_id (min fp orders the
-    # corrupted different-content case) — one verdict per doc_id, matching
-    # the quota/packing hardening.
-    wdup = Window.partitionBy("doc_id").orderBy(TXT.fingerprint("text"))
-    arrivals = (
-        arrivals.withColumn("_dup_rn", F.row_number().over(wdup))
-        .filter(F.col("_dup_rn") == 1)
-        .drop("_dup_rn")
-    )
-
     # lazy localCheckpoint: the verdict DAG references the tagged frame 5x
     # and the band frame 3x, and Spark recomputes unshared subtrees per
     # stage — without this the md5 minhash work runs ~8x per batch
@@ -172,10 +175,8 @@ def ingest_verdicts(
     # expected case, not the corner. Scale wins (the AQE-stays-on rule).
     # eager=False keeps construction lazy: blocks materialize on first use
     # and later stages read them.
-    tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
-        eager=False
-    )
-    arr_bands = minhash_bands(arrivals).localCheckpoint(eager=False)
+    tagged = _dedup_and_tag(arrivals).localCheckpoint(eager=False)
+    arr_bands = minhash_bands(tagged).localCheckpoint(eager=False)
 
     exact_c = tagged.join(fp_index, "fp", "left_semi").select("doc_id")
     rest1 = tagged.join(fp_index, "fp", "left_anti")
@@ -372,21 +373,12 @@ def ingest_verdicts_passage(
     (bounded by doc length), the same explode the batch q115 pays."""
     from csv_loader_spark.queries.llm7 import doc_passages
 
-    # doubled-delivery guard: see ingest_verdicts
-    wdup = Window.partitionBy("doc_id").orderBy(TXT.fingerprint("text"))
-    arrivals = (
-        arrivals.withColumn("_dup_rn", F.row_number().over(wdup))
-        .filter(F.col("_dup_rn") == 1)
-        .drop("_dup_rn")
-    )
-
     # lazy localCheckpoint for the same multi-reference reason as
-    # ingest_verdicts (tagged 5x, passages 2x)
-    tagged = arrivals.withColumn("fp", TXT.fingerprint("text")).localCheckpoint(
-        eager=False
-    )
+    # ingest_verdicts (tagged 5x, passages 2x); _dedup_and_tag is the
+    # doubled-delivery guard
+    tagged = _dedup_and_tag(arrivals).localCheckpoint(eager=False)
     arr_p = (
-        doc_passages(arrivals)
+        doc_passages(tagged)
         .withColumn("pfp", F.md5("passage"))
         .select("doc_id", "i", "pfp")
         .localCheckpoint(eager=False)
@@ -443,11 +435,22 @@ def ingest_verdicts_passage(
     return out.withColumn("verdict", verdict).drop("_ec", "_eb", "_pc", "_pb")
 
 
-def compact_index(spark: SparkSession, index_path: str) -> int:
+def compact_index(
+    spark: SparkSession, index_path: str, *, ledger_path: str | None = None
+) -> int:
     """Fold every committed ``batch=<id>`` partition of an index store
-    (fingerprint or band-signature — schema-agnostic) into the single
-    seed partition ``batch=-1``, returning the number of batch
+    (fingerprint, band-signature, or passage — schema-agnostic) into the
+    single seed partition ``batch=-1``, returning the number of batch
     partitions folded (0 = nothing to do).
+
+    ``ledger_path`` names the store whose ``_applied_batches`` ledger
+    defines "committed" — defaults to ``index_path`` (right for the
+    fingerprint store, which owns the ledger). The band/passage stores
+    are written in lockstep with the fingerprint store under the SAME
+    batch ids but carry no ledger of their own, so compacting them
+    requires passing the fingerprint store's path here; without it every
+    partition would look in-flight and compaction would be a no-op (r9
+    review).
 
     WHY this op exists: the closed loop writes one parquet directory per
     micro-batch — after 100k batches the store is 100k directories and
@@ -492,21 +495,27 @@ def compact_index(spark: SparkSession, index_path: str) -> int:
     # fingerprints, no longer hidden, would anti-join the whole batch
     # away and overwrite its accepted partition with an empty frame).
     # Such partitions stay put until their redelivery commits them.
-    fold = [
-        e
-        for e in batch_dirs
-        if int(e.split("=", 1)[1]) >= 0
-        and _already_applied(base, int(e.split("=", 1)[1]))
-    ]
+    # (Ledger read ONCE into a set — per-directory file reads would be
+    # O(B^2) at exactly the store size compaction exists to fix.)
+    from csv_loader_spark.streaming.continuous_agg import _ledger_path
+
+    lp = _ledger_path((ledger_path or index_path).rstrip("/"))
+    committed: set[int] = set()
+    if os.path.exists(lp):
+        with open(lp) as f:
+            committed = {int(x) for x in f.read().split()}
+    fold = []
+    for e in batch_dirs:
+        bid = int(e.split("=", 1)[1])
+        if bid >= 0 and bid in committed:
+            fold.append(e)
     if not fold:
         return 0
     paths = [os.path.join(base, e) for e in fold]
-    seed_dir = os.path.join(base, "batch=-1")
-    if os.path.isdir(seed_dir):
-        paths.append(seed_dir)
+    if os.path.isdir(seed):
+        paths.append(seed)
+    # leaf-path reads carry no hive `batch` column, so no drop is needed
     df = spark.read.parquet(*paths).distinct()
-    if "batch" in df.columns:
-        df = df.drop("batch")
     df.write.mode("overwrite").parquet(tmp)
     if os.path.isdir(seed):
         os.rename(seed, backup)

@@ -9,10 +9,21 @@ order, deterministic under replay) and marks everything after the cap
 rejected, with the running admission count on every row so the cap's
 pressure is queryable.
 
-Scale: state is ONE integer per source (bounded by |sources|, no
-timeout); each group processes an Arrow batch of (doc_id) rows — no
-document payload enters Python (join the admission verdict back to the
-payload by doc_id downstream, the q101 narrow-frame convention).
+Scale: state is TWO longs per source — the admission counter plus the
+last_doc order guard (bounded by |sources|, no timeout); each group
+processes an Arrow batch of (doc_id) rows — no document payload enters
+Python (join the admission verdict back to the payload by doc_id
+downstream, the q101 narrow-frame convention).
+
+Ordering contract (packing.py's landing-zone convention, stated here
+because the cross-batch guard depends on it): ACROSS micro-batches the
+source must deliver doc_ids monotonically (true for a landing zone
+naming files in doc order). A doc at-or-behind the carried last_doc is
+indistinguishable from a redelivery and surfaces as a ``stale = true``
+marker row that never consumes the cap — so a genuinely out-of-order
+novel doc is NOT admitted by this mode; a pipeline whose arrivals are
+unordered uses ``quota_stream_hash``, whose hash-rank re-ranking is
+arrival-order-independent by construction.
 
 Semantics note (documented divergence from the batch twin): the batch
 rule samples by hash (corpus-stable), the streaming rule by arrival
@@ -48,8 +59,12 @@ _NO_DOC = -(1 << 62)  # "no doc seen yet" sentinel, below any real id
 
 def quota_stream(docs: DataFrame, cap: int = _DEFAULT_CAP) -> DataFrame:
     """docs (streaming; source string, doc_id long) → one row per doc
-    with ``admitted`` (first ``cap`` per source across the whole stream)
-    and the post-decision running count ``n_admitted``."""
+    with ``admitted`` (first ``cap`` per source across the whole stream),
+    the post-decision running count ``n_admitted``, and ``stale``
+    (true = a cross-batch redelivery / order-violation marker row whose
+    ``admitted``/``n_admitted`` are NOT admission decisions — consumers
+    filter ``stale`` before folding verdicts; see the module's ordering
+    contract)."""
 
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -451,16 +451,12 @@ def test_bpe_apply_is_lossless(spark):
         .filter(F.length("w") >= 1)
         .distinct()
     )
-    enc = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
-    for a, b, _ in MERGES:
-        enc = F.replace(enc, F.lit(f"{a} {b}"), F.lit(a + b))
-    bad = words.filter(F.replace(enc, F.lit(" "), F.lit("")) != F.col("w"))
+    subs = TXT.bpe_subwords("w", MERGES)
+    bad = words.filter(F.array_join(subs, "") != F.col("w"))
     assert bad.count() == 0
     # and the merges actually compress: some word must tokenize to fewer
     # symbols than characters
-    compressed = words.filter(
-        F.size(F.split(enc, " ")) < F.length("w")
-    )
+    compressed = words.filter(F.size(subs) < F.length("w"))
     assert compressed.count() > 0
 
 
@@ -496,14 +492,11 @@ def test_bpe_apply_matches_reference_implementation(spark):
         .filter(F.length("w") >= 1)
         .distinct()
     )
-    enc = F.concat(
-        F.lit(" "), F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")), F.lit(" ")
-    )
-    for a, b, _ in MERGES:
-        enc = F.replace(enc, F.lit(f" {a}  {b} "), F.lit(f" {a + b} "))
     got = {
         r["w"]: list(r["subs"])
-        for r in words.select("w", F.split(F.trim(enc), "  ").alias("subs")).collect()
+        for r in words.select(
+            "w", TXT.bpe_subwords("w", MERGES).alias("subs")
+        ).collect()
     }
     assert got, "vocabulary must be non-empty"
     mismatches = {

@@ -584,3 +584,45 @@ def test_doubled_delivery_of_novel_doc_is_still_admitted(spark):
     )
     got_p = sorted((r["doc_id"], r["verdict"]) for r in out_p.collect())
     assert got_p == [(10, "accepted"), (11, "accepted")]
+
+
+def test_compact_band_index_with_fp_ledger(spark, tmp_path):
+    """r9 review fix: the band store has no ledger of its own — compaction
+    must take the fingerprint store's ledger via ledger_path; without it
+    the band store would never compact (silent no-op)."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        compact_index,
+        read_band_index,
+        seed_band_index,
+    )
+
+    idx = str(tmp_path / "index")
+    bidx = str(tmp_path / "band_index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    corpus = spark.createDataFrame([(0, _CORPUS_DOC)], "doc_id long, text string")
+    seed_index(corpus, idx)
+    seed_band_index(corpus, bidx)
+    _write_batch(src / "b1.json", [(10, "2026-01-01 10:00:00", _N1)])
+    _write_batch(src / "b2.json", [(20, "2026-01-01 10:01:00", _GAMMA)])
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        band_index_path=bidx,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    before = {(r["band"], r["bkey"]) for r in read_band_index(spark, bidx).collect()}
+
+    # without the fp ledger the band store looks all-in-flight: no-op
+    assert compact_index(spark, bidx) == 0
+    # with it, both committed batches fold and the content is unchanged
+    assert compact_index(spark, bidx, ledger_path=idx) == 2
+    assert [e for e in os.listdir(bidx) if e.startswith("batch=")] == ["batch=-1"]
+    after = {(r["band"], r["bkey"]) for r in read_band_index(spark, bidx).collect()}
+    assert after == before
