@@ -80,6 +80,7 @@ R9_OPS = (
     "q141_unicode_normalize",
     "q142_intradoc_dedup",
     "q143_cluster_keep_best",
+    "q144_ingest_probe_precision",
 )
 
 
