@@ -16,7 +16,7 @@ from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
 from csv_loader_spark.ops.graph import connected_components
 from csv_loader_spark.ops.multimodal import attach_fake_media, extract_features
-from csv_loader_spark.queries.llm import _SHINGLE_CTE, _shingled
+from csv_loader_spark.queries.llm import _SHINGLE_CTE
 from csv_loader_spark.queries.registry import query
 
 # ---------------------------------------------------------------------------
@@ -821,28 +821,30 @@ def q67_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (ops/graph.py) — the step that turns pairwise Jaccard ≥ 0.5
     evidence into keep-one-per-component dedup decisions.
 
+    Edge generation (r10): q119's PREFIX-FILTERED exact Jaccard join
+    (llm7.prefix_jaccard_pairs) — candidate pairs come only from the
+    rarest-token prefixes (AllPairs length filter + PPJoin positional
+    filter, both provably lossless at J >= tau = 0.5), then exact
+    verification on the full shingle arrays. The previous naive
+    explode-and-self-join edge source was the one Σdf² shape in the tree
+    (12.5M candidates / 5k docs on a boilerplate flood, SCALING.json
+    `dedup`); prefix filtering bounds candidates by the low-df prefix
+    tail (409,103 → 124,979 measured at sf0.1 for the identical pair
+    set). The oracle deliberately KEEPS the naive inverted-index edge
+    CTE: the exact gate then certifies end-to-end that the pruned edge
+    source yields the identical component structure — a stronger proof
+    than mirroring the prune on both sides.
+
     Iterative (non-single-SQL) on the Spark side: join+agg per round,
     lineage truncated via localCheckpoint, converges in diameter rounds.
     The oracle computes the same fixpoint with a recursive CTE."""
-    sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # function-level import: llm7 imports llm2 at module level, so the
+    # dependency must stay one-way at import time
+    from csv_loader_spark.queries.llm7 import jaccard_dup_edges
+
+    comp = connected_components(
+        jaccard_dup_edges(spark, sf_dir), "doc_a", "doc_b"
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    edges = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    comp = connected_components(edges, "doc_a", "doc_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

@@ -533,6 +533,20 @@ def _df_sorted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def jaccard_dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-cluster family's edge list (q67, q143): every (doc_a,
+    doc_b) pair with exact 3-gram Jaccard >= 0.5, generated through the
+    PREFIX-FILTERED join above — the lossless 100 TB shape — instead of
+    the naive Σdf² explode-and-self-join it replaced in r10.
+    tests/test_plans.py asserts this function's plan carries the PPJoin
+    prune (positional/length filters in the candidate join condition,
+    array_intersect verification) and no cartesian shape, so a
+    regression back to the raw-shingle self-join fails CI."""
+    return prefix_jaccard_pairs(_df_sorted_tokens(spark, sf_dir)).select(
+        "doc_a", "doc_b"
+    )
+
+
 @query(
     "q119_prefix_jaccard_join",
     oracle=get("q33_ngram_jaccard").oracle,

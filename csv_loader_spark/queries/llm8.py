@@ -1532,39 +1532,23 @@ def q143_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive near-duplicates (A~B~C where A and C never pair) still
     collapse to one document.
 
-    Scale: the edge list and components are q67's (posting-list candidate
-    join, label propagation in diameter rounds over node-id frames); the
+    Scale (r10): edges come from q119's PREFIX-FILTERED Jaccard join
+    (llm7.prefix_jaccard_pairs — AllPairs length filter + PPJoin
+    positional filter, lossless at J >= 0.5), replacing the naive
+    Σdf² explode-and-self-join that was the tree's one quadratic shape
+    (~13 s at sf0.1, floods to C(n,2) on boilerplate). Components are
+    q67's label propagation in diameter rounds over node-id frames; the
     new work is one broadcast-sized join to token counts and a window
     argmax per cluster — both linear in cluster membership. Iterative on
     the Spark side; the oracle computes the same fixpoint with a
-    recursive CTE, so the gate stays exact.
+    recursive CTE over the NAIVE edge CTE — kept naive on purpose, so
+    the exact gate re-certifies the prefix prune's losslessness through
+    the whole cluster/representative pipeline.
     """
     from csv_loader_spark.ops.graph import connected_components
-    from csv_loader_spark.queries.llm import _shingled
+    from csv_loader_spark.queries.llm7 import jaccard_dup_edges
 
-    sh = _shingled(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
-    )
-    edges = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b")
-    )
+    edges = jaccard_dup_edges(spark, sf_dir)
     comp = connected_components(edges, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -1673,12 +1657,17 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    # lazy localCheckpoint: the rejected set feeds BOTH the verification
+    # join and the final aggregate — without it the whole probe chain
+    # (two index probes + two windows) executes once per reference
+    # (measured 6.9 s for this 1-row meter in BENCH_r09; r10 review)
     nc = (
         ingest_verdicts(
             arrivals, fingerprint_index(corpus), band_signature_index(corpus)
         )
         .filter(F.col("verdict") == "near_corpus")
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     sh = _shingled(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
@@ -1706,10 +1695,27 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a")
         .distinct()
     )
-    n_rej = nc.count()
-    n_true = verified.count()
-    prec = 0 if n_rej == 0 else n_true * 10000 // n_rej
-    return spark.createDataFrame(
-        [(n_rej, n_true, prec)],
-        "n_rejected long, n_true long, precision_bp long",
+    # ONE action, zero driver-side counts (r10: BENCH_r09 showed the two
+    # .count() actions re-running the probe chain twice): left-flag each
+    # rejection with its verification verdict and fold both counts plus
+    # the precision ratio into a single 1-row aggregate.
+    flagged = nc.join(
+        verified.withColumnRenamed("doc_a", "doc_id").withColumn(
+            "_true", F.lit(True)
+        ),
+        "doc_id",
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rejected"),
+        F.coalesce(F.sum(F.when(F.col("_true"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+    ).select(
+        "n_rejected",
+        "n_true",
+        F.expr(
+            "CAST(CASE WHEN n_rejected = 0 THEN 0 "
+            "ELSE n_true * 10000 DIV n_rejected END AS BIGINT)"
+        ).alias("precision_bp"),
     )

@@ -455,3 +455,30 @@ def test_q142_intradoc_window_keys_include_doc(spark):
     plan = _plan(spark, "q142_intradoc_dedup")
     assert "Join" not in plan
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_dup_cluster_edges_use_prefix_filter(spark):
+    """q67/q143's shared edge source (llm7.jaccard_dup_edges) must be the
+    PPJoin prefix machinery, not the raw-shingle self-join it replaced in
+    r10: candidates come from posexplode of the PREFIX slice, the
+    candidate join condition carries the AllPairs length filter
+    (greatest/least over n_sh) and the positional filter, verification is
+    array_intersect over full arrays, and no cartesian shape anywhere.
+    A regression back to the naive Σdf² edge join fails each assert."""
+    import re
+
+    from csv_loader_spark.queries.llm7 import jaccard_dup_edges
+
+    df = jaccard_dup_edges(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates explode the prefix slice, never the full shingle array
+    assert "Generate posexplode(pref" in plan
+    assert "array_intersect" in plan
+    # the doc-vs-doc candidate join line must carry the length filter —
+    # the naive edge join's condition was only (s = s AND doc_id < doc_id)
+    cand_lines = [
+        ln for ln in plan.splitlines() if re.search(r"doc_id#\d+L? < doc_id#", ln)
+    ]
+    assert cand_lines and all("greatest(n_sh" in ln for ln in cand_lines)
