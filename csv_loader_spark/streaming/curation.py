@@ -47,7 +47,10 @@ from csv_loader_spark.streaming.continuous_agg import (
 )
 from csv_loader_spark.streaming.ingest_dedup import (
     band_signature_index,
+    compact_index,
+    guard_accepted_overwrite,
     ingest_verdicts,
+    list_batch_partitions,
     read_band_index,
     read_index,
 )
@@ -80,18 +83,30 @@ def read_quota_snapshot(
     the in-flight batch's own partition so a crash-after-write redelivery
     re-reads its true predecessor."""
     path = os.path.join(store, "quota")
-    if os.path.isdir(path):
-        ids = [
-            int(e.split("=", 1)[1])
-            for e in os.listdir(path)
-            if e.startswith("batch=")
-        ]
-        ids = [i for i in ids if exclude_batch is None or i != exclude_batch]
-        if ids:
-            return spark.read.parquet(
-                os.path.join(path, f"batch={max(ids)}")
-            ).select("source", "doc_id", "h")
+    ids = [
+        i
+        for i in list_batch_partitions(spark, path)
+        if exclude_batch is None or i != exclude_batch
+    ]
+    if ids:
+        return spark.read.parquet(
+            os.path.join(path, f"batch={max(ids)}")
+        ).select("source", "doc_id", "h")
     return spark.createDataFrame([], _QUOTA_SNAPSHOT_SCHEMA)
+
+
+def _prune_quota_snapshots(spark: SparkSession, store: str) -> int:
+    """Delete every quota snapshot partition OLDER than the newest one
+    (each snapshot is full, so only the newest is ever read) — the quota
+    store's compaction twin, run on the same cadence. Local-FS janitor by
+    design, like ``compact_index``. Returns the number pruned."""
+    import shutil
+
+    path = os.path.join(store, "quota")
+    ids = sorted(list_batch_partitions(spark, path))
+    for i in ids[:-1]:
+        shutil.rmtree(os.path.join(path, f"batch={i}"))
+    return max(0, len(ids) - 1)
 
 
 def start_curation_pipeline(
@@ -100,6 +115,7 @@ def start_curation_pipeline(
     checkpoint_dir: str,
     *,
     cap: int = 30,
+    compact_every: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Per micro-batch: (1) drop blocklisted domains (map-side, q102's
@@ -111,7 +127,13 @@ def start_curation_pipeline(
     top ``cap`` per source, writing the full new snapshot and explicit
     eviction rows. Every arrival lands in the manifest with its verdict:
     blocked / exact_* / near_* / admitted / quota_rejected, plus
-    quota_evicted revisions for displaced prior admissions."""
+    quota_evicted revisions for displaced prior admissions.
+
+    ``compact_every=K`` folds the committed fp/band index partitions into
+    their seeds and prunes superseded quota snapshots after every K-th
+    batch (the in-loop small-file janitor — see
+    ingest_dedup.start_ingest_pipeline); accepted/manifest partitions are
+    the pipeline's OUTPUT history and are never folded."""
     from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
 
     fp_path = os.path.join(store, "fp_index")
@@ -136,6 +158,14 @@ def start_curation_pipeline(
             read_band_index(spark, band_path, exclude_batch=batch_id),
         ).localCheckpoint(eager=True)
         accepted = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
+        # ledger-stripped-redelivery guard (ingest_dedup.py): never
+        # overwrite a previously-landed partition with an empty frame
+        guard_accepted_overwrite(
+            spark,
+            os.path.join(store, "accepted"),
+            batch_id,
+            accepted.isEmpty(),
+        )
         accepted.drop("fp").write.mode("overwrite").parquet(
             os.path.join(store, "accepted", f"batch={batch_id}")
         )
@@ -196,6 +226,16 @@ def start_curation_pipeline(
             os.path.join(fp_path, f"batch={batch_id}")
         )
         _record_applied(fp_path, batch_id)
+
+        # small-file janitor on a cadence (r10): fold the committed fp and
+        # band partitions into their seeds and drop superseded quota
+        # snapshots. Runs AFTER the ledger record, so only committed
+        # batches ever fold; probe results are unchanged (asserted
+        # mid-stream by tests/test_curation_loop.py).
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_index(spark, fp_path)
+            compact_index(spark, band_path, ledger_path=fp_path)
+            _prune_quota_snapshots(spark, store)
 
     writer = (
         arrivals.writeStream.foreachBatch(_ingest)

@@ -233,15 +233,39 @@ _BAND_SCHEMA = T.StructType(
 )
 
 
+def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
+    """The ``batch=<id>`` partition ids under a store directory, listed
+    through the JVM Hadoop FileSystem API — the scheme-aware listing
+    (file://, hdfs://, s3a://) that the r9 ``os.listdir`` discovery could
+    not do on a cluster. A missing directory lists as ``[]`` (bootstrap).
+
+    Object-store note: one LIST call per probe; on S3-style stores the
+    listing is eventually-consistent only on ancient stacks (S3 is
+    strongly consistent since 2020), so a partition written by a
+    committed batch is visible to the next batch's probe."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
 def read_band_index(
     spark: SparkSession, band_index_path: str, *, exclude_batch: int | None = None
 ) -> DataFrame:
     """The current band-signature index: (band, bkey) over every committed
     ``batch=<id>`` partition, with the same bootstrap and
     ``exclude_batch`` crash-window semantics as ``read_index``."""
-    if os.path.isdir(band_index_path) and any(
-        e.startswith("batch=") for e in os.listdir(band_index_path)
-    ):
+    if list_batch_partitions(spark, band_index_path):
         df = spark.read.parquet(band_index_path)
         if exclude_batch is not None:
             df = df.filter(F.col("batch") != exclude_batch)
@@ -274,9 +298,7 @@ def read_index(
     accepted partition with an empty frame (silent loss). Excluding the
     batch's own partition makes the re-run reproduce the original result
     instead."""
-    if os.path.isdir(index_path) and any(
-        e.startswith("batch=") for e in os.listdir(index_path)
-    ):
+    if list_batch_partitions(spark, index_path):
         df = spark.read.parquet(index_path)
         if exclude_batch is not None:
             df = df.filter(F.col("batch") != exclude_batch)
@@ -330,9 +352,7 @@ def read_passage_index(
 ) -> DataFrame:
     """Current passage-fingerprint index (same bootstrap / exclude_batch
     semantics as ``read_index``)."""
-    if os.path.isdir(passage_index_path) and any(
-        e.startswith("batch=") for e in os.listdir(passage_index_path)
-    ):
+    if list_batch_partitions(spark, passage_index_path):
         df = spark.read.parquet(passage_index_path)
         if exclude_batch is not None:
             df = df.filter(F.col("batch") != exclude_batch)
@@ -470,7 +490,20 @@ def compact_index(
     compaction. The ``_applied_batches`` ledger is kept as-is: fast-skip
     of redelivered batches keeps working, and a ledger-stripped
     redelivery recreates its own batch partition with fingerprints the
-    seed already holds (duplicate rows, same probe semantics)."""
+    seed already holds (duplicate rows, same probe semantics). One
+    redelivery hazard remains if the LEDGER ITSELF is lost after a
+    compaction: the redelivered batch's fingerprints then sit in the seed
+    partition where ``exclude_batch`` cannot hide them, the probe rejects
+    every document, and the re-run would overwrite the batch's accepted
+    partition with an empty frame — ``guard_accepted_overwrite`` in the
+    ingest loops refuses exactly that write, so the hazard surfaces as a
+    loud error instead of silent data loss.
+
+    Local-FS only BY DESIGN: the swap uses POSIX renames (the repo's
+    documented single-FS stand-in for a transactional table format —
+    see ops/compaction.py); the probe-side listings use the scheme-aware
+    ``list_batch_partitions``, but run this janitor where the store is a
+    real filesystem."""
     import shutil
 
     base = index_path.rstrip("/")
@@ -527,6 +560,36 @@ def compact_index(
     return len(fold)
 
 
+def guard_accepted_overwrite(
+    spark: SparkSession, accepted_path: str, batch_id: int, novel_is_empty: bool
+) -> None:
+    """Refuse to overwrite a NON-EMPTY ``accepted/batch=<id>`` partition
+    with an EMPTY novel frame (r9 advice): a batch that previously landed
+    documents can only re-run empty if its own fingerprints are probing
+    against it — the ledger-stripped-after-compaction redelivery, where
+    ``exclude_batch`` can no longer hide the batch's fingerprints because
+    compaction folded them into the seed. Overwriting would silently drop
+    the landed documents; failing loudly leaves the store intact and
+    names the recovery (restore the ledger entry, or accept the seed as
+    the source of truth and skip the batch)."""
+    if not novel_is_empty:
+        return
+    part = os.path.join(accepted_path, f"batch={batch_id}")
+    if batch_id not in list_batch_partitions(spark, accepted_path):
+        return
+    if spark.read.parquet(part).limit(1).count() > 0:
+        raise RuntimeError(
+            f"refusing to overwrite non-empty accepted partition {part} "
+            "with an EMPTY novel frame: this is the signature of a "
+            "ledger-stripped redelivery of a batch whose fingerprints were "
+            "compacted into the index seed (exclude_batch can no longer "
+            "hide them, so the probe rejects the whole batch). Restore the "
+            "_applied_batches ledger record for this batch id (it makes "
+            "the redelivery fast-skip), or delete the accepted partition "
+            "explicitly if the empty result is intended."
+        )
+
+
 def start_ingest_pipeline(
     arrivals: DataFrame,
     index_path: str,
@@ -535,6 +598,7 @@ def start_ingest_pipeline(
     *,
     band_index_path: str | None = None,
     passage_index_path: str | None = None,
+    compact_every: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """The closed-loop incremental ingest: per micro-batch, anti-join the
@@ -556,7 +620,17 @@ def start_ingest_pipeline(
     granularity per loop, so the two paths are mutually exclusive.
     Same crash-window discipline as the exact loop: both index reads
     exclude the in-flight batch's own partition, every write targets the
-    batch's own partition with overwrite, the ledger records last."""
+    batch's own partition with overwrite, the ledger records last.
+
+    ``compact_every=K`` (r10) runs the small-file janitor INSIDE the
+    loop: after every K-th committed batch, ``compact_index`` folds the
+    ledger-committed partitions of every store this loop maintains (fp,
+    plus band or passage) into their seed partitions — without it a
+    100k-batch run leaves 100k directories per store and every probe
+    pays 100k file listings. Compaction runs AFTER the ledger record, so
+    it only ever folds committed batches, and probe results are
+    unchanged (the seed holds the identical distinct fingerprints —
+    asserted mid-stream by tests/test_streaming_dedup.py)."""
     if band_index_path is not None and passage_index_path is not None:
         raise ValueError(
             "choose ONE near-dup granularity: band_index_path or "
@@ -585,6 +659,9 @@ def start_ingest_pipeline(
         # one materialization feeding all writes; also decouples the
         # accepted-write plan from a mid-write index refresh
         novel = novel.localCheckpoint(eager=True)
+        guard_accepted_overwrite(
+            spark, accepted_path, batch_id, novel.isEmpty()
+        )
         novel.drop("fp").write.mode("overwrite").parquet(
             os.path.join(accepted_path, f"batch={batch_id}")
         )
@@ -597,6 +674,14 @@ def start_ingest_pipeline(
                 os.path.join(passage_index_path, f"batch={batch_id}")
             )
         append_to_index(novel, index_path, batch_id)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            compact_index(spark, index_path)
+            if band_index_path is not None:
+                compact_index(spark, band_index_path, ledger_path=index_path)
+            if passage_index_path is not None:
+                compact_index(
+                    spark, passage_index_path, ledger_path=index_path
+                )
 
     writer = (
         arrivals.writeStream.foreachBatch(_ingest)

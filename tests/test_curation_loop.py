@@ -132,3 +132,89 @@ def test_curation_loop_composes_and_commutes(spark, tmp_path):
     for sub in ("accepted", "quota"):
         df = spark.read.parquet(os.path.join(store, sub))
         assert df.filter(F.col("doc_id") == 7).count() == 0
+
+
+def test_curation_loop_compacts_on_cadence(spark, tmp_path):
+    """r10: compact_every=2 folds the committed fp/band partitions into
+    their seeds and prunes superseded quota snapshots WHILE the stream
+    runs — and every externally visible result (manifest verdicts, final
+    standing set) is identical to an uncompacted run over the same
+    arrivals."""
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    _write_batch(
+        src / "b1.json",
+        [
+            (6, "2026-01-01 10:00:00", "s", _A),
+            (13, "2026-01-01 10:00:01", "s", _A),      # exact dup of 6
+            (22, "2026-01-01 10:00:02", "s", _N1),
+        ],
+    )
+    _write_batch(src / "b2.json", [(12, "2026-01-01 10:01:00", "s", _B)])
+    _write_batch(
+        src / "b3.json",
+        [
+            (2, "2026-01-01 10:02:00", "s", _C),
+            (19, "2026-01-01 10:02:01", "s", _N3),     # near dup of 22
+        ],
+    )
+    # the file source orders same-mtime files arbitrarily; pin b1 < b2 < b3
+    # so the near-dup of 22 really arrives AFTER 22 in both runs
+    for i, name in enumerate(("b1.json", "b2.json", "b3.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stores = {}
+    for label, compact_every in (("plain", None), ("compacted", 2)):
+        store = str(tmp_path / f"store_{label}")
+        q = start_curation_pipeline(
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src)),
+            store,
+            str(tmp_path / f"ck_{label}"),
+            cap=2,
+            compact_every=compact_every,
+            available_now=True,
+        )
+        q.awaitTermination(240)
+        stores[label] = store
+
+    # the compacted store's probe state collapsed MID-stream: batches 0+1
+    # folded at the K=2 cadence point, batch 2 still stands alone; only
+    # the newest quota snapshot survives the prune
+    for sub in ("fp_index", "band_index"):
+        parts = sorted(
+            e
+            for e in os.listdir(os.path.join(stores["compacted"], sub))
+            if e.startswith("batch=")
+        )
+        assert parts == ["batch=-1", "batch=2"], (sub, parts)
+    quota_parts = sorted(
+        e
+        for e in os.listdir(os.path.join(stores["compacted"], "quota"))
+        if e.startswith("batch=")
+    )
+    assert quota_parts == ["batch=1", "batch=2"]
+    plain_parts = [
+        e
+        for e in os.listdir(os.path.join(stores["plain"], "fp_index"))
+        if e.startswith("batch=")
+    ]
+    assert sorted(plain_parts) == ["batch=0", "batch=1", "batch=2"]
+
+    # verdicts and the standing set are identical across the two stores
+    def _manifest(store):
+        return {
+            (r["doc_id"], r["verdict"])
+            for r in spark.read.parquet(os.path.join(store, "manifest"))
+            .select("doc_id", "verdict")
+            .collect()
+        }
+
+    assert _manifest(stores["compacted"]) == _manifest(stores["plain"])
+    assert (19, "near_corpus") in _manifest(stores["compacted"])
+    assert {
+        r["doc_id"] for r in read_quota_snapshot(spark, stores["compacted"]).collect()
+    } == {
+        r["doc_id"] for r in read_quota_snapshot(spark, stores["plain"]).collect()
+    }

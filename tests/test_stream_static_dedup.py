@@ -626,3 +626,97 @@ def test_compact_band_index_with_fp_ledger(spark, tmp_path):
     assert [e for e in os.listdir(bidx) if e.startswith("batch=")] == ["batch=-1"]
     after = {(r["band"], r["bkey"]) for r in read_band_index(spark, bidx).collect()}
     assert after == before
+
+
+def test_ingest_loop_compacts_on_cadence(spark, tmp_path):
+    """r10: compact_every=K runs the janitor INSIDE the loop — after
+    batch 1 commits (K=2), batches 0-1 fold into the seed while the
+    stream is still running, batch 2 lands as its own partition, and the
+    grown-index probe result is unchanged by the mid-stream fold."""
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    _write_batch(src / "b1.json", [(10, "2026-01-01 10:00:00", "novel one")])
+    _write_batch(src / "b2.json", [(11, "2026-01-01 10:01:00", "novel two")])
+    _write_batch(src / "b3.json", [(12, "2026-01-01 10:02:00", "novel three")])
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        ck,
+        compact_every=2,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    # batches 0+1 folded mid-stream (cadence fired at batch 1), batch 2
+    # committed AFTER the fold and still stands alone — i.e. the fold ran
+    # inside the loop, not at stream end
+    parts = sorted(e for e in os.listdir(idx) if e.startswith("batch="))
+    assert parts == ["batch=-1", "batch=2"]
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {10, 11, 12}
+
+    # probe against the folded index: all three contents still rejected
+    arrivals = spark.createDataFrame(
+        [(100, "novel one"), (101, "novel three"), (102, "truly new")],
+        "doc_id long, text string",
+    )
+    out = novel_documents(arrivals, read_index(spark, idx))
+    assert [r["doc_id"] for r in out.collect()] == [102]
+
+
+def test_guard_refuses_empty_overwrite_of_landed_partition(spark, tmp_path):
+    """The r9-advice hazard, end-to-end: after compaction folds a batch's
+    fingerprints into the seed, a LEDGER-STRIPPED redelivery of that
+    batch probes its own fingerprints (exclude_batch can no longer hide
+    them), computes an empty novel frame, and must FAIL LOUDLY instead of
+    overwriting the landed accepted partition with nothing."""
+    import pytest
+
+    from csv_loader_spark.streaming.ingest_dedup import (
+        compact_index,
+        guard_accepted_overwrite,
+    )
+
+    idx = str(tmp_path / "index")
+    acc = str(tmp_path / "accepted")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    _write_batch(
+        src / "b1.json",
+        [(10, "2026-01-01 10:00:00", "landed doc one"),
+         (11, "2026-01-01 10:00:01", "landed doc two")],
+    )
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).json(str(src)),
+        idx,
+        acc,
+        str(tmp_path / "ck1"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert compact_index(spark, idx) == 1  # batch=0 folded into the seed
+    os.remove(os.path.join(idx, "_applied_batches"))  # the lost ledger
+
+    # redelivery under a FRESH checkpoint lineage re-runs batch 0; the
+    # guard converts silent data loss into a streaming failure
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).json(str(src)),
+        idx,
+        acc,
+        str(tmp_path / "ck2"),
+        available_now=True,
+    )
+    with pytest.raises(Exception, match="refusing to overwrite"):
+        q.awaitTermination(180)
+        raise AssertionError("stream should have failed on the guard")
+    # the landed partition is intact
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {10, 11}
+
+    # unit shape: an empty frame over a never-landed batch id is fine
+    guard_accepted_overwrite(spark, acc, 7, True)
+    # and a NON-empty novel frame over a landed partition is fine too
+    guard_accepted_overwrite(spark, acc, 0, False)
