@@ -83,6 +83,15 @@ R9_OPS = (
     "q144_ingest_probe_precision",
 )
 
+# The r10 operator surface: the verified ingest probe and its
+# precision-by-construction meter.
+R10_OPS = (
+    "q145_ingest_verified_neardup",
+    "q146_verified_probe_precision",
+)
+
+_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,14 +112,15 @@ def main() -> None:
     # (BENCH_r05's 1.55 s vs 0.75 s judge runs, adjudicated r6: JIT depth,
     # not plan instability). DuckDB's prime reaches steady state in one run;
     # two primes is the JVM equivalent, not a benchmark asymmetry.
+    load_avg_start = os.getloadavg()[0]
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
-        for name in HEADLINE + NEW_OPS + R8_OPS + R9_OPS:
+        for name in _ALL:
             specs[name].fn(spark, sf_dir).count()
 
     times: dict[str, float] = {}
-    for name in HEADLINE + NEW_OPS + R8_OPS + R9_OPS:
+    for name in _ALL:
         fn = specs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
@@ -130,8 +140,16 @@ def main() -> None:
                     "new_ops": round(sum(times[n] for n in NEW_OPS), 4),
                     "r8_ops": round(sum(times[n] for n in R8_OPS), 4),
                     "r9_ops": round(sum(times[n] for n in R9_OPS), 4),
+                    "r10_ops": round(sum(times[n] for n in R10_OPS), 4),
                 },
                 "sf": sf,
+                # host-noise provenance (r9 verdict): the committed
+                # artifact must be re-creatable — a 1-min load average
+                # near 0 at start certifies an idle-host run
+                "load_avg_start": round(load_avg_start, 2),
+                "load_avg_end": round(os.getloadavg()[0], 2),
+                "warmup_runs": 2,
+                "timed_runs": 1,
             }
         )
     )

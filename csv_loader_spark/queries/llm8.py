@@ -1719,3 +1719,284 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE n_true * 10000 DIV n_rejected END AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q145/q146: the VERIFY tier of the ingest probe (r10) — precision 1.0 by
+# construction, gated both by an exact verdict oracle and the q144 meter.
+# ---------------------------------------------------------------------------
+
+
+def _q145_oracle() -> str:
+    from csv_loader_spark.queries.llm import _BAND_CAP
+    from csv_loader_spark.streaming.ingest_dedup import (
+        VERIFY_TAU_DEN,
+        VERIFY_TAU_NUM,
+    )
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_oracle_band_ctes()},
+    fps AS (
+      SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+    ),
+    idx_fp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    capped AS (
+      SELECT band, bkey, doc_id FROM (
+        SELECT band, bkey, doc_id,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY doc_id) AS rn
+        FROM bands WHERE doc_id % 2 = 0
+      ) WHERE rn <= {_BAND_CAP}
+    ),
+    arr AS (SELECT doc_id, source, fp FROM fps WHERE doc_id % 2 = 1),
+    exc AS (
+      SELECT doc_id FROM arr WHERE fp IN (SELECT fp FROM idx_fp)
+    ),
+    r1 AS (
+      SELECT * FROM arr WHERE doc_id NOT IN (SELECT doc_id FROM exc)
+    ),
+    eb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM r1
+      ) WHERE rn > 1
+    ),
+    r2 AS (
+      SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM eb)
+    ),
+    coll AS (
+      SELECT DISTINCT b.doc_id AS doc_a, m.doc_id AS doc_c
+      FROM bands b
+      JOIN capped m ON m.band = b.band AND m.bkey = b.bkey
+      WHERE b.doc_id IN (SELECT doc_id FROM r2)
+    ),
+    vint AS (
+      SELECT p.doc_a, p.doc_c, count(*) AS n_inter
+      FROM coll p
+      JOIN exploded a ON a.doc_id = p.doc_a
+      JOIN exploded c ON c.doc_id = p.doc_c AND c.s = a.s
+      GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT DISTINCT v.doc_a AS doc_id
+      FROM vint v
+      JOIN doc_sizes sa ON sa.doc_id = v.doc_a
+      JOIN doc_sizes sc ON sc.doc_id = v.doc_c
+      WHERE {VERIFY_TAU_DEN} * v.n_inter
+            >= {VERIFY_TAU_NUM} * (sa.n_sh + sc.n_sh - v.n_inter)
+    ),
+    r3 AS (
+      SELECT * FROM r2 WHERE doc_id NOT IN (SELECT doc_id FROM nc)
+    ),
+    nb AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT b.doc_id,
+               min(b.doc_id) OVER (PARTITION BY b.band, b.bkey) AS m
+        FROM bands b
+        WHERE b.doc_id IN (SELECT doc_id FROM r3)
+      ) WHERE doc_id <> m
+    )
+    SELECT a.doc_id, a.source,
+           CASE WHEN a.doc_id IN (SELECT doc_id FROM exc) THEN 'exact_corpus'
+                WHEN a.doc_id IN (SELECT doc_id FROM eb) THEN 'exact_batch'
+                WHEN a.doc_id IN (SELECT doc_id FROM nc) THEN 'near_corpus'
+                WHEN a.doc_id IN (SELECT doc_id FROM nb) THEN 'near_batch'
+                ELSE 'accepted' END AS verdict
+    FROM arr a
+    """
+
+
+@query(
+    "q145_ingest_verified_neardup",
+    oracle=_q145_oracle(),
+    tags=("dedup", "incremental", "lsh", "llm"),
+)
+def q145_ingest_verified_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q131's ingest-time admission verdicts with the VERIFY tier
+    (streaming/ingest_dedup.py ingest_verdicts_verified): a band-key
+    collision with the corpus index rejects only when confirmed by exact
+    3-gram Jaccard >= 0.3 against a member of the colliding bucket — the
+    member index stores each bucket's first _BAND_CAP docs' shingle
+    arrays, so the confirmation is an equi-join fan-out bounded by the
+    cap, never a corpus rescan. Rejection precision becomes 1.0 by
+    construction (q146 gates the number); the FP trade q144 measures for
+    the membership-only rule disappears at the price of member-shingle
+    state (cap × |buckets|).
+
+    Scale: identical probe shapes to q131 plus one (band, bkey) equi-join
+    that ships member shingle arrays only for colliding pairs.
+    """
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        fingerprint_index,
+        ingest_verdicts_verified,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    return ingest_verdicts_verified(
+        arrivals, fingerprint_index(corpus), band_member_index(corpus)
+    ).select("doc_id", "source", "verdict")
+
+
+def _q146_oracle() -> str:
+    from csv_loader_spark.queries.llm import _BAND_CAP
+    from csv_loader_spark.streaming.ingest_dedup import (
+        VERIFY_TAU_DEN,
+        VERIFY_TAU_NUM,
+    )
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_oracle_band_ctes()},
+    fps AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+    idx_fp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    capped AS (
+      SELECT band, bkey, doc_id FROM (
+        SELECT band, bkey, doc_id,
+               row_number() OVER (PARTITION BY band, bkey
+                                  ORDER BY doc_id) AS rn
+        FROM bands WHERE doc_id % 2 = 0
+      ) WHERE rn <= {_BAND_CAP}
+    ),
+    arr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+    exc AS (SELECT doc_id FROM arr WHERE fp IN (SELECT fp FROM idx_fp)),
+    r1 AS (SELECT * FROM arr WHERE doc_id NOT IN (SELECT doc_id FROM exc)),
+    eb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM r1
+      ) WHERE rn > 1
+    ),
+    r2 AS (SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM eb)),
+    coll AS (
+      SELECT DISTINCT b.doc_id AS doc_a, m.doc_id AS doc_c
+      FROM bands b
+      JOIN capped m ON m.band = b.band AND m.bkey = b.bkey
+      WHERE b.doc_id IN (SELECT doc_id FROM r2)
+    ),
+    vint AS (
+      SELECT p.doc_a, p.doc_c, count(*) AS n_inter
+      FROM coll p
+      JOIN exploded a ON a.doc_id = p.doc_a
+      JOIN exploded c ON c.doc_id = p.doc_c AND c.s = a.s
+      GROUP BY 1, 2
+    ),
+    nc AS (
+      SELECT DISTINCT v.doc_a AS doc_id
+      FROM vint v
+      JOIN doc_sizes sa ON sa.doc_id = v.doc_a
+      JOIN doc_sizes sc ON sc.doc_id = v.doc_c
+      WHERE {VERIFY_TAU_DEN} * v.n_inter
+            >= {VERIFY_TAU_NUM} * (sa.n_sh + sc.n_sh - v.n_inter)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, c.doc_id AS doc_c, count(*) AS n_inter
+      FROM exploded a
+      JOIN exploded c ON a.s = c.s
+      WHERE a.doc_id IN (SELECT doc_id FROM nc) AND c.doc_id % 2 = 0
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT DISTINCT i.doc_a
+      FROM inter i
+      JOIN doc_sizes sa ON sa.doc_id = i.doc_a
+      JOIN doc_sizes sc ON sc.doc_id = i.doc_c
+      WHERE {_PROBE_TAU_DEN} * i.n_inter
+            >= {_PROBE_TAU_NUM} * (sa.n_sh + sc.n_sh - i.n_inter)
+    )
+    SELECT CAST((SELECT count(*) FROM nc) AS BIGINT) AS n_rejected,
+           CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_true,
+           CAST(CASE WHEN (SELECT count(*) FROM nc) = 0 THEN 0
+                     ELSE (SELECT count(*) FROM verified) * 10000
+                          // (SELECT count(*) FROM nc) END AS BIGINT)
+             AS precision_bp
+    """
+
+
+@query(
+    "q146_verified_probe_precision",
+    oracle=_q146_oracle(),
+    tags=("dedup", "metrics", "incremental", "llm"),
+)
+def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q144's precision meter pointed at the VERIFY-tier probe (q145):
+    of the arrivals the verified rule rejects as ``near_corpus``, how
+    many are true near-dups of SOME corpus doc by exact Jaccard >= 0.3?
+    Because the verified rule only rejects on a confirmed witness pair —
+    and a witness is itself a corpus doc at J >= 0.3 — every rejection
+    is true by construction and this meter reads 10000 bp whenever it
+    fires at all. Keeping the meter (rather than asserting the theorem)
+    guards the implementation: a drifting cap convention, threshold, or
+    shingle rule on either side shows up here as < 10000.
+
+    Scale: q144's shape — the independent verification join explodes
+    only the rejected arrivals against the corpus posting lists.
+    """
+    from csv_loader_spark.queries.llm import _shingled
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        fingerprint_index,
+        ingest_verdicts_verified,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    nc = (
+        ingest_verdicts_verified(
+            arrivals, fingerprint_index(corpus), band_member_index(corpus)
+        )
+        .filter(F.col("verdict") == "near_corpus")
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    sh = _shingled(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex_a = ex.join(nc, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
+    ex_c = ex.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_c"), "s"
+    )
+    inter = (
+        ex_a.join(ex_c, "s")
+        .groupBy("doc_a", "doc_c")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sc = sizes.select(F.col("doc_id").alias("doc_c"), F.col("n_sh").alias("nc_sh"))
+    verified = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sc), "doc_c")
+        .filter(
+            _PROBE_TAU_DEN * F.col("n_inter")
+            >= _PROBE_TAU_NUM * (F.col("na") + F.col("nc_sh") - F.col("n_inter"))
+        )
+        .select("doc_a")
+        .distinct()
+    )
+    flagged = nc.join(
+        verified.withColumnRenamed("doc_a", "doc_id").withColumn(
+            "_true", F.lit(True)
+        ),
+        "doc_id",
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rejected"),
+        F.coalesce(F.sum(F.when(F.col("_true"), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_true"),
+    ).select(
+        "n_rejected",
+        "n_true",
+        F.expr(
+            "CAST(CASE WHEN n_rejected = 0 THEN 0 "
+            "ELSE n_true * 10000 DIV n_rejected END AS BIGINT)"
+        ).alias("precision_bp"),
+    )

@@ -130,37 +130,16 @@ def _dedup_and_tag(arrivals: DataFrame) -> DataFrame:
     )
 
 
-def ingest_verdicts(
-    arrivals: DataFrame, fp_index: DataFrame, band_index: DataFrame
+def _verdict_frame(
+    arrivals: DataFrame,
+    fp_index: DataFrame,
+    near_corpus_rule,
 ) -> DataFrame:
-    """Per-arrival admission verdict against BOTH indexes of the accepted
-    corpus: (doc_id, source, fp, verdict), verdict one of ``VERDICTS`` in
-    precedence order —
-
-    1. ``exact_corpus``: content fingerprint already in ``fp_index``.
-    2. ``exact_batch``: fp duplicates an EARLIER (smaller doc_id) arrival
-       that itself passed check 1 (min-doc_id survivor, q104's rule).
-    3. ``near_corpus``: any of the doc's LSH band keys is in
-       ``band_index`` — the doc would have been an LSH candidate pair
-       with an already-accepted doc (CCNet/RefinedWeb-style
-       dedup-against-snapshot: rejection on bucket membership, the
-       documented false-positive trade of banded LSH; no pairwise verify
-       against the corpus, which would require storing corpus shingles).
-    4. ``near_batch``: among arrivals surviving 1–3, the doc is NOT the
-       minimum doc_id in at least one of its band buckets. Keep-the-
-       bucket-minimum is a WINDOW MIN per (band, bkey) — linear, no
-       candidate self-join, so a degenerate batch (all near-identical)
-       costs one narrow shuffle instead of C(n, 2) pairs. Deterministic
-       and non-iterative: the comparison set is the step-3 survivors,
-       not the step-4 survivors (no transitive re-admission).
-    5. ``accepted`` otherwise. Docs with < 3 tokens have no bands and
-       skip the near checks (exact checks still apply).
-
-    Batch-mode only (the closed loop runs it inside foreachBatch): the
-    within-batch window rules need the whole micro-batch, which
-    foreachBatch provides; a pure stream-stream self-join shape is not
-    needed. Scale: every join is a semi/anti equi-join on fp, doc_id or
-    (band, bkey) — id-table probes, never a corpus rescan."""
+    """The shared verdict core: exact-corpus / exact-batch stages, then
+    ``near_corpus_rule(tagged, arr_bands, rest2) -> doc_id frame`` for
+    stage 3 (membership-only in ``ingest_verdicts``, Jaccard-verified in
+    ``ingest_verdicts_verified``), then the within-batch window-min rule
+    and the precedence fold."""
     from csv_loader_spark.queries.llm import minhash_bands
 
     # lazy localCheckpoint: the verdict DAG references the tagged frame 5x
@@ -185,11 +164,7 @@ def ingest_verdicts(
     exact_b = rest1.filter(F.col("_rn") > 1).select("doc_id")
     rest2 = rest1.filter(F.col("_rn") == 1).drop("_rn")
 
-    near_c = (
-        arr_bands.join(band_index, ["band", "bkey"], "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    near_c = near_corpus_rule(tagged, arr_bands, rest2)
     rest3 = rest2.join(near_c, "doc_id", "left_anti")
 
     b3 = arr_bands.join(rest3.select("doc_id"), "doc_id", "left_semi")
@@ -218,6 +193,131 @@ def ingest_verdicts(
         .otherwise(F.lit("accepted"))
     )
     return out.withColumn("verdict", verdict).drop("_ec", "_eb", "_nc", "_nb")
+
+
+def ingest_verdicts(
+    arrivals: DataFrame, fp_index: DataFrame, band_index: DataFrame
+) -> DataFrame:
+    """Per-arrival admission verdict against BOTH indexes of the accepted
+    corpus: (doc_id, source, fp, verdict), verdict one of ``VERDICTS`` in
+    precedence order —
+
+    1. ``exact_corpus``: content fingerprint already in ``fp_index``.
+    2. ``exact_batch``: fp duplicates an EARLIER (smaller doc_id) arrival
+       that itself passed check 1 (min-doc_id survivor, q104's rule).
+    3. ``near_corpus``: any of the doc's LSH band keys is in
+       ``band_index`` — the doc would have been an LSH candidate pair
+       with an already-accepted doc (CCNet/RefinedWeb-style
+       dedup-against-snapshot: rejection on bucket membership, the
+       documented false-positive trade of banded LSH; no pairwise verify
+       against the corpus — ``ingest_verdicts_verified`` is the tier
+       that buys precision 1.0 by storing capped member shingles).
+    4. ``near_batch``: among arrivals surviving 1–3, the doc is NOT the
+       minimum doc_id in at least one of its band buckets. Keep-the-
+       bucket-minimum is a WINDOW MIN per (band, bkey) — linear, no
+       candidate self-join, so a degenerate batch (all near-identical)
+       costs one narrow shuffle instead of C(n, 2) pairs. Deterministic
+       and non-iterative: the comparison set is the step-3 survivors,
+       not the step-4 survivors (no transitive re-admission).
+    5. ``accepted`` otherwise. Docs with < 3 tokens have no bands and
+       skip the near checks (exact checks still apply).
+
+    Batch-mode only (the closed loop runs it inside foreachBatch): the
+    within-batch window rules need the whole micro-batch, which
+    foreachBatch provides; a pure stream-stream self-join shape is not
+    needed. Scale: every join is a semi/anti equi-join on fp, doc_id or
+    (band, bkey) — id-table probes, never a corpus rescan."""
+
+    def _membership(tagged: DataFrame, arr_bands: DataFrame, rest2: DataFrame):
+        return (
+            arr_bands.join(band_index, ["band", "bkey"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+
+    return _verdict_frame(arrivals, fp_index, _membership)
+
+
+# The verify tier's "true near-dup" threshold: exact 3-gram Jaccard >= 0.3
+# (q34's verification threshold, integer cross-multiplied — no float div).
+VERIFY_TAU_NUM, VERIFY_TAU_DEN = 3, 10
+
+
+def band_member_index(corpus: DataFrame, cap: int | None = None) -> DataFrame:
+    """The VERIFY-tier near-dup index: (band, bkey, doc_id, toks) — the
+    band-signature index widened with each bucket's first ``cap`` member
+    docs (by doc_id — q34's keep-first _BAND_CAP convention, default)
+    and their distinct shingle arrays. State is bounded by
+    cap × |buckets| × avg-shingles — the price of making the rejection
+    rule's precision exactly 1.0 instead of a measured FP rate (q144).
+    Its bucket set equals ``band_signature_index``'s (cap >= 1 keeps at
+    least one member per bucket), so collision candidates are identical —
+    only the confirmation differs."""
+    from csv_loader_spark.queries.llm import _BAND_CAP, minhash_bands, shingled_docs
+
+    if cap is None:
+        cap = _BAND_CAP
+    sh = shingled_docs(corpus).select("doc_id", F.col("shingles").alias("toks"))
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    return (
+        minhash_bands(corpus)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+        .join(sh, "doc_id")
+        .select("band", "bkey", "doc_id", "toks")
+    )
+
+
+def ingest_verdicts_verified(
+    arrivals: DataFrame, fp_index: DataFrame, member_index: DataFrame
+) -> DataFrame:
+    """``ingest_verdicts`` with the VERIFY tier for rule 3: a band-key
+    collision alone no longer rejects — the arrival must ALSO reach exact
+    3-gram Jaccard >= 0.3 (``VERIFY_TAU``) against at least one member of
+    a colliding bucket, computed JVM-side via array_intersect over the
+    member index's stored shingle arrays. Rejection precision is 1.0 BY
+    CONSTRUCTION (every ``near_corpus`` verdict names a real witness
+    pair); the residual trade moves to RECALL — a bucket's cap-excluded
+    members can't witness, so a true near-dup may survive to the
+    within-batch rule or admission (the same keep-first cap bound q34
+    accepts for candidate generation).
+
+    Scale: the collision join is the same (band, bkey) equi-join as the
+    membership probe; verification touches ONLY colliding (arrival,
+    member) pairs — bounded by cap per bucket, never a corpus rescan —
+    and ships member shingles just for those pairs."""
+    from csv_loader_spark.queries.llm import shingled_docs
+
+    def _verified(tagged: DataFrame, arr_bands: DataFrame, rest2: DataFrame):
+        arr_sh = shingled_docs(tagged).select(
+            "doc_id", F.col("shingles").alias("a_toks")
+        )
+        cand = (
+            arr_bands.join(
+                member_index.select(
+                    "band",
+                    "bkey",
+                    F.col("doc_id").alias("cand_doc"),
+                    F.col("toks").alias("c_toks"),
+                ),
+                ["band", "bkey"],
+            )
+            .select("doc_id", "cand_doc", "c_toks")
+            .dropDuplicates(["doc_id", "cand_doc"])
+        )
+        n_inter = F.size(F.array_intersect("a_toks", "c_toks"))
+        na, nb = F.size("a_toks"), F.size("c_toks")
+        return (
+            cand.join(arr_sh, "doc_id")
+            .filter(
+                VERIFY_TAU_DEN * n_inter >= VERIFY_TAU_NUM * (na + nb - n_inter)
+            )
+            .select("doc_id")
+            .distinct()
+        )
+
+    return _verdict_frame(arrivals, fp_index, _verified)
 
 
 # --------------------------------------------------------------------------
@@ -278,6 +378,48 @@ def seed_band_index(corpus: DataFrame, band_index_path: str) -> None:
     (``batch=-1``, same convention as ``seed_index``)."""
     band_signature_index(corpus).write.mode("overwrite").parquet(
         os.path.join(band_index_path, "batch=-1")
+    )
+
+
+_MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), True),
+        T.StructField("bkey", T.StringType(), True),
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("toks", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def read_band_member_index(
+    spark: SparkSession, path: str, *, exclude_batch: int | None = None
+) -> DataFrame:
+    """The current VERIFY-tier index: (band, bkey, doc_id, toks) over
+    every committed ``batch=<id>`` partition (same bootstrap /
+    ``exclude_batch`` semantics as ``read_index``). The per-bucket cap is
+    applied per APPEND, so a hot bucket may accumulate up to
+    cap × batches members across the store's lifetime — extra members
+    only ADD witnesses (better recall, precision still 1.0 by
+    construction), so reads take the store as-is instead of paying a
+    store-wide window per probe; ``compact_index`` folds the partitions
+    without re-capping (a global re-cap is the same deterministic
+    keep-first-by-doc_id window, runnable offline when a bucket's growth
+    actually bites)."""
+    if list_batch_partitions(spark, path):
+        df = spark.read.parquet(path)
+        if exclude_batch is not None:
+            df = df.filter(F.col("batch") != exclude_batch)
+        return df.select("band", "bkey", "doc_id", "toks")
+    return spark.createDataFrame([], _MEMBER_SCHEMA)
+
+
+def seed_band_member_index(
+    corpus: DataFrame, path: str, cap: int | None = None
+) -> None:
+    """Bootstrap the verify-tier index from an accepted corpus
+    (``batch=-1``)."""
+    band_member_index(corpus, cap).write.mode("overwrite").parquet(
+        os.path.join(path, "batch=-1")
     )
 
 
@@ -598,6 +740,7 @@ def start_ingest_pipeline(
     *,
     band_index_path: str | None = None,
     passage_index_path: str | None = None,
+    verify_members: bool = False,
     compact_every: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
@@ -614,6 +757,11 @@ def start_ingest_pipeline(
     accepted docs' band keys are appended to ``band_index_path/batch=<id>``
     alongside the fingerprints — so batch N+1 rejects near-dups of batch
     N's admissions (CCNet's deduplicate-against-snapshot, incremental).
+    ``verify_members=True`` (r10) upgrades the band probe to the VERIFY
+    tier: the store at ``band_index_path`` holds (band, bkey, doc_id,
+    toks) member rows, the probe is ``ingest_verdicts_verified``
+    (rejection only on an exact-Jaccard-confirmed witness — precision
+    1.0), and accepted docs append their capped member rows back.
     ``passage_index_path`` selects the PASSAGE-granularity probe instead
     (``ingest_verdicts_passage``: majority-recycled docs rejected, the
     accepted docs' passage fingerprints appended) — one near-dup
@@ -643,10 +791,16 @@ def start_ingest_pipeline(
             return
         index = read_index(spark, index_path, exclude_batch=batch_id)
         if band_index_path is not None:
-            band_idx = read_band_index(
-                spark, band_index_path, exclude_batch=batch_id
-            )
-            verdicts = ingest_verdicts(batch_df, index, band_idx)
+            if verify_members:
+                members = read_band_member_index(
+                    spark, band_index_path, exclude_batch=batch_id
+                )
+                verdicts = ingest_verdicts_verified(batch_df, index, members)
+            else:
+                band_idx = read_band_index(
+                    spark, band_index_path, exclude_batch=batch_id
+                )
+                verdicts = ingest_verdicts(batch_df, index, band_idx)
             novel = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
         elif passage_index_path is not None:
             pfp_idx = read_passage_index(
@@ -666,7 +820,12 @@ def start_ingest_pipeline(
             os.path.join(accepted_path, f"batch={batch_id}")
         )
         if band_index_path is not None:
-            band_signature_index(novel).write.mode("overwrite").parquet(
+            grown = (
+                band_member_index(novel)
+                if verify_members
+                else band_signature_index(novel)
+            )
+            grown.write.mode("overwrite").parquet(
                 os.path.join(band_index_path, f"batch={batch_id}")
             )
         if passage_index_path is not None:

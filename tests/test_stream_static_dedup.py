@@ -720,3 +720,153 @@ def test_guard_refuses_empty_overwrite_of_landed_partition(spark, tmp_path):
     guard_accepted_overwrite(spark, acc, 7, True)
     # and a NON-empty novel frame over a landed partition is fine too
     guard_accepted_overwrite(spark, acc, 0, False)
+
+
+def test_verified_verdicts_match_membership_on_true_neardups(spark):
+    """The VERIFY tier (r10): on genuine near-dups the verified rule
+    agrees with the membership rule verdict-for-verdict; the member index
+    carries per-bucket shingle arrays; and precedence is unchanged."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        ingest_verdicts_verified,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    members = band_member_index(corpus)
+    assert set(members.columns) == {"band", "bkey", "doc_id", "toks"}
+    arrivals = spark.createDataFrame(
+        [
+            (10, "s", _CORPUS_DOC),  # exact dup of corpus
+            (11, "s", _NEAR),        # true near dup -> verified rejection
+            (12, "s", _N1),          # novel -> accepted
+            (13, "s", _N2),          # near dup of doc 12 within the batch
+            (15, "s", _GAMMA),       # novel -> accepted
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = ingest_verdicts_verified(arrivals, fingerprint_index(corpus), members)
+    got = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert got == {
+        10: "exact_corpus",
+        11: "near_corpus",
+        12: "accepted",
+        13: "near_batch",
+        15: "accepted",
+    }
+
+
+def test_verify_tier_admits_band_false_positives(spark):
+    """The verify tier's whole point: a band collision whose exact
+    Jaccard is below the threshold is ADMITTED (or handled by a later
+    rule) instead of rejected. On the fixed sf0.001 documents table the
+    membership rule rejects one arrival with no true corpus witness
+    (q144's 9166 bp); the verified rule's rejections are a strict subset
+    and every dropped rejection indeed has no witness at J >= 0.3."""
+    from csv_loader_spark.io.tables import load_table
+    from csv_loader_spark.queries.llm import shingled_docs
+    from csv_loader_spark.streaming.ingest_dedup import (
+        VERIFY_TAU_DEN,
+        VERIFY_TAU_NUM,
+        band_member_index,
+        band_signature_index,
+        ingest_verdicts,
+        ingest_verdicts_verified,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "text"
+    )
+    fp = fingerprint_index(corpus)
+
+    def _near(df):
+        return {
+            r["doc_id"]
+            for r in df.filter(F.col("verdict") == "near_corpus")
+            .select("doc_id")
+            .collect()
+        }
+
+    membership = _near(
+        ingest_verdicts(arrivals, fp, band_signature_index(corpus))
+    )
+    verified = _near(
+        ingest_verdicts_verified(arrivals, fp, band_member_index(corpus))
+    )
+    assert verified < membership  # strict subset: at least one FP dropped
+
+    # every dropped rejection has NO corpus witness at the threshold
+    dropped = membership - verified
+    sh = shingled_docs(d)
+    a = sh.filter(F.col("doc_id").isin([int(x) for x in dropped])).select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    c = sh.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_c"), F.col("shingles").alias("sc")
+    )
+    n_inter = F.size(F.array_intersect("sa", "sc"))
+    na, nb = F.size("sa"), F.size("sc")
+    witnesses = (
+        a.crossJoin(c)
+        .filter(VERIFY_TAU_DEN * n_inter >= VERIFY_TAU_NUM * (na + nb - n_inter))
+        .count()
+    )
+    assert witnesses == 0
+
+
+def test_verify_members_ingest_loop(spark, tmp_path):
+    """The closed loop in verify mode: the band store holds member rows
+    (band, bkey, doc_id, toks), cross-batch verified rejection works off
+    the store the loop itself grew, and accepted docs append their
+    member rows back."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        read_band_member_index,
+        seed_band_member_index,
+    )
+
+    idx = str(tmp_path / "index")
+    bidx = str(tmp_path / "band_index")
+    acc = str(tmp_path / "accepted")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+
+    corpus = spark.createDataFrame([(0, _CORPUS_DOC)], "doc_id long, text string")
+    seed_index(corpus, idx)
+    seed_band_member_index(corpus, bidx)
+
+    _write_batch(
+        src / "b1.json",
+        [
+            (100, "2026-01-01 10:00:00", _NEAR),  # verified near dup of corpus
+            (101, "2026-01-01 10:00:01", _N1),    # accepted
+        ],
+    )
+    _write_batch(
+        src / "b2.json",
+        [
+            (200, "2026-01-01 10:01:00", _N3),    # verified near dup of 101
+            (201, "2026-01-01 10:01:01", _GAMMA), # accepted
+        ],
+    )
+    import os as _os
+
+    for i, name in enumerate(("b1.json", "b2.json")):
+        _os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = start_ingest_pipeline(
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src)),
+        idx,
+        acc,
+        str(tmp_path / "ck"),
+        band_index_path=bidx,
+        verify_members=True,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(acc).collect()} == {101, 201}
+    # the grown store carries shingle arrays for the admitted docs
+    members = read_band_member_index(spark, bidx)
+    assert {r["doc_id"] for r in members.collect()} == {0, 101, 201}
+    assert members.filter(F.size("toks") < 1).count() == 0
