@@ -83,11 +83,12 @@ R9_OPS = (
     "q144_ingest_probe_precision",
 )
 
-# The r10 operator surface: the verified ingest probe and its
-# precision-by-construction meter.
+# The r10 operator surface: the verified ingest probe, its
+# precision-by-construction meter, and the incremental changelog.
 R10_OPS = (
     "q145_ingest_verified_neardup",
     "q146_verified_probe_precision",
+    "q147_version_changelog",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS

@@ -1202,13 +1202,17 @@ def q139_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _TAG_RE = r"<[^>]*>"
-# entity decode table applied AFTER tag removal, in this order
+# entity decode table applied AFTER tag removal, in this order. &amp;
+# decodes LAST (standard entity semantics, r9 advice): decoding it first
+# would make double-encoded input like '&amp;lt;' double-decode to '<'
+# instead of the correct '&lt;'. Spark and the oracle iterate this same
+# tuple, so the order is mirrored by construction.
 _ENTITIES = (
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&nbsp;", " "),
     ("&quot;", '"'),
+    ("&amp;", "&"),
 )
 
 
@@ -2000,3 +2004,110 @@ def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame
             "ELSE n_true * 10000 DIV n_rejected END AS BIGINT)"
         ).alias("precision_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147: the release changelog as an INCREMENTAL operator (q135 in the loop)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_version_changelog",
+    oracle=rf"""
+    WITH ev AS (
+      SELECT doc_id, source, 'delete' AS op, CAST(NULL AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, source, 'upsert', text || ' [v2 erratum]'
+      FROM documents WHERE doc_id % 7 = 0 AND doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + {_SNAP_OFFSET}, source, 'upsert',
+             'fresh v2 document derived from ' || CAST(doc_id AS VARCHAR)
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    st AS (
+      SELECT doc_id, {_FP_SQL} AS fp,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+      FROM documents
+    ),
+    ee AS (
+      SELECT doc_id, source, op, {_FP_SQL} AS fp,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n_tok
+      FROM ev
+    ),
+    j AS (
+      SELECT e.source, e.op, e.fp AS e_fp, e.n_tok AS e_n_tok,
+             s.fp AS s_fp, s.n_tok AS s_n_tok
+      FROM ee e LEFT JOIN st s ON s.doc_id = e.doc_id
+    ),
+    cl AS (
+      SELECT source,
+             CASE WHEN op = 'delete' AND s_fp IS NOT NULL THEN 'removed'
+                  WHEN op = 'delete' THEN NULL
+                  WHEN s_fp IS NULL THEN 'added'
+                  WHEN e_fp <> s_fp THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             CASE WHEN op = 'delete' THEN -s_n_tok
+                  WHEN s_fp IS NULL THEN e_n_tok
+                  ELSE e_n_tok - s_n_tok END AS tok_delta
+      FROM j
+    )
+    SELECT source, verdict, count(*) AS n_docs,
+           CAST(sum(tok_delta) AS BIGINT) AS tok_delta
+    FROM cl WHERE verdict IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("warehouse", "incremental", "llm"),
+)
+def q147_version_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q135's release diff as the INCREMENTAL changelog operator
+    (streaming/changelog.py apply_version_events): instead of diffing two
+    complete snapshots, fold a batch of document VERSION EVENTS (upserts
+    + deletes — q135's edit/removal/addition injections re-expressed as
+    the event stream a crawler or CDC feed actually delivers) over the
+    standing corpus state and report the per-(source, verdict) roll-up.
+    The streaming loop (start_changelog_pipeline) runs this exact
+    function per micro-batch against a state-snapshot chain;
+    tests/test_changelog.py asserts the two-batch streaming fold lands
+    this one-batch answer (commutes with batching) and replays
+    idempotently.
+
+    Scale: one last-event-wins window over the batch (batch-sized), one
+    LEFT equi-join of the batch's events against the (doc_id, fp, n_tok)
+    state — an id-table probe where the small event side hashes, the
+    corpus-sized state streams — and the (source, verdict) roll-up.
+    Content is fingerprinted once per event and never rides a shuffle.
+    """
+    from csv_loader_spark.streaming.changelog import (
+        apply_version_events,
+        snapshot_state,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    deletes = d.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        "source",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    edits = (
+        d.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 11 != 0))
+        .select(
+            "doc_id",
+            "source",
+            F.lit("upsert").alias("op"),
+            F.concat(F.col("text"), F.lit(" [v2 erratum]")).alias("text"),
+        )
+    )
+    adds = d.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + _SNAP_OFFSET).alias("doc_id"),
+        "source",
+        F.lit("upsert").alias("op"),
+        F.concat(
+            F.lit("fresh v2 document derived from "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    events = deletes.unionByName(edits).unionByName(adds)
+    changelog, _ = apply_version_events(snapshot_state(d), events)
+    return changelog
