@@ -27,13 +27,24 @@ def connected_components(
 
     Returns (node, component) where component = min node id reachable.
     """
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # ONE materialization of the edge frame (r10): every propagation
+    # round joins against `both`, and the caller's edge plan may be
+    # expensive (q143 feeds the prefix-filtered Jaccard join here) —
+    # without the checkpoint Spark re-executes that whole plan per round
+    # (measured 7.5 s for a 477-node graph at sf0.1; ~2.5 s after).
+    # Checkpoint BEFORE the union: the two union branches would otherwise
+    # each materialize the edge plan once.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=False
     )
+    both = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # seed with the 1-hop neighborhood min (node vs its neighbors) — this
+    # IS round one's result, computed with one aggregation instead of a
+    # join round
     labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        both.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
     )
     prev_sum = None
     # max_iterations bounds PROPAGATION rounds; convergence is detected by
@@ -54,7 +65,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)  # truncate lineage each round
+            # truncate lineage each round; LAZY so the convergence sum
+            # below is the round's ONE job (materializes the blocks as a
+            # side effect) instead of a checkpoint job plus a sum job
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
