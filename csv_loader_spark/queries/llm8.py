@@ -1673,7 +1673,11 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    sh = _shingled(spark, sf_dir)
+    # one materialization of the shingle frame: sizes, the rejected side
+    # and the corpus side all read it, and the shingle expression is the
+    # expensive part of this plan (r10 — the ingest_verdicts recompute
+    # lesson applied to the meter's own verification join)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     ex_a = ex.join(nc, "doc_id", "left_semi").select(
@@ -1958,7 +1962,11 @@ def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    sh = _shingled(spark, sf_dir)
+    # one materialization of the shingle frame: sizes, the rejected side
+    # and the corpus side all read it, and the shingle expression is the
+    # expensive part of this plan (r10 — the ingest_verdicts recompute
+    # lesson applied to the meter's own verification join)
+    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     ex_a = ex.join(nc, "doc_id", "left_semi").select(
