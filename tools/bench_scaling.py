@@ -379,15 +379,82 @@ def run_prefix_flood(sf_dir: str, b: int) -> dict[str, dict]:
     return out
 
 
+# --- cluster-family flood: the full q143 pipeline under boilerplate ---
+# r10 claim under test: with edges routed through the prefix join
+# (jaccard_dup_edges), the WHOLE dup-cluster pipeline (edges ->
+# connected components -> keep-best representative) stays bounded under
+# the boilerplate flood that drove the r9 naive edge join to C(n,2)
+# candidates (see prefix_filter.runs_sf001: 124,750 at B=20 on 500
+# docs). Components/argmax are linear in edge nodes, so total wall time
+# should track the prefix join's, not the flood.
+
+
+def run_cluster_flood(sf_dir: str, b: int) -> dict[str, float | int]:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.functions import text as TXT
+    from csv_loader_spark.ops.graph import connected_components
+    from csv_loader_spark.queries.llm import shingled_docs
+    from csv_loader_spark.queries.llm7 import (
+        prefix_jaccard_index,
+        prefix_jaccard_pairs,
+    )
+
+    spark = get_spark("bench_scaling")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    if b:
+        docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit(_boiler_text(b)))
+        )
+    idx = prefix_jaccard_index(shingled_docs(docs)).persist()
+    try:
+        idx.count()  # prime the index (the persisted artifact, as in q119)
+        t0 = time.perf_counter()
+        edges = prefix_jaccard_pairs(idx).select("doc_a", "doc_b")
+        n_edges = edges.count()
+        t_edges = time.perf_counter()
+        comp = connected_components(edges, "doc_a", "doc_b").select(
+            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        sized = comp.join(
+            docs.select("doc_id", F.size(TXT.tokens("text")).alias("n_tok")),
+            "doc_id",
+        )
+        w = W.partitionBy("cluster_id").orderBy(
+            F.col("n_tok").desc(), F.col("doc_id")
+        )
+        n_clusters = (
+            sized.withColumn("rnk", F.row_number().over(w))
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .count()
+        )
+        t_end = time.perf_counter()
+        return {
+            "edges": n_edges,
+            "clusters": n_clusters,
+            "edges_sec": round(t_edges - t0, 4),
+            "cluster_sec": round(t_end - t_edges, 4),
+            "total_sec": round(t_end - t0, 4),
+        }
+    finally:
+        idx.unpersist()
+
+
 def main() -> None:
     """``--relational-only`` / ``--dedup-only`` run one section (the
     relational curve takes ~12 min at x100; the dedup curve's winnow x10
     counts ~1.2G pairs) — the driver-recorded SCALING.json merges both."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = set(sys.argv[1:])
-    do_rel = not ({"--dedup-only", "--prefix-only"} & args)
-    do_dedup = not ({"--relational-only", "--prefix-only"} & args)
+    only_flags = {"--dedup-only", "--prefix-only", "--cluster-only"}
+    do_rel = not (only_flags & args)
+    do_dedup = not (({"--relational-only"} | only_flags - {"--dedup-only"}) & args)
     do_prefix = "--prefix-only" in args
+    do_cluster = "--cluster-only" in args
     results = {}
     for m in MULTIPLIERS if do_rel else ():
         s = run_spark(sf_dir, m)
@@ -432,6 +499,16 @@ def main() -> None:
             f"({r['prefix']['sec']}s); verified pairs={r['pairs']} (equal)",
             file=sys.stderr,
         )
+    cluster = {}
+    for b in BOILER_WORDS if do_cluster else ():
+        r = run_cluster_flood(sf_dir, b)
+        cluster[str(b)] = r
+        print(
+            f"# cluster B={b}: edges={r['edges']} ({r['edges_sec']}s) "
+            f"clusters={r['clusters']} (+{r['cluster_sec']}s) "
+            f"total={r['total_sec']}s",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -440,6 +517,7 @@ def main() -> None:
                 "results": results,
                 "dedup_results": dedup,
                 "prefix_results": prefix,
+                "cluster_results": cluster,
             }
         )
     )
