@@ -401,10 +401,9 @@ def read_band_member_index(
     cap × batches members across the store's lifetime — extra members
     only ADD witnesses (better recall, precision still 1.0 by
     construction), so reads take the store as-is instead of paying a
-    store-wide window per probe; ``compact_index`` folds the partitions
-    without re-capping (a global re-cap is the same deterministic
-    keep-first-by-doc_id window, runnable offline when a bucket's growth
-    actually bites)."""
+    store-wide window per probe; ``compact_member_index`` restores the
+    GLOBAL cap on the compaction cadence (the same deterministic
+    keep-first-by-doc_id window the batch build applies)."""
     if list_batch_partitions(spark, path):
         df = spark.read.parquet(path)
         if exclude_batch is not None:
@@ -732,6 +731,62 @@ def guard_accepted_overwrite(
         )
 
 
+def compact_member_index(
+    spark: SparkSession,
+    path: str,
+    *,
+    ledger_path: str | None = None,
+    cap: int | None = None,
+) -> int:
+    """``compact_index`` for the VERIFY-tier member store, plus the
+    GLOBAL re-cap the per-append cap cannot provide: after folding the
+    committed partitions into the seed, each (band, bkey) bucket is
+    trimmed back to its first ``cap`` members by doc_id — the exact
+    keep-first convention ``band_member_index`` applies, so the
+    compacted store equals the index a batch build over the whole
+    accepted corpus would produce (deterministic, tested). Trimming only
+    removes WITNESSES (recall), never correctness: the verified rule's
+    precision is 1.0 regardless of membership.
+
+    The re-cap rewrite reuses the seed-swap discipline: write the capped
+    seed to a tmp directory outside the store, rename the old seed
+    aside, rename tmp in, drop the backup — every intermediate crash
+    state leaves a readable store (old or new seed, never half).
+    Returns the number of batch partitions folded."""
+    import shutil
+
+    from csv_loader_spark.queries.llm import _BAND_CAP
+
+    if cap is None:
+        cap = _BAND_CAP
+    folded = compact_index(spark, path, ledger_path=ledger_path)
+    base = path.rstrip("/")
+    seed = os.path.join(base, "batch=-1")
+    if not os.path.isdir(seed):
+        return folded
+    tmp = base + "._recap_tmp"
+    backup = base + "._recap_backup"
+    if os.path.exists(backup):  # recover an interrupted previous re-cap
+        if os.path.exists(seed):
+            shutil.rmtree(backup)
+        else:
+            os.rename(backup, seed)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    w = Window.partitionBy("band", "bkey").orderBy("doc_id")
+    capped = (
+        spark.read.parquet(seed)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    capped.write.mode("overwrite").parquet(tmp)
+    os.rename(seed, backup)
+    os.rename(tmp, seed)
+    shutil.rmtree(backup)
+    return folded
+
+
 def start_ingest_pipeline(
     arrivals: DataFrame,
     index_path: str,
@@ -836,7 +891,14 @@ def start_ingest_pipeline(
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             compact_index(spark, index_path)
             if band_index_path is not None:
-                compact_index(spark, band_index_path, ledger_path=index_path)
+                if verify_members:
+                    compact_member_index(
+                        spark, band_index_path, ledger_path=index_path
+                    )
+                else:
+                    compact_index(
+                        spark, band_index_path, ledger_path=index_path
+                    )
             if passage_index_path is not None:
                 compact_index(
                     spark, passage_index_path, ledger_path=index_path

@@ -870,3 +870,60 @@ def test_verify_members_ingest_loop(spark, tmp_path):
     members = read_band_member_index(spark, bidx)
     assert {r["doc_id"] for r in members.collect()} == {0, 101, 201}
     assert members.filter(F.size("toks") < 1).count() == 0
+
+
+def test_compact_member_index_recaps_buckets(spark, tmp_path):
+    """r10: folding the member store re-applies the GLOBAL per-bucket cap
+    — the compacted seed equals a fresh batch build over the same corpus
+    at the same cap (keep-first by doc_id), and an in-flight unledgered
+    partition stays put."""
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        compact_member_index,
+        read_band_member_index,
+    )
+    from csv_loader_spark.streaming.continuous_agg import _record_applied
+
+    path = str(tmp_path / "members")
+    ledger = str(tmp_path / "members")
+    # five near-identical docs -> shared buckets with 5 members each
+    docs = [(i, _CORPUS_DOC) for i in range(5)]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    # write each doc as its own "batch" partition (per-append cap never
+    # fires at batch size 1), committing all of them
+    for i in range(5):
+        one = spark.createDataFrame([docs[i]], "doc_id long, text string")
+        band_member_index(one).write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={i}")
+        )
+        _record_applied(ledger, i)
+    before = read_band_member_index(spark, path)
+    assert before.groupBy("band", "bkey").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 5
+
+    folded = compact_member_index(spark, path, ledger_path=ledger, cap=2)
+    assert folded == 5
+    after = read_band_member_index(spark, path)
+    # every bucket trimmed to the cap...
+    assert after.groupBy("band", "bkey").count().agg(
+        F.max("count")
+    ).collect()[0][0] <= 2
+    # ...and the survivors equal the batch build at the same cap
+    expected = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in band_member_index(corpus, cap=2).collect()
+    }
+    got = {(r["band"], r["bkey"], r["doc_id"]) for r in after.collect()}
+    assert got == expected
+
+    # an unledgered in-flight partition is neither folded nor capped away
+    one = spark.createDataFrame([(99, _GAMMA)], "doc_id long, text string")
+    band_member_index(one).write.mode("overwrite").parquet(
+        os.path.join(path, "batch=9")
+    )
+    assert compact_member_index(spark, path, ledger_path=ledger, cap=2) == 0
+    assert os.path.isdir(os.path.join(path, "batch=9"))
+    assert 99 in {
+        r["doc_id"] for r in read_band_member_index(spark, path).collect()
+    }
