@@ -46,12 +46,16 @@ from csv_loader_spark.streaming.continuous_agg import (
     _record_applied,
 )
 from csv_loader_spark.streaming.ingest_dedup import (
+    band_member_index,
     band_signature_index,
     compact_index,
+    compact_member_index,
     guard_accepted_overwrite,
     ingest_verdicts,
+    ingest_verdicts_verified,
     list_batch_partitions,
     read_band_index,
+    read_band_member_index,
     read_index,
 )
 
@@ -116,6 +120,7 @@ def start_curation_pipeline(
     *,
     cap: int = 30,
     compact_every: int | None = None,
+    verify_members: bool = False,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Per micro-batch: (1) drop blocklisted domains (map-side, q102's
@@ -133,7 +138,11 @@ def start_curation_pipeline(
     their seeds and prunes superseded quota snapshots after every K-th
     batch (the in-loop small-file janitor — see
     ingest_dedup.start_ingest_pipeline); accepted/manifest partitions are
-    the pipeline's OUTPUT history and are never folded."""
+    the pipeline's OUTPUT history and are never folded.
+    ``verify_members=True`` (r10) runs the dedup stage on the VERIFY
+    tier: the band store holds member rows, near_corpus rejections are
+    exact-Jaccard-confirmed (precision 1.0), and compaction re-caps the
+    buckets."""
     from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
 
     fp_path = os.path.join(store, "fp_index")
@@ -151,12 +160,23 @@ def start_curation_pipeline(
         blocked = tagged.filter(F.col("_dom").isin(*_BLOCKLIST)).drop("_dom")
         survivors = tagged.filter(~F.col("_dom").isin(*_BLOCKLIST)).drop("_dom")
 
-        # stage 2: dedup probe against the grown indexes
-        verdicts = ingest_verdicts(
-            survivors,
-            read_index(spark, fp_path, exclude_batch=batch_id),
-            read_band_index(spark, band_path, exclude_batch=batch_id),
-        ).localCheckpoint(eager=True)
+        # stage 2: dedup probe against the grown indexes (membership by
+        # default; verify_members swaps in the precision-1.0 tier and its
+        # member store — ingest_dedup.py's two probe modes, same verdicts)
+        fp_idx = read_index(spark, fp_path, exclude_batch=batch_id)
+        if verify_members:
+            verdicts = ingest_verdicts_verified(
+                survivors,
+                fp_idx,
+                read_band_member_index(spark, band_path, exclude_batch=batch_id),
+            )
+        else:
+            verdicts = ingest_verdicts(
+                survivors,
+                fp_idx,
+                read_band_index(spark, band_path, exclude_batch=batch_id),
+            )
+        verdicts = verdicts.localCheckpoint(eager=True)
         accepted = verdicts.filter(F.col("verdict") == "accepted").drop("verdict")
         # ledger-stripped-redelivery guard (ingest_dedup.py): never
         # overwrite a previously-landed partition with an empty frame
@@ -169,7 +189,12 @@ def start_curation_pipeline(
         accepted.drop("fp").write.mode("overwrite").parquet(
             os.path.join(store, "accepted", f"batch={batch_id}")
         )
-        band_signature_index(accepted).write.mode("overwrite").parquet(
+        grown = (
+            band_member_index(accepted)
+            if verify_members
+            else band_signature_index(accepted)
+        )
+        grown.write.mode("overwrite").parquet(
             os.path.join(band_path, f"batch={batch_id}")
         )
 
@@ -234,7 +259,10 @@ def start_curation_pipeline(
         # mid-stream by tests/test_curation_loop.py).
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             compact_index(spark, fp_path)
-            compact_index(spark, band_path, ledger_path=fp_path)
+            if verify_members:
+                compact_member_index(spark, band_path, ledger_path=fp_path)
+            else:
+                compact_index(spark, band_path, ledger_path=fp_path)
             _prune_quota_snapshots(spark, store)
 
     writer = (

@@ -218,3 +218,61 @@ def test_curation_loop_compacts_on_cadence(spark, tmp_path):
     } == {
         r["doc_id"] for r in read_quota_snapshot(spark, stores["plain"]).collect()
     }
+
+
+def test_curation_loop_verify_members_mode(spark, tmp_path):
+    """The capstone loop on the VERIFY tier: a true near-dup of a prior
+    admission is still rejected (with a confirmed witness), the band
+    store carries member shingle arrays, and compaction re-caps it."""
+    from csv_loader_spark.streaming.ingest_dedup import read_band_member_index
+
+    store = str(tmp_path / "store")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    _write_batch(
+        src / "b1.json",
+        [
+            (6, "2026-01-01 10:00:00", "s", _A),
+            (22, "2026-01-01 10:00:01", "s", _N1),
+        ],
+    )
+    _write_batch(
+        src / "b2.json",
+        [(19, "2026-01-01 10:01:00", "s", _N3)],  # true near dup of 22
+    )
+    for i, name in enumerate(("b1.json", "b2.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = start_curation_pipeline(
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        cap=5,
+        compact_every=2,
+        verify_members=True,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+
+    manifest = {
+        (r["doc_id"], r["verdict"])
+        for r in spark.read.parquet(os.path.join(store, "manifest"))
+        .select("doc_id", "verdict")
+        .collect()
+    }
+    assert (19, "near_corpus") in manifest
+    assert (6, "admitted") in manifest and (22, "admitted") in manifest
+
+    members = read_band_member_index(
+        spark, os.path.join(store, "band_index")
+    )
+    assert {r["doc_id"] for r in members.collect()} == {6, 22}
+    assert members.filter(F.size("toks") < 1).count() == 0
+    # compaction cadence fired after batch 1: both batches folded
+    parts = sorted(
+        e
+        for e in os.listdir(os.path.join(store, "band_index"))
+        if e.startswith("batch=")
+    )
+    assert parts == ["batch=-1"]
