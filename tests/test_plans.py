@@ -482,3 +482,28 @@ def test_dup_cluster_edges_use_prefix_filter(spark):
         ln for ln in plan.splitlines() if re.search(r"doc_id#\d+L? < doc_id#", ln)
     ]
     assert cand_lines and all("greatest(n_sh" in ln for ln in cand_lines)
+
+
+def test_q145_verified_probe_is_equi_join_with_array_verify(spark):
+    """The verify tier's candidate generation must stay a (band, bkey)
+    equi-join — the member arrays ride only the build side — and the
+    confirmation must be JVM array_intersect, never a cartesian or a
+    per-row Python step."""
+    plan = _plan(spark, "q145_ingest_verified_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q147_changelog_is_one_state_join(spark):
+    """The changelog fold: last-event window + ONE left equi-join on
+    doc_id against the state frame + roll-up — id-table shapes only."""
+    plan = _plan(spark, "q147_version_changelog")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly one doc-id join between events and state
+    import re
+
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id", plan)
+    assert len(joins) == 1, joins

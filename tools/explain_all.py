@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, R8_OPS, R9_OPS  # noqa: E402
+from bench import HEADLINE, R8_OPS, R9_OPS, R10_OPS  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 from csv_loader_spark.session import get_spark  # noqa: E402
 
@@ -89,6 +89,16 @@ NOTES = {
         "oracle is q33's naive SQL. Boilerplate-flood immunity measured "
         "in SCALING.json `prefix_filter`."
     ),
+    "q145_ingest_verified_neardup": (
+        "**The r10 verify tier (plan story).** Identical probe shapes to "
+        "q131 (semi/anti equi-joins on fp and doc_id, window min per band "
+        "bucket) plus ONE (band, bkey) equi-join against the member index "
+        "whose build side carries the stored shingle arrays — the arrays "
+        "ship only for colliding (arrival, member) pairs, verification is "
+        "JVM array_intersect, and the rejection rule becomes "
+        "precision-1.0 (q146 gates it at 10000 bp). No cartesian shape "
+        "anywhere; the flood bound is the per-bucket member cap."
+    ),
     "q05_nation_volume": (
         "**r7:** autoBroadcastJoinThreshold restored to the stock 10 MB, "
         "so at sf0.1 the orders-lineitem join now SHUFFLES on orderkey as "
@@ -144,7 +154,7 @@ def main() -> None:
         "",
     ]
     heavy_r8 = tuple(
-        n for n in (R8_OPS + R9_OPS) if n in NOTES
+        n for n in (R8_OPS + R9_OPS + R10_OPS) if n in NOTES
     )  # the r8/r9 queries whose plans warrant the human-readable snapshot
     for name in HEADLINE + heavy_r8:
         df = specs[name].fn(spark, sf_dir)
