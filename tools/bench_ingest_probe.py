@@ -31,9 +31,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from csv_loader_spark.session import get_spark  # noqa: E402
 from csv_loader_spark.streaming.ingest_dedup import (  # noqa: E402
+    band_member_index,
     band_signature_index,
     fingerprint_index,
     ingest_verdicts,
+    ingest_verdicts_verified,
 )
 
 MULTIPLIERS = (1, 3, 10)
@@ -48,6 +50,7 @@ def main() -> None:
     n_docs = docs.count()
     fp_idx = fingerprint_index(docs).localCheckpoint(eager=True)
     band_idx = band_signature_index(docs).localCheckpoint(eager=True)
+    member_idx = band_member_index(docs).localCheckpoint(eager=True)
     empty_fp = fp_idx.limit(0).localCheckpoint(eager=True)
     empty_band = band_idx.limit(0).localCheckpoint(eager=True)
 
@@ -66,7 +69,17 @@ def main() -> None:
         for mode, fpi, bdi in (
             ("seeded", fp_idx, band_idx),
             ("cold", empty_fp, empty_band),
+            # r10 VERIFY tier under the same flood: every arrival collides
+            # with its origin doc's bucket AND truly is a near-dup, so the
+            # member join fans out ~bucket-cap witnesses per arrival — the
+            # tier's worst case (all collisions need confirmation)
+            ("seeded_verified", fp_idx, member_idx),
         ):
+            verdicts_fn = (
+                ingest_verdicts_verified
+                if mode == "seeded_verified"
+                else ingest_verdicts
+            )
             def agg(frame):
                 return {
                     r["verdict"]: r["n"]
@@ -75,13 +88,13 @@ def main() -> None:
                     .collect()
                 }
 
-            agg(ingest_verdicts(arrivals, fpi, bdi))  # prime (JIT + plan)
+            agg(verdicts_fn(arrivals, fpi, bdi))  # prime (JIT + plan)
             # timed run constructs a FRESH verdict frame so the lazy
             # localCheckpoints inside ingest_verdicts materialize within
             # the measured window — one full micro-batch's cost, not a
             # warm-block replay
             t0 = time.perf_counter()
-            counts = agg(ingest_verdicts(arrivals, fpi, bdi))
+            counts = agg(verdicts_fn(arrivals, fpi, bdi))
             res[mode] = {
                 "sec": round(time.perf_counter() - t0, 4),
                 "n_arrivals": n_docs * m,
