@@ -464,7 +464,14 @@ def q133_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     media = originals.unionAll(twins)
-    sigs = dhash_sigs(media)
+    # one materialization of the narrow (doc_id, v0..v3) signature frame:
+    # the 4 union branches and the 3 verify-side reads would otherwise
+    # each re-evaluate the 64-term dHash expression over the corpus
+    # (r10 — the ingest_verdicts recompute lesson; measured 4.5 -> ~1 s
+    # at sf0.1). This is NOT the rejected packed-array rewrite (r9
+    # adjudication): the join shape and per-band projections are
+    # unchanged, only the shared subtree stops re-running.
+    sigs = dhash_sigs(media).localCheckpoint(eager=False)
     long = None
     for j in range(_PHASH_BANDS):
         part = sigs.select(
