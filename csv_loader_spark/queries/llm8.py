@@ -652,6 +652,10 @@ def q134_ivfpq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", VEC.as_double("embedding").alias("v")
     )
+    # lazy checkpoint: the residual-encode chain AND the reconstruction
+    # join both read `assigned`, and the 96-centroid interpreted-HOF
+    # argmin is this plan's dominant cost — without the checkpoint it
+    # runs twice (r10; 3.8 -> ~2.5 s warm at sf0.1)
     assigned = e.select(
         "vec_id",
         "v",
@@ -660,7 +664,7 @@ def q134_ivfpq_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'d', aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
             " 0.0D, (acc, x) -> acc + x), 'c', c)))[0].c"
         ).alias("cvec"),
-    )
+    ).localCheckpoint(eager=False)
     res = assigned.withColumn("r", F.expr("zip_with(v, cvec, (x, y) -> x - y)"))
     subs = res.select(
         "vec_id",
