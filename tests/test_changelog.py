@@ -193,3 +193,85 @@ def test_changelog_crash_redelivery_rebuilds_identically(spark, tmp_path):
     assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
         1, 2, 3, 4,
     }
+
+
+def test_apply_version_events_matches_reference_model(spark):
+    """Seeded randomized parity with a pure-Python reference fold:
+    random upsert/delete sequences (duplicate doc_ids within a batch,
+    deletes of unknowns, re-crawls of identical content) — the Spark
+    fold's changelog roll-up AND new state must equal the dict model's,
+    for every seed."""
+    import random
+
+    def _fp(text):
+        return " ".join(text.lower().split())
+
+    texts = [
+        "alpha doc", "beta doc", "gamma doc body", "delta text",
+        "alpha doc", "epsilon words here",
+    ]
+    for seed in (1, 2, 3, 4):
+        rng = random.Random(seed)
+        state_model = {}
+        for doc_id in range(rng.randint(0, 4)):
+            t = rng.choice(texts)
+            state_model[doc_id] = (_fp(t), len(t.split()), "s")
+        events = []
+        for seq in range(rng.randint(1, 12)):
+            doc_id = rng.randint(0, 6)
+            if rng.random() < 0.3:
+                events.append((doc_id, "s", "delete", None, seq))
+            else:
+                events.append((doc_id, "s", "upsert", rng.choice(texts), seq))
+
+        # reference fold: last event per doc wins, NET verdicts
+        latest = {}
+        for doc_id, source, op, text, seq in events:
+            latest[doc_id] = (source, op, text)
+        expected_log = {}
+        new_model = dict(state_model)
+        for doc_id, (source, op, text) in latest.items():
+            if op == "delete":
+                if doc_id in state_model:
+                    verdict, delta = "removed", -state_model[doc_id][1]
+                    del new_model[doc_id]
+                else:
+                    continue
+            else:
+                n_tok = len(text.split())
+                if doc_id not in state_model:
+                    verdict, delta = "added", n_tok
+                elif state_model[doc_id][0] != _fp(text):
+                    verdict, delta = "changed", n_tok - state_model[doc_id][1]
+                else:
+                    verdict, delta = "unchanged", 0
+                new_model[doc_id] = (_fp(text), n_tok, source)
+            n, d = expected_log.get(("s", verdict), (0, 0))
+            expected_log[("s", verdict)] = (n + 1, d + delta)
+
+        # the state frame's fp must be the SAME fingerprint the operator
+        # computes: route through snapshot_state on a text frame (the
+        # model's fp IS the normalized text, so md5 matches both sides)
+        docs_df = spark.createDataFrame(
+            [
+                (doc_id, src, fp)
+                for doc_id, (fp, n, src) in state_model.items()
+            ],
+            "doc_id long, source string, text string",
+        )
+        state_df = snapshot_state(docs_df)
+        events_df = spark.createDataFrame(
+            events, "doc_id long, source string, op string, text string, seq long"
+        )
+        changelog, new_state = apply_version_events(state_df, events_df)
+        got_log = {
+            (r["source"], r["verdict"]): (r["n_docs"], r["tok_delta"])
+            for r in changelog.collect()
+        }
+        assert got_log == expected_log, (seed, got_log, expected_log)
+        got_state = {
+            r["doc_id"]: r["n_tok"] for r in new_state.collect()
+        }
+        assert got_state == {
+            doc_id: n for doc_id, (fp, n, src) in new_model.items()
+        }, seed
