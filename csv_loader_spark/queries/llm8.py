@@ -1662,7 +1662,6 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sample of rejections, not the firehose — it is an audit, not an
     admission step.
     """
-    from csv_loader_spark.queries.llm import _shingled
     from csv_loader_spark.streaming.ingest_dedup import (
         band_signature_index,
         fingerprint_index,
@@ -1684,10 +1683,20 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    # one materialization of the shingle frame: sizes, the rejected side
-    # and the corpus side all read it, and the shingle expression is the
-    # expensive part of this plan (r10 — the ingest_verdicts recompute
-    # lesson applied to the meter's own verification join)
+    return _probe_precision_meter(spark, sf_dir, nc)
+
+
+def _probe_precision_meter(
+    spark: SparkSession, sf_dir: str, nc: DataFrame
+) -> DataFrame:
+    """Shared body of q144/q146: given the (lazily checkpointed) rejected
+    doc_id frame, independently verify each rejection against the FULL
+    corpus by exact Jaccard >= _PROBE_TAU and fold (n_rejected, n_true,
+    precision_bp) into one single-action 1-row aggregate. One shingle
+    materialization serves sizes and both join sides; the posting-list
+    join explodes only the rejected docs against the corpus."""
+    from csv_loader_spark.queries.llm import _shingled
+
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
@@ -1955,7 +1964,6 @@ def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: q144's shape — the independent verification join explodes
     only the rejected arrivals against the corpus posting lists.
     """
-    from csv_loader_spark.queries.llm import _shingled
     from csv_loader_spark.streaming.ingest_dedup import (
         band_member_index,
         fingerprint_index,
@@ -1973,56 +1981,7 @@ def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
         .localCheckpoint(eager=False)
     )
-    # one materialization of the shingle frame: sizes, the rejected side
-    # and the corpus side all read it, and the shingle expression is the
-    # expensive part of this plan (r10 — the ingest_verdicts recompute
-    # lesson applied to the meter's own verification join)
-    sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    ex_a = ex.join(nc, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_a"), "s"
-    )
-    ex_c = ex.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("doc_c"), "s"
-    )
-    inter = (
-        ex_a.join(ex_c, "s")
-        .groupBy("doc_a", "doc_c")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sc = sizes.select(F.col("doc_id").alias("doc_c"), F.col("n_sh").alias("nc_sh"))
-    verified = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sc), "doc_c")
-        .filter(
-            _PROBE_TAU_DEN * F.col("n_inter")
-            >= _PROBE_TAU_NUM * (F.col("na") + F.col("nc_sh") - F.col("n_inter"))
-        )
-        .select("doc_a")
-        .distinct()
-    )
-    flagged = nc.join(
-        verified.withColumnRenamed("doc_a", "doc_id").withColumn(
-            "_true", F.lit(True)
-        ),
-        "doc_id",
-        "left",
-    )
-    return flagged.agg(
-        F.count(F.lit(1)).cast("long").alias("n_rejected"),
-        F.coalesce(F.sum(F.when(F.col("_true"), 1)), F.lit(0))
-        .cast("long")
-        .alias("n_true"),
-    ).select(
-        "n_rejected",
-        "n_true",
-        F.expr(
-            "CAST(CASE WHEN n_rejected = 0 THEN 0 "
-            "ELSE n_true * 10000 DIV n_rejected END AS BIGINT)"
-        ).alias("precision_bp"),
-    )
+    return _probe_precision_meter(spark, sf_dir, nc)
 
 
 # ---------------------------------------------------------------------------
