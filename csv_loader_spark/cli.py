@@ -59,7 +59,59 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_curate_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv_loader_spark curate",
+        description=(
+            "Run the admission DAG (blocklist -> exact+near dedup -> "
+            "per-source quota -> split) over a documents parquet and write "
+            "kept/ (partitioned by split) and manifest/ under --output. "
+            "Each rule is the oracle-gated operator the query surface "
+            "proves (q102/q131/q145/q121/q116); see ops/curate.py."
+        ),
+    )
+    p.add_argument("--input", required=True, help="documents parquet (doc_id, source, text)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument(
+        "--block",
+        action="append",
+        default=[],
+        metavar="DOMAIN",
+        help="blocklisted domain (repeatable, lowercase)",
+    )
+    p.add_argument(
+        "--verify-members",
+        action="store_true",
+        help="Jaccard-verified near-dup rule (precision 1.0) instead of band membership",
+    )
+    p.add_argument("--quota-cap", type=int, default=30, help="max admitted docs per source")
+    return p
+
+
+def curate_main(argv: list[str]) -> int:
+    import json
+
+    args = build_curate_parser().parse_args(argv)
+    if not os.path.exists(args.input):
+        print(f"input not found: {args.input}", file=sys.stderr)
+        return 1
+    from csv_loader_spark.ops.curate import run_curate
+
+    counts = run_curate(
+        args.input,
+        args.output,
+        blocklist=tuple(d.lower() for d in args.block),
+        verify_members=args.verify_members,
+        quota_cap=args.quota_cap,
+    )
+    print(json.dumps({"output": args.output, "verdicts": counts}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["curate"]:
+        return curate_main(argv[1:])
     args = build_parser().parse_args(argv)
     if not os.path.exists(args.file):
         # reference behavior: message + return, no stack trace (:59-61)

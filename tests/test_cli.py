@@ -65,3 +65,61 @@ def test_dry_run_sends_nothing(spark, tmp_path, http_server, capsys):
     assert main(["-f", path, "-u", url, "--dry-run"]) == 0
     assert rec.payloads == []
     assert "unique vehicles" in capsys.readouterr().out
+
+
+def test_curate_subcommand_end_to_end(tmp_path, capsys):
+    """`python -m csv_loader_spark curate`: the admission DAG over a real
+    documents parquet — blocked/dedup/quota/split all fire, kept/ is
+    split-partitioned, the manifest covers every input doc exactly once,
+    and the run is deterministic."""
+    import json
+
+    from csv_loader_spark.cli import main
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    rows = [
+        (1, "s", "an original first document about columnar storage"),
+        (2, "s", "an original first document about columnar storage"),  # exact dup
+        (3, "s", "spam content see http://bad.example/landing page now"),
+        (4, "t", "a second standalone text on adaptive query planning"),
+        (5, "t", "yet another unrelated piece describing vectorized execution"),
+        (6, "t", "more unique content about shuffle partitioning strategies"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(src)
+    out = str(tmp_path / "out")
+
+    rc = main(["curate", "--input", src, "--output", out,
+               "--block", "bad.example", "--quota-cap", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    verdicts = summary["verdicts"]
+    assert verdicts["blocked"] == 1
+    assert verdicts["exact_batch"] == 1
+    assert verdicts.get("quota_rejected", 0) == 1  # 3 t-source docs, cap 2
+    assert verdicts["admitted"] == 3
+
+    import os as _os
+
+    kept = spark.read.parquet(_os.path.join(out, "kept"))
+    assert kept.count() == 3
+    assert {r["split"] for r in kept.select("split").distinct().collect()} <= {
+        "train", "valid", "test"
+    }
+    manifest = spark.read.parquet(_os.path.join(out, "manifest"))
+    assert manifest.count() == len(rows)
+    assert manifest.select("doc_id").distinct().count() == len(rows)
+
+    # determinism: a second run reproduces the identical decisions
+    out2 = str(tmp_path / "out2")
+    rc = main(["curate", "--input", src, "--output", out2,
+               "--block", "bad.example", "--quota-cap", "2"])
+    assert rc == 0
+    m2 = spark.read.parquet(_os.path.join(out2, "manifest"))
+    assert {(r["doc_id"], r["verdict"]) for r in m2.collect()} == {
+        (r["doc_id"], r["verdict"]) for r in manifest.collect()
+    }
+
+    # missing input: message + rc 1, reference's error contract
+    assert main(["curate", "--input", str(tmp_path / "nope"), "--output", out]) == 1
