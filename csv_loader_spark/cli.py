@@ -80,6 +80,12 @@ def build_curate_parser() -> argparse.ArgumentParser:
         help="blocklisted domain (repeatable, lowercase)",
     )
     p.add_argument(
+        "--corpus",
+        help="already-accepted documents parquet to dedup AGAINST (its "
+        "fingerprint/band indexes are built from it); omitted = "
+        "within-input dedup only",
+    )
+    p.add_argument(
         "--verify-members",
         action="store_true",
         help="Jaccard-verified near-dup rule (precision 1.0) instead of band membership",
@@ -101,6 +107,7 @@ def curate_main(argv: list[str]) -> int:
         args.input,
         args.output,
         blocklist=tuple(d.lower() for d in args.block),
+        corpus_path=args.corpus,
         verify_members=args.verify_members,
         quota_cap=args.quota_cap,
     )

@@ -126,6 +126,7 @@ def run_curate(
     output_path: str,
     *,
     blocklist: tuple[str, ...] = (),
+    corpus_path: str | None = None,
     verify_members: bool = False,
     quota_cap: int = 30,
     spark=None,
@@ -140,9 +141,15 @@ def run_curate(
 
     spark = spark or get_spark("curate")
     docs = spark.read.parquet(input_path).select("doc_id", "source", "text")
+    corpus = (
+        spark.read.parquet(corpus_path).select("doc_id", "text")
+        if corpus_path
+        else None
+    )
     kept, manifest = curate(
         docs,
         blocklist=blocklist,
+        corpus=corpus,
         verify_members=verify_members,
         quota_cap=quota_cap,
     )

@@ -123,3 +123,39 @@ def test_curate_subcommand_end_to_end(tmp_path, capsys):
 
     # missing input: message + rc 1, reference's error contract
     assert main(["curate", "--input", str(tmp_path / "nope"), "--output", out]) == 1
+
+
+def test_curate_against_corpus_snapshot(tmp_path, capsys):
+    """--corpus: arrivals that duplicate (exactly or nearly) an
+    already-accepted snapshot are rejected against its indexes."""
+    import json
+    import os as _os
+
+    from csv_loader_spark.cli import main
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    corpus_rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river "
+            "bank every sunny morning in spring"),
+    ]
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(corpus_rows, "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    arrivals = [
+        (10, "s", corpus_rows[0][1]),                       # exact vs corpus
+        (11, "s", corpus_rows[0][1].replace("spring", "autumn")),  # near
+        (12, "s", "a wholly novel text about join reordering"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        arrivals, "doc_id long, source string, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    rc = main(["curate", "--input", src, "--output", out, "--corpus", corpus_path])
+    assert rc == 0
+    verdicts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["verdicts"]
+    assert verdicts == {"exact_corpus": 1, "near_corpus": 1, "admitted": 1}
+    kept = spark.read.parquet(_os.path.join(out, "kept"))
+    assert [r["doc_id"] for r in kept.collect()] == [12]
