@@ -187,11 +187,27 @@ def seed_state(docs: DataFrame, store: str) -> None:
     )
 
 
+def _prune_state_snapshots(spark: SparkSession, store: str) -> int:
+    """Delete every state snapshot OLDER than the newest one (snapshots
+    are full, only the newest is ever read — curation.py's quota-prune
+    twin). This is the chain's essential janitor: each snapshot is
+    corpus-sized, so an unpruned K-batch run stores K copies of the
+    corpus. Local-FS janitor by design, like ``compact_index``."""
+    import shutil
+
+    path = os.path.join(store, "state")
+    ids = sorted(list_batch_partitions(spark, path))
+    for i in ids[:-1]:
+        shutil.rmtree(os.path.join(path, f"batch={i}"))
+    return max(0, len(ids) - 1)
+
+
 def start_changelog_pipeline(
     events: DataFrame,
     store: str,
     checkpoint_dir: str,
     *,
+    compact_every: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
     """Per micro-batch: fold the batch's version events over the newest
@@ -200,7 +216,14 @@ def start_changelog_pipeline(
     ``state/batch=<id>`` (both overwrite-idempotent), ledger last — the
     ingest_dedup crash discipline: a crash between the writes and the
     ledger record redelivers the batch, which re-reads its true
-    predecessor (``exclude_batch``) and rewrites identical files."""
+    predecessor (``exclude_batch``) and rewrites identical files.
+
+    ``compact_every=K`` prunes superseded state snapshots after every
+    K-th committed batch (the corpus-sized chain is the store that grows
+    fastest without it); changelog partitions are the pipeline's OUTPUT
+    history and are never pruned. Pruning runs after the ledger record,
+    so the newest committed snapshot — the one a redelivery would need —
+    always survives."""
     state_path = os.path.join(store, "state")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
@@ -217,6 +240,8 @@ def start_changelog_pipeline(
             os.path.join(state_path, f"batch={batch_id}")
         )
         _record_applied(state_path, batch_id)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            _prune_state_snapshots(spark, store)
 
     writer = (
         events.writeStream.foreachBatch(_fold)

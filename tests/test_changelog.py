@@ -275,3 +275,50 @@ def test_apply_version_events_matches_reference_model(spark):
         assert got_state == {
             doc_id: n for doc_id, (fp, n, src) in new_model.items()
         }, seed
+
+
+def test_changelog_prunes_state_chain_on_cadence(spark, tmp_path):
+    """compact_every=2: superseded corpus-sized state snapshots are
+    pruned mid-stream (batch 2's snapshot stands alone after the fold at
+    batch 1), the changelog history is untouched, and the final state is
+    identical to an unpruned run."""
+    store = str(tmp_path / "store")
+    src = tmp_path / "events"
+    src.mkdir()
+    seed_state(_corpus(spark), store)
+    _write_events(src / "e1.json", [(4, "s", "upsert", "delta doc", 0)])
+    _write_events(src / "e2.json", [(5, "s", "upsert", "epsilon doc", 0)])
+    _write_events(src / "e3.json", [(3, "t", "delete", None, 0)])
+    for i, name in enumerate(("e1.json", "e2.json", "e3.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        compact_every=2,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+    # prune fired at batch 1 (dropping seed + batch 0); batch 2 landed after
+    state_parts = sorted(
+        e
+        for e in os.listdir(os.path.join(store, "state"))
+        if e.startswith("batch=")
+    )
+    assert state_parts == ["batch=1", "batch=2"]
+    # changelog history intact: one partition per batch
+    assert (
+        len(
+            [
+                e
+                for e in os.listdir(os.path.join(store, "changelog"))
+                if e.startswith("batch=")
+            ]
+        )
+        == 3
+    )
+    assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
+        1, 2, 4, 5,
+    }
