@@ -188,18 +188,13 @@ def seed_state(docs: DataFrame, store: str) -> None:
 
 
 def _prune_state_snapshots(spark: SparkSession, store: str) -> int:
-    """Delete every state snapshot OLDER than the newest one (snapshots
-    are full, only the newest is ever read — curation.py's quota-prune
-    twin). This is the chain's essential janitor: each snapshot is
-    corpus-sized, so an unpruned K-batch run stores K copies of the
-    corpus. Local-FS janitor by design, like ``compact_index``."""
-    import shutil
+    """Keep only the newest state snapshot (full-snapshot chain rule —
+    ingest_dedup.prune_snapshot_chain). The chain's essential janitor:
+    each snapshot is corpus-sized, so an unpruned K-batch run stores K
+    copies of the corpus."""
+    from csv_loader_spark.streaming.ingest_dedup import prune_snapshot_chain
 
-    path = os.path.join(store, "state")
-    ids = sorted(list_batch_partitions(spark, path))
-    for i in ids[:-1]:
-        shutil.rmtree(os.path.join(path, f"batch={i}"))
-    return max(0, len(ids) - 1)
+    return prune_snapshot_chain(spark, os.path.join(store, "state"))
 
 
 def start_changelog_pipeline(

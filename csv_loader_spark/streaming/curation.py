@@ -100,17 +100,11 @@ def read_quota_snapshot(
 
 
 def _prune_quota_snapshots(spark: SparkSession, store: str) -> int:
-    """Delete every quota snapshot partition OLDER than the newest one
-    (each snapshot is full, so only the newest is ever read) — the quota
-    store's compaction twin, run on the same cadence. Local-FS janitor by
-    design, like ``compact_index``. Returns the number pruned."""
-    import shutil
+    """Keep only the newest quota snapshot (full-snapshot chain rule —
+    ingest_dedup.prune_snapshot_chain), run on the compaction cadence."""
+    from csv_loader_spark.streaming.ingest_dedup import prune_snapshot_chain
 
-    path = os.path.join(store, "quota")
-    ids = sorted(list_batch_partitions(spark, path))
-    for i in ids[:-1]:
-        shutil.rmtree(os.path.join(path, f"batch={i}"))
-    return max(0, len(ids) - 1)
+    return prune_snapshot_chain(spark, os.path.join(store, "quota"))
 
 
 def start_curation_pipeline(

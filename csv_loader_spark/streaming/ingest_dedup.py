@@ -359,6 +359,20 @@ def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
     return out
 
 
+def prune_snapshot_chain(spark: SparkSession, path: str) -> int:
+    """Delete every ``batch=<id>`` partition of a FULL-SNAPSHOT chain
+    except the newest (each snapshot is complete, so only the newest is
+    ever read — the curation quota chain and the changelog state chain
+    both follow this rule). Local-FS janitor by design, like
+    ``compact_index``. Returns the number pruned."""
+    import shutil
+
+    ids = sorted(list_batch_partitions(spark, path))
+    for i in ids[:-1]:
+        shutil.rmtree(os.path.join(path, f"batch={i}"))
+    return max(0, len(ids) - 1)
+
+
 def read_band_index(
     spark: SparkSession, band_index_path: str, *, exclude_batch: int | None = None
 ) -> DataFrame:
