@@ -88,7 +88,8 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--verify-members",
         action="store_true",
-        help="Jaccard-verified near-dup rule (precision 1.0) instead of band membership",
+        help="Jaccard-verified near-dup rule (precision 1.0) for the "
+        "corpus probe instead of band membership; requires --corpus",
     )
     p.add_argument("--quota-cap", type=int, default=30, help="max admitted docs per source")
     return p
@@ -101,6 +102,14 @@ def curate_main(argv: list[str]) -> int:
     if not os.path.exists(args.input):
         print(f"input not found: {args.input}", file=sys.stderr)
         return 1
+    if args.verify_members and not args.corpus:
+        print(
+            "--verify-members requires --corpus (without a snapshot the "
+            "verified rule has nothing to confirm against and the verdicts "
+            "would equal the membership tier's)",
+            file=sys.stderr,
+        )
+        return 2
     from csv_loader_spark.ops.curate import run_curate
 
     counts = run_curate(

@@ -33,6 +33,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def split_blocklisted(
+    docs: DataFrame, domains: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """(blocked, survivors) by q102's rule: the doc's domain is the first
+    URL host in its text, lowercased; membership in ``domains`` blocks.
+    Shared by the batch curate entry point and the streaming curation
+    loop (r10 review) so the domain-extraction rule cannot drift."""
+    from csv_loader_spark.queries.llm5 import _URL_RE
+
+    domain = F.lower(F.coalesce(F.regexp_extract("text", _URL_RE, 1), F.lit("")))
+    tagged = docs.withColumn("_dom", domain)
+    if not domains:
+        return tagged.limit(0).drop("_dom"), tagged.drop("_dom")
+    blocked = tagged.filter(F.col("_dom").isin(*domains)).drop("_dom")
+    survivors = tagged.filter(~F.col("_dom").isin(*domains)).drop("_dom")
+    return blocked, survivors
+
+
 def curate(
     docs: DataFrame,
     *,
@@ -48,11 +66,15 @@ def curate(
     already-accepted snapshot to dedup AGAINST (its fingerprint and band
     indexes are built here); omitted, dedup is within-input only.
     ``verify_members``: use the Jaccard-verified near rule (q145)
-    instead of bucket membership (q131). ``quota_cap``: max admitted
-    docs per source (q121's hash-stable selection).
+    instead of bucket membership (q131) for the CORPUS probe — it
+    requires ``corpus`` (with no snapshot there are no corpus buckets to
+    verify against, and the within-input near rule is the same
+    window-min in both tiers, so the flag would silently change
+    nothing; r10 review makes that a loud error instead).
+    ``quota_cap``: max admitted docs per source (q121's hash-stable
+    selection).
     """
     from csv_loader_spark.queries.llm2 import _hash16_spark_sql
-    from csv_loader_spark.queries.llm5 import _URL_RE
     from csv_loader_spark.queries.llm7 import (
         _QUOTA_SALT,
         _SPLIT_SALT,
@@ -67,14 +89,16 @@ def curate(
     )
 
     # stage 1: blocklist
-    domain = F.lower(F.coalesce(F.regexp_extract("text", _URL_RE, 1), F.lit("")))
-    tagged = docs.withColumn("_dom", domain)
-    if blocklist:
-        blocked = tagged.filter(F.col("_dom").isin(*blocklist)).drop("_dom")
-        survivors = tagged.filter(~F.col("_dom").isin(*blocklist)).drop("_dom")
-    else:
-        blocked = tagged.limit(0).drop("_dom")
-        survivors = tagged.drop("_dom")
+    blocked, survivors = split_blocklisted(docs, blocklist)
+
+    if verify_members and corpus is None:
+        raise ValueError(
+            "verify_members requires a corpus snapshot: the verified rule "
+            "confirms CORPUS-probe rejections against stored member "
+            "shingles, and without a corpus the verdicts would be "
+            "identical to the membership tier (the within-input near rule "
+            "is the same window-min in both)"
+        )
 
     # stage 2: dedup verdicts (against the snapshot when given, else
     # within-input via empty indexes — same precedence either way)

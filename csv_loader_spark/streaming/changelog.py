@@ -163,20 +163,17 @@ def apply_version_events(
 def read_state_snapshot(
     spark: SparkSession, store: str, *, exclude_batch: int | None = None
 ) -> DataFrame:
-    """The standing state = the newest committed full snapshot (the
-    curation quota chain's read rule, same ``exclude_batch`` crash-window
-    semantics)."""
-    path = os.path.join(store, "state")
-    ids = [
-        i
-        for i in list_batch_partitions(spark, path)
-        if exclude_batch is None or i != exclude_batch
-    ]
-    if ids:
-        return spark.read.parquet(os.path.join(path, f"batch={max(ids)}")).select(
-            "doc_id", "source", "fp", "n_tok"
-        )
-    return spark.createDataFrame([], _STATE_SCHEMA)
+    """The standing state = the newest committed full snapshot
+    (ingest_dedup.read_newest_snapshot — the shared chain read rule)."""
+    from csv_loader_spark.streaming.ingest_dedup import read_newest_snapshot
+
+    return read_newest_snapshot(
+        spark,
+        os.path.join(store, "state"),
+        ["doc_id", "source", "fp", "n_tok"],
+        _STATE_SCHEMA,
+        exclude_batch=exclude_batch,
+    )
 
 
 def seed_state(docs: DataFrame, store: str) -> None:

@@ -82,21 +82,19 @@ def _quota_hash_col() -> F.Column:
 def read_quota_snapshot(
     spark: SparkSession, store: str, *, exclude_batch: int | None = None
 ) -> DataFrame:
-    """The standing admitted set = the snapshot of the NEWEST committed
-    batch (each snapshot is full, not a delta). ``exclude_batch`` skips
-    the in-flight batch's own partition so a crash-after-write redelivery
-    re-reads its true predecessor."""
-    path = os.path.join(store, "quota")
-    ids = [
-        i
-        for i in list_batch_partitions(spark, path)
-        if exclude_batch is None or i != exclude_batch
-    ]
-    if ids:
-        return spark.read.parquet(
-            os.path.join(path, f"batch={max(ids)}")
-        ).select("source", "doc_id", "h")
-    return spark.createDataFrame([], _QUOTA_SNAPSHOT_SCHEMA)
+    """The standing admitted set = the newest committed full snapshot
+    (ingest_dedup.read_newest_snapshot — the shared chain read rule;
+    ``exclude_batch`` skips the in-flight batch's own partition so a
+    crash-after-write redelivery re-reads its true predecessor)."""
+    from csv_loader_spark.streaming.ingest_dedup import read_newest_snapshot
+
+    return read_newest_snapshot(
+        spark,
+        os.path.join(store, "quota"),
+        ["source", "doc_id", "h"],
+        _QUOTA_SNAPSHOT_SCHEMA,
+        exclude_batch=exclude_batch,
+    )
 
 
 def _prune_quota_snapshots(spark: SparkSession, store: str) -> int:
@@ -137,7 +135,8 @@ def start_curation_pipeline(
     tier: the band store holds member rows, near_corpus rejections are
     exact-Jaccard-confirmed (precision 1.0), and compaction re-caps the
     buckets."""
-    from csv_loader_spark.queries.llm5 import _BLOCKLIST, _URL_RE
+    from csv_loader_spark.ops.curate import split_blocklisted
+    from csv_loader_spark.queries.llm5 import _BLOCKLIST
 
     fp_path = os.path.join(store, "fp_index")
     band_path = os.path.join(store, "band_index")
@@ -146,13 +145,8 @@ def start_curation_pipeline(
         spark = batch_df.sparkSession
         if _already_applied(fp_path, batch_id):
             return
-        # stage 1: blocklist
-        domain = F.lower(
-            F.coalesce(F.regexp_extract("text", _URL_RE, 1), F.lit(""))
-        )
-        tagged = batch_df.withColumn("_dom", domain)
-        blocked = tagged.filter(F.col("_dom").isin(*_BLOCKLIST)).drop("_dom")
-        survivors = tagged.filter(~F.col("_dom").isin(*_BLOCKLIST)).drop("_dom")
+        # stage 1: blocklist (q102's rule, shared with batch curate)
+        blocked, survivors = split_blocklisted(batch_df, _BLOCKLIST)
 
         # stage 2: dedup probe against the grown indexes (membership by
         # default; verify_members swaps in the precision-1.0 tier and its

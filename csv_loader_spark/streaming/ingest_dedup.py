@@ -359,6 +359,32 @@ def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
     return out
 
 
+def read_newest_snapshot(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    empty_schema: T.StructType,
+    *,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The read half of the FULL-SNAPSHOT chain rule (prune half below):
+    take the newest committed ``batch=<id>`` partition — each snapshot is
+    complete, so only the newest is ever read — with the standard
+    ``exclude_batch`` crash-window semantics; a missing/empty chain reads
+    as the empty frame. Shared by the curation quota chain and the
+    changelog state chain (r10 review)."""
+    ids = [
+        i
+        for i in list_batch_partitions(spark, path)
+        if exclude_batch is None or i != exclude_batch
+    ]
+    if ids:
+        return spark.read.parquet(os.path.join(path, f"batch={max(ids)}")).select(
+            *columns
+        )
+    return spark.createDataFrame([], empty_schema)
+
+
 def prune_snapshot_chain(spark: SparkSession, path: str) -> int:
     """Delete every ``batch=<id>`` partition of a FULL-SNAPSHOT chain
     except the newest (each snapshot is complete, so only the newest is
@@ -765,7 +791,13 @@ def compact_member_index(
     The re-cap rewrite reuses the seed-swap discipline: write the capped
     seed to a tmp directory outside the store, rename the old seed
     aside, rename tmp in, drop the backup — every intermediate crash
-    state leaves a readable store (old or new seed, never half).
+    state leaves a recoverable store. Recovery runs FIRST, before the
+    fold and before any early return (r10 review): a crash between the
+    two renames leaves no seed and the full pre-crash seed in the
+    backup, so folding first would build a fresh seed missing that
+    history and the cleanup branch would then delete the backup — silent
+    loss of the member store. Restoring the backup up front makes every
+    crash state converge to the correct store on the next call.
     Returns the number of batch partitions folded."""
     import shutil
 
@@ -773,20 +805,30 @@ def compact_member_index(
 
     if cap is None:
         cap = _BAND_CAP
-    folded = compact_index(spark, path, ledger_path=ledger_path)
     base = path.rstrip("/")
     seed = os.path.join(base, "batch=-1")
-    if not os.path.isdir(seed):
-        return folded
     tmp = base + "._recap_tmp"
     backup = base + "._recap_backup"
+    recovered = False
     if os.path.exists(backup):  # recover an interrupted previous re-cap
-        if os.path.exists(seed):
+        if os.path.isdir(seed):
             shutil.rmtree(backup)
         else:
+            # the backup holds the UNCAPPED pre-recap seed — restore it
+            # and re-run the cap below even if nothing new folds
             os.rename(backup, seed)
+            recovered = True
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    folded = compact_index(spark, path, ledger_path=ledger_path)
+    if not os.path.isdir(seed):
+        return folded
+    if folded == 0 and not recovered:
+        # nothing folded and the previous re-cap's postcondition stands:
+        # skip the corpus-sized seed rewrite (re-cap is idempotent, so a
+        # quiet cadence tick must not re-read the largest store for a
+        # byte-equivalent result; r10 review)
+        return 0
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     capped = (
         spark.read.parquet(seed)

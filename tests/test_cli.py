@@ -159,3 +159,44 @@ def test_curate_against_corpus_snapshot(tmp_path, capsys):
     assert verdicts == {"exact_corpus": 1, "near_corpus": 1, "admitted": 1}
     kept = spark.read.parquet(_os.path.join(out, "kept"))
     assert [r["doc_id"] for r in kept.collect()] == [12]
+
+
+def test_curate_verify_members_requires_corpus(tmp_path, capsys):
+    """--verify-members without --corpus would be a silent no-op (the
+    verified rule has no snapshot to confirm against) — the CLI refuses
+    loudly; with --corpus it runs and still rejects the true near-dup."""
+    import json
+    import os as _os
+
+    from csv_loader_spark.cli import main
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    corpus_text = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "every sunny morning in spring"
+    )
+    corpus_path = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(0, corpus_text)], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (11, "s", corpus_text.replace("spring", "autumn")),  # true near dup
+            (12, "s", "a wholly novel text about join reordering"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    assert main(["curate", "--input", src, "--output", out, "--verify-members"]) == 2
+    assert "requires --corpus" in capsys.readouterr().err
+
+    rc = main(["curate", "--input", src, "--output", out,
+               "--corpus", corpus_path, "--verify-members"])
+    assert rc == 0
+    verdicts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["verdicts"]
+    assert verdicts == {"near_corpus": 1, "admitted": 1}
+    kept = spark.read.parquet(_os.path.join(out, "kept"))
+    assert [r["doc_id"] for r in kept.collect()] == [12]

@@ -927,3 +927,55 @@ def test_compact_member_index_recaps_buckets(spark, tmp_path):
     assert 99 in {
         r["doc_id"] for r in read_band_member_index(spark, path).collect()
     }
+
+
+def test_compact_member_index_recovers_mid_swap_crash(spark, tmp_path):
+    """r10 review: a crash BETWEEN the re-cap's two renames leaves no
+    seed and the pre-crash seed in the backup — the next call must
+    restore it BEFORE folding (folding first would rebuild a seed
+    without the backed-up history and then delete the backup). Also: a
+    quiet cadence tick (nothing folded, no recovery) must not rewrite
+    the seed."""
+    import shutil
+
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        compact_member_index,
+        read_band_member_index,
+    )
+    from csv_loader_spark.streaming.continuous_agg import _record_applied
+
+    path = str(tmp_path / "members")
+    docs = [(i, f"member doc number {i} with some words") for i in range(3)]
+    for i, row in enumerate(docs):
+        one = spark.createDataFrame([row], "doc_id long, text string")
+        band_member_index(one).write.mode("overwrite").parquet(
+            os.path.join(path, f"batch={i}")
+        )
+        _record_applied(path, i)
+    assert compact_member_index(spark, path, ledger_path=path, cap=2) == 3
+    before = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in read_band_member_index(spark, path).collect()
+    }
+
+    # simulate the mid-swap crash: seed renamed aside, stale tmp left over
+    seed = os.path.join(path, "batch=-1")
+    backup = path + "._recap_backup"
+    tmpdir = path + "._recap_tmp"
+    os.rename(seed, backup)
+    shutil.copytree(backup, tmpdir)
+    # next cadence call: nothing new to fold, but recovery must restore
+    # the seed and re-run the cap — not lose the store
+    assert compact_member_index(spark, path, ledger_path=path, cap=2) == 0
+    assert not os.path.exists(backup) and not os.path.exists(tmpdir)
+    after = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in read_band_member_index(spark, path).collect()
+    }
+    assert after == before
+
+    # quiet tick: no fold, no recovery -> the seed files are untouched
+    files_before = sorted(os.listdir(seed))
+    assert compact_member_index(spark, path, ledger_path=path, cap=2) == 0
+    assert sorted(os.listdir(seed)) == files_before

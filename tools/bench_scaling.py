@@ -450,9 +450,14 @@ def main() -> None:
     counts ~1.2G pairs) — the driver-recorded SCALING.json merges both."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args = set(sys.argv[1:])
-    only_flags = {"--dedup-only", "--prefix-only", "--cluster-only"}
-    do_rel = not (only_flags & args)
-    do_dedup = not (({"--relational-only"} | only_flags - {"--dedup-only"}) & args)
+    # each --X-only flag selects its section; passing any section flag
+    # suppresses the sections not selected (no flags = rel + dedup)
+    section_flags = {
+        "--relational-only", "--dedup-only", "--prefix-only", "--cluster-only"
+    }
+    chosen = section_flags & args
+    do_rel = not chosen or "--relational-only" in chosen
+    do_dedup = not chosen or "--dedup-only" in chosen
     do_prefix = "--prefix-only" in args
     do_cluster = "--cluster-only" in args
     results = {}
