@@ -1,5 +1,5 @@
 """Incremental release changelog: q135's snapshot diff as a CLOSED-LOOP
-streaming operator (r10, the q104/q131 pattern applied once more).
+streaming operator (r10; r11 made the state store INCREMENTAL).
 
 q135 diffs two complete corpus snapshots with one full-outer fingerprint
 join. A release pipeline rarely has two complete snapshots side by side —
@@ -8,25 +8,47 @@ crawler or an upstream CDC feed) and wants, per micro-batch, the
 added/changed/removed/unchanged roll-up against the corpus's standing
 state, plus that state kept current for the next batch.
 
-Store layout (ingest_dedup.py's crash-window discipline throughout):
+Store layout (default, ``state_mode="bucketed"`` — r11):
 
-    store/state/batch=<id>      the FULL post-batch standing state
-                                (doc_id, source, fp, n_tok) — the
-                                quota-snapshot chain pattern: each
-                                snapshot is complete, readers take the
-                                newest committed one (+ ledger)
-    store/changelog/batch=<id>  the batch's (source, verdict, n_docs,
-                                tok_delta) roll-up
+    store/state/bucket=NN/batch=<id>   the post-batch content of ONE
+                                       hash bucket of the standing state
+                                       (doc_id, source, fp, n_tok);
+                                       bucket = pmod(xxhash64(doc_id), B)
+    store/changelog/batch=<id>         the batch's (source, verdict,
+                                       n_docs, tok_delta) roll-up
+    store/state_snapshots/batch=<id>   optional full-state snapshots on a
+                                       ``snapshot_every=K`` cadence
+                                       (time travel / external readers)
 
-The full-state-per-batch chain is the single-FS stand-in for a keyed
-transactional table (Delta/Iceberg MERGE or a state-store backend would
-hold the same (doc_id, fp, n_tok) rows); it is bounded by the corpus's
-live document count with four narrow columns, and `_prune`-style cleanup
-rides the same cadence story as curation.py's quota chain. The
-TRANSFORMATION (``apply_version_events``) is mode-agnostic, so the exact
-same function serves the oracle-gated batch twin (q147, queries/llm8.py)
-and the foreachBatch loop — tests/test_changelog.py asserts the
-streaming fold lands exactly the batch answer and replays idempotently.
+The r10 store wrote the FULL corpus-sized state once per micro-batch (the
+quota-snapshot chain pattern) — honest but O(corpus) of write per batch,
+the repo's one remaining weak-at-100-TB shape. The bucketed store applies
+continuous_agg.py's dynamic-partition-overwrite idea to keyed state: a
+batch reads and rewrites ONLY the hash buckets its doc_ids land in, so
+per-batch I/O is O(batch/B × corpus) ≈ O(touched buckets), not O(corpus).
+At 10^10 docs and B=4096, a 10k-doc batch touches ≤ 10k buckets' worth of
+narrow 4-column rows — each bucket 1/4096th of the state — instead of
+rewriting the whole index. Each touched bucket gets a NEW ``batch=<id>``
+leaf (a per-bucket snapshot chain, newest-committed-wins), which keeps
+the crash-window discipline intact: a redelivered batch re-reads each
+touched bucket's true predecessor (``exclude_batch``) and rewrites
+identical files. A bucket whose post-batch content is empty still writes
+its leaf via a null-doc_id marker row (dynamic partition overwrite emits
+nothing for empty partitions; readers filter the marker), so deletes
+cannot resurrect. Superseded per-bucket leaves are pruned on the
+``compact_every`` cadence, same janitor story as the band/fp index
+stores.
+
+``state_mode="snapshot"`` keeps the r10 full-snapshot chain (each
+``state/batch=<id>`` is the complete state) for consumers that want
+every historical version addressable; in bucketed mode the same need is
+served by ``snapshot_every=K``.
+
+The TRANSFORMATION (``apply_version_events``) is mode-agnostic, so the
+exact same function serves the oracle-gated batch twin (q147,
+queries/llm8.py) and the foreachBatch loop — tests/test_changelog.py
+asserts the streaming fold lands exactly the batch answer, replays
+idempotently, and (r11) that a 1-doc batch rewrites only its own bucket.
 """
 
 from __future__ import annotations
@@ -43,7 +65,11 @@ from csv_loader_spark.streaming.continuous_agg import (
     _already_applied,
     _record_applied,
 )
-from csv_loader_spark.streaming.ingest_dedup import list_batch_partitions
+from csv_loader_spark.streaming.ingest_dedup import (
+    list_batch_partitions,
+    prune_snapshot_chain,
+    read_newest_snapshot,
+)
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -53,6 +79,23 @@ _STATE_SCHEMA = T.StructType(
         T.StructField("n_tok", T.IntegerType(), True),
     ]
 )
+_STATE_COLS = ["doc_id", "source", "fp", "n_tok"]
+
+#: default bucket count for the incremental state store. Tests use small
+#: values; a 10^10-doc corpus would size this so one bucket's rows fit an
+#: executor comfortably (e.g. 4096).
+DEFAULT_BUCKETS = 64
+
+
+def _bucket_expr(n_buckets: int):
+    """Stable doc_id → bucket assignment. xxhash64 is seed-stable across
+    Spark versions/sessions (unlike Python hash), so a doc always lands
+    in the same bucket for the life of the store; the cast pins the hash
+    input type (xxhash64 of int 4 != xxhash64 of long 4), so an
+    int-typed corpus seed and long-typed events still agree."""
+    return F.pmod(
+        F.xxhash64(F.col("doc_id").cast("long")), F.lit(n_buckets)
+    ).cast("int")
 
 
 def snapshot_state(docs: DataFrame) -> DataFrame:
@@ -95,7 +138,9 @@ def apply_version_events(
     one anti-join + union for the state update — all id-table shapes;
     document text is fingerprinted once per event and never rides a
     shuffle. The state side is the big relation, so at 10^10 docs the
-    join hashes the (small) event side per batch.
+    join hashes the (small) event side per batch — and in the bucketed
+    loop ``state`` is already restricted to the touched buckets, so the
+    big side is O(batch/B × corpus), not the corpus.
     """
     cols = ["doc_id", "source", "op", "text"]
     seq = F.col("seq") if "seq" in events.columns else F.lit(0)
@@ -160,38 +205,162 @@ def apply_version_events(
     return changelog, new_state
 
 
+# --------------------------------------------------------------------------
+# Bucketed state store (default): per-bucket snapshot chains, dynamic
+# partition overwrite of ONLY the buckets a batch touches.
+# --------------------------------------------------------------------------
+
+
+def _list_buckets(spark: SparkSession, state_path: str) -> list[int]:
+    """``bucket=NN`` children of the state root, via the Hadoop FS API
+    (scheme-aware like list_batch_partitions)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out: list[int] = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("bucket="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
+def _is_bucketed(spark: SparkSession, state_path: str) -> bool:
+    return bool(_list_buckets(spark, state_path))
+
+
+def read_bucketed_state(
+    spark: SparkSession,
+    state_path: str,
+    *,
+    buckets: list[int] | None = None,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The standing state of the given buckets (all buckets when None):
+    per bucket, the newest committed ``batch=<id>`` leaf wins — the
+    full-snapshot chain rule applied per bucket. One LIST per requested
+    bucket, then ONE parquet read over the selected leaf directories;
+    marker rows (null doc_id, written so empty buckets still supersede
+    their predecessors) are filtered here."""
+    if buckets is None:
+        buckets = _list_buckets(spark, state_path)
+    dirs: list[str] = []
+    for b in buckets:
+        bdir = os.path.join(state_path, f"bucket={b}")
+        ids = [
+            i
+            for i in list_batch_partitions(spark, bdir)
+            if exclude_batch is None or i != exclude_batch
+        ]
+        if ids:
+            dirs.append(os.path.join(bdir, f"batch={max(ids)}"))
+    if not dirs:
+        return spark.createDataFrame([], _STATE_SCHEMA)
+    return (
+        spark.read.option("basePath", state_path)
+        .parquet(*dirs)
+        .filter(F.col("doc_id").isNotNull())
+        .select(*_STATE_COLS)
+    )
+
+
+def _write_bucketed_state(
+    new_state: DataFrame,
+    state_path: str,
+    batch_id: int,
+    touched: list[int],
+    n_buckets: int,
+) -> None:
+    """Land the post-batch content of the touched buckets as
+    ``bucket=NN/batch=<id>`` leaves in ONE dynamic-partition-overwrite
+    write. ``new_state`` must already be restricted to the touched
+    buckets (it is: the fold's state input was). A marker row per
+    touched bucket guarantees every touched bucket writes its leaf even
+    when its post-batch content is empty (all docs deleted) — without
+    it the bucket's previous snapshot would stay newest and resurrect
+    the deleted docs."""
+    spark = new_state.sparkSession
+    markers = spark.createDataFrame(
+        [(None, None, None, None, b) for b in touched],
+        T.StructType(
+            _STATE_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), True)]
+        ),
+    )
+    out = (
+        new_state.withColumn("bucket", _bucket_expr(n_buckets))
+        .unionByName(markers)
+        .withColumn("batch", F.lit(batch_id))
+    )
+    # caller contract: new_state is already materialized (localCheckpoint)
+    # so this plan does NOT read the state_path leaves it is about to
+    # overwrite (continuous_agg.py's race note)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out.write.mode("overwrite").partitionBy("bucket", "batch").parquet(state_path)
+
+
+def _prune_bucketed_state(spark: SparkSession, state_path: str) -> int:
+    """Per-bucket chain prune: keep each bucket's newest leaf only."""
+    return sum(
+        prune_snapshot_chain(spark, os.path.join(state_path, f"bucket={b}"))
+        for b in _list_buckets(spark, state_path)
+    )
+
+
+# --------------------------------------------------------------------------
+# Mode-dispatching store API.
+# --------------------------------------------------------------------------
+
+
 def read_state_snapshot(
     spark: SparkSession, store: str, *, exclude_batch: int | None = None
 ) -> DataFrame:
-    """The standing state = the newest committed full snapshot
-    (ingest_dedup.read_newest_snapshot — the shared chain read rule)."""
-    from csv_loader_spark.streaming.ingest_dedup import read_newest_snapshot
-
+    """The standing state, whichever layout the store uses: per-bucket
+    newest-committed leaves (bucketed, default) or the newest full
+    snapshot (legacy chain)."""
+    state_path = os.path.join(store, "state")
+    if _is_bucketed(spark, state_path):
+        return read_bucketed_state(spark, state_path, exclude_batch=exclude_batch)
     return read_newest_snapshot(
-        spark,
-        os.path.join(store, "state"),
-        ["doc_id", "source", "fp", "n_tok"],
-        _STATE_SCHEMA,
-        exclude_batch=exclude_batch,
+        spark, state_path, _STATE_COLS, _STATE_SCHEMA, exclude_batch=exclude_batch
     )
 
 
-def seed_state(docs: DataFrame, store: str) -> None:
-    """Bootstrap the state chain from an existing corpus snapshot
-    (``batch=-1``, the seed convention)."""
-    snapshot_state(docs).write.mode("overwrite").parquet(
-        os.path.join(store, "state", "batch=-1")
+def seed_state(
+    docs: DataFrame,
+    store: str,
+    *,
+    state_mode: str = "bucketed",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Bootstrap the state store from an existing corpus snapshot
+    (``batch=-1``, the seed convention — per bucket in bucketed mode)."""
+    state_path = os.path.join(store, "state")
+    snap = snapshot_state(docs)
+    if state_mode == "snapshot":
+        snap.write.mode("overwrite").parquet(os.path.join(state_path, "batch=-1"))
+        return
+    out = snap.withColumn("bucket", _bucket_expr(n_buckets)).withColumn(
+        "batch", F.lit(-1)
     )
+    out.sparkSession.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    out.write.mode("overwrite").partitionBy("bucket", "batch").parquet(state_path)
 
 
 def _prune_state_snapshots(spark: SparkSession, store: str) -> int:
-    """Keep only the newest state snapshot (full-snapshot chain rule —
-    ingest_dedup.prune_snapshot_chain). The chain's essential janitor:
-    each snapshot is corpus-sized, so an unpruned K-batch run stores K
-    copies of the corpus."""
-    from csv_loader_spark.streaming.ingest_dedup import prune_snapshot_chain
-
-    return prune_snapshot_chain(spark, os.path.join(store, "state"))
+    """Chain janitor, both layouts: superseded full snapshots (legacy) or
+    superseded per-bucket leaves (bucketed). Corpus-sized (legacy) or
+    bucket-sized (bucketed) garbage otherwise accumulates per batch."""
+    state_path = os.path.join(store, "state")
+    if _is_bucketed(spark, state_path):
+        return _prune_bucketed_state(spark, state_path)
+    return prune_snapshot_chain(spark, state_path)
 
 
 def start_changelog_pipeline(
@@ -199,38 +368,82 @@ def start_changelog_pipeline(
     store: str,
     checkpoint_dir: str,
     *,
+    state_mode: str = "bucketed",
+    n_buckets: int = DEFAULT_BUCKETS,
+    snapshot_every: int | None = None,
     compact_every: int | None = None,
     available_now: bool = False,
 ) -> StreamingQuery:
-    """Per micro-batch: fold the batch's version events over the newest
-    committed state snapshot, land the batch changelog under
-    ``changelog/batch=<id>`` and the full new state under
-    ``state/batch=<id>`` (both overwrite-idempotent), ledger last — the
-    ingest_dedup crash discipline: a crash between the writes and the
-    ledger record redelivers the batch, which re-reads its true
-    predecessor (``exclude_batch``) and rewrites identical files.
+    """Per micro-batch: fold the batch's version events over the standing
+    state, land the batch changelog under ``changelog/batch=<id>`` and
+    the state update, ledger last — the ingest_dedup crash discipline: a
+    crash between the writes and the ledger record redelivers the batch,
+    which re-reads its true predecessor (``exclude_batch``) and rewrites
+    identical files.
 
-    ``compact_every=K`` prunes superseded state snapshots after every
-    K-th committed batch (the corpus-sized chain is the store that grows
-    fastest without it); changelog partitions are the pipeline's OUTPUT
-    history and are never pruned. Pruning runs after the ledger record,
-    so the newest committed snapshot — the one a redelivery would need —
-    always survives."""
+    ``state_mode="bucketed"`` (default): the batch reads ONLY the hash
+    buckets its doc_ids touch and overwrites only those buckets'
+    ``batch=<id>`` leaves (dynamic partition overwrite) — per-batch
+    state I/O is O(touched buckets), not O(corpus). The touched-bucket
+    list is one tiny distinct over the batch's ids (≤ ``n_buckets``
+    values, collected driver-side like continuous_agg's day list).
+    ``snapshot_every=K`` additionally lands a complete state copy under
+    ``state_snapshots/batch=<id>`` every K-th committed batch (time
+    travel / external full-scan readers).
+
+    ``state_mode="snapshot"`` keeps the r10 full-snapshot chain: every
+    batch writes the complete state to ``state/batch=<id>``.
+
+    ``compact_every=K`` prunes superseded state (full snapshots or
+    per-bucket leaves) after every K-th committed batch; changelog
+    partitions are the pipeline's OUTPUT history and are never pruned.
+    Pruning runs after the ledger record, so the newest committed
+    snapshot — the one a redelivery would need — always survives."""
     state_path = os.path.join(store, "state")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if _already_applied(state_path, batch_id):
             return
-        prev = read_state_snapshot(spark, store, exclude_batch=batch_id)
-        changelog, new_state = apply_version_events(prev, batch_df)
-        new_state = new_state.localCheckpoint(eager=True)
-        changelog.write.mode("overwrite").parquet(
-            os.path.join(store, "changelog", f"batch={batch_id}")
-        )
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"batch={batch_id}")
-        )
+        if state_mode == "bucketed":
+            touched = sorted(
+                r[0]
+                for r in batch_df.select(
+                    _bucket_expr(n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                _record_applied(state_path, batch_id)
+                return
+            prev = read_bucketed_state(
+                spark, state_path, buckets=touched, exclude_batch=batch_id
+            )
+            changelog, new_state = apply_version_events(prev, batch_df)
+            new_state = new_state.localCheckpoint(eager=True)
+            changelog.write.mode("overwrite").parquet(
+                os.path.join(store, "changelog", f"batch={batch_id}")
+            )
+            _write_bucketed_state(
+                new_state, state_path, batch_id, touched, n_buckets
+            )
+            if snapshot_every is not None and (batch_id + 1) % snapshot_every == 0:
+                read_bucketed_state(spark, state_path).write.mode(
+                    "overwrite"
+                ).parquet(
+                    os.path.join(store, "state_snapshots", f"batch={batch_id}")
+                )
+        else:
+            prev = read_state_snapshot(spark, store, exclude_batch=batch_id)
+            changelog, new_state = apply_version_events(prev, batch_df)
+            new_state = new_state.localCheckpoint(eager=True)
+            changelog.write.mode("overwrite").parquet(
+                os.path.join(store, "changelog", f"batch={batch_id}")
+            )
+            new_state.write.mode("overwrite").parquet(
+                os.path.join(state_path, f"batch={batch_id}")
+            )
         _record_applied(state_path, batch_id)
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             _prune_state_snapshots(spark, store)

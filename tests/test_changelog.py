@@ -278,14 +278,14 @@ def test_apply_version_events_matches_reference_model(spark):
 
 
 def test_changelog_prunes_state_chain_on_cadence(spark, tmp_path):
-    """compact_every=2: superseded corpus-sized state snapshots are
-    pruned mid-stream (batch 2's snapshot stands alone after the fold at
-    batch 1), the changelog history is untouched, and the final state is
-    identical to an unpruned run."""
+    """Legacy snapshot mode, compact_every=2: superseded corpus-sized
+    state snapshots are pruned mid-stream (batch 2's snapshot stands
+    alone after the fold at batch 1), the changelog history is
+    untouched, and the final state is identical to an unpruned run."""
     store = str(tmp_path / "store")
     src = tmp_path / "events"
     src.mkdir()
-    seed_state(_corpus(spark), store)
+    seed_state(_corpus(spark), store, state_mode="snapshot")
     _write_events(src / "e1.json", [(4, "s", "upsert", "delta doc", 0)])
     _write_events(src / "e2.json", [(5, "s", "upsert", "epsilon doc", 0)])
     _write_events(src / "e3.json", [(3, "t", "delete", None, 0)])
@@ -297,6 +297,7 @@ def test_changelog_prunes_state_chain_on_cadence(spark, tmp_path):
         .json(str(src)),
         store,
         str(tmp_path / "ck"),
+        state_mode="snapshot",
         compact_every=2,
         available_now=True,
     )
@@ -321,4 +322,120 @@ def test_changelog_prunes_state_chain_on_cadence(spark, tmp_path):
     )
     assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
         1, 2, 4, 5,
+    }
+
+
+def _bucket_of(spark, doc_id, n_buckets):
+    """The operator's own bucket assignment for one doc_id."""
+    return spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(doc_id).cast("long")), F.lit(n_buckets))
+        .cast("int")
+        .alias("b")
+    ).collect()[0]["b"]
+
+
+def test_bucketed_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """The r11 incremental store: a 1-doc batch writes a batch=0 leaf
+    ONLY under that doc's hash bucket — every other bucket's chain still
+    ends at the seed. This is the O(touched buckets), not O(corpus),
+    write-cost claim, asserted on the store layout itself."""
+    store = str(tmp_path / "store")
+    state = os.path.join(store, "state")
+    src = tmp_path / "events"
+    src.mkdir()
+    n_buckets = 8
+    seed_state(_corpus(spark), store, n_buckets=n_buckets)
+    _write_events(
+        src / "e1.json",
+        [(4, "s", "upsert", "delta document freshly crawled now", 0)],
+    )
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA).json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        n_buckets=n_buckets,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    touched = _bucket_of(spark, 4, n_buckets)
+    for entry in sorted(os.listdir(state)):
+        if not entry.startswith("bucket="):
+            continue
+        b = int(entry.split("=")[1])
+        leaves = sorted(os.listdir(os.path.join(state, entry)))
+        if b == touched:
+            assert "batch=0" in leaves, leaves
+        else:
+            assert leaves == ["batch=-1"], (b, leaves)
+    assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
+        1, 2, 3, 4,
+    }
+
+
+def test_bucketed_delete_to_empty_bucket_does_not_resurrect(spark, tmp_path):
+    """Marker-row semantics: deleting the only doc in a bucket must
+    still write the bucket's batch leaf (dynamic partition overwrite
+    emits nothing for empty partitions), or the seed snapshot would stay
+    newest and the doc would resurrect on the next read."""
+    store = str(tmp_path / "store")
+    src = tmp_path / "events"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(1, "s", "only document in the corpus")],
+        "doc_id long, source string, text string",
+    )
+    seed_state(docs, store, n_buckets=4)
+    _write_events(src / "e1.json", [(1, "s", "delete", None, 0)])
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA).json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        n_buckets=4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert read_state_snapshot(spark, store).count() == 0
+    log = spark.read.parquet(os.path.join(store, "changelog")).collect()
+    assert [(r["verdict"], r["n_docs"]) for r in log] == [("removed", 1)]
+
+
+def test_bucketed_compact_and_snapshot_every(spark, tmp_path):
+    """compact_every prunes superseded per-bucket leaves (each bucket's
+    chain ends at its newest committed leaf only) and snapshot_every
+    lands a complete time-travel snapshot whose content equals the
+    bucketed standing state at that batch."""
+    store = str(tmp_path / "store")
+    state = os.path.join(store, "state")
+    src = tmp_path / "events"
+    src.mkdir()
+    seed_state(_corpus(spark), store, n_buckets=4)
+    _write_events(src / "e1.json", [(4, "s", "upsert", "delta doc", 0)])
+    _write_events(src / "e2.json", [(5, "s", "upsert", "epsilon doc", 0)])
+    for i, name in enumerate(("e1.json", "e2.json")):
+        os.utime(src / name, (1_700_000_000 + i, 1_700_000_000 + i))
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        n_buckets=4,
+        compact_every=2,
+        snapshot_every=2,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+    # every bucket chain pruned to a single (newest) leaf
+    for entry in os.listdir(state):
+        if entry.startswith("bucket="):
+            leaves = os.listdir(os.path.join(state, entry))
+            assert len([e for e in leaves if e.startswith("batch=")]) == 1, (
+                entry, leaves,
+            )
+    # the time-travel snapshot landed at the cadence batch and matches
+    # the standing state read (batches 0 and 1 both applied by then)
+    snap = spark.read.parquet(os.path.join(store, "state_snapshots", "batch=1"))
+    assert {r["doc_id"] for r in snap.collect()} == {1, 2, 3, 4, 5}
+    assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
+        1, 2, 3, 4, 5,
     }
