@@ -94,12 +94,44 @@ R10_OPS = (
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS
 
 
+#: a 1-min load average above this at bench start means some other work is
+#: stealing the cores the measurement bills to Spark — the artifact is
+#: host-noise, not signal (r10 verdict: a load-4.3 run recorded q121 at 3.3x
+#: its idle cost two rounds running).
+IDLE_LOAD_THRESHOLD = 1.0
+
+
+def _wait_for_idle(max_wait_s: float) -> float:
+    """Block (bounded) until the 1-min load average drops under
+    IDLE_LOAD_THRESHOLD, so the committed artifact IS the idle run rather
+    than merely recording that it wasn't. Returns the load at go-time;
+    if the host never goes idle inside the budget the run proceeds and
+    the JSON is stamped ``"canonical": false``."""
+    waited = 0.0
+    load = os.getloadavg()[0]
+    while load > IDLE_LOAD_THRESHOLD and waited < max_wait_s:
+        print(
+            f"# host busy (load {load:.2f}) — waiting for idle "
+            f"({waited:.0f}/{max_wait_s:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = -1.0
+    # idle gate BEFORE the JVM spawns (its startup threads inflate the
+    # 1-min average); budget overridable for quick smoke runs
+    load_at_start = _wait_for_idle(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+    )
     spark = get_spark("bench")
     specs = all_specs()
 
@@ -113,7 +145,7 @@ def main() -> None:
     # (BENCH_r05's 1.55 s vs 0.75 s judge runs, adjudicated r6: JIT depth,
     # not plan instability). DuckDB's prime reaches steady state in one run;
     # two primes is the JVM equivalent, not a benchmark asymmetry.
-    load_avg_start = os.getloadavg()[0]
+    load_avg_start = load_at_start
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
@@ -146,7 +178,11 @@ def main() -> None:
                 "sf": sf,
                 # host-noise provenance (r9 verdict): the committed
                 # artifact must be re-creatable — a 1-min load average
-                # near 0 at start certifies an idle-host run
+                # near 0 at start certifies an idle-host run. r11: the
+                # harness now WAITS for idle (bounded) before measuring,
+                # and stamps the verdict so round-over-round tooling can
+                # discard non-canonical artifacts instead of chasing noise
+                "canonical": load_avg_start <= IDLE_LOAD_THRESHOLD,
                 "load_avg_start": round(load_avg_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "warmup_runs": 2,
