@@ -53,6 +53,7 @@ idempotently, and (r11) that a 1-doc batch rewrites only its own bucket.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -85,6 +86,90 @@ _STATE_COLS = ["doc_id", "source", "fp", "n_tok"]
 #: values; a 10^10-doc corpus would size this so one bucket's rows fit an
 #: executor comfortably (e.g. 4096).
 DEFAULT_BUCKETS = 64
+
+#: store metadata file, written at seed/first-write time. ``state_mode``
+#: and ``n_buckets`` are DURABLE layout properties of a store, not
+#: per-call knobs: resuming a snapshot-layout store with
+#: ``state_mode="bucketed"`` would read empty bucket state (every upsert
+#: misclassified 'added', deletes dropped), and re-running a bucketed
+#: store with a different ``n_buckets`` hashes doc_ids to different
+#: buckets, so prior versions are never found nor superseded (r11 advice,
+#: both mediums). The leading underscore makes parquet readers of the
+#: state directory skip the file (Hadoop hidden-file convention).
+_META_FILE = "_store_meta.json"
+
+
+def _meta_path(state_path: str) -> str:
+    return os.path.join(state_path, _META_FILE)
+
+
+def read_store_meta(state_path: str) -> dict | None:
+    """The store's persisted layout metadata, or None for a store created
+    before r12 (layout is then detected from the directory shape)."""
+    p = _meta_path(state_path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_store_meta(state_path: str, state_mode: str, n_buckets: int) -> None:
+    os.makedirs(state_path, exist_ok=True)
+    meta = {"state_mode": state_mode}
+    if state_mode == "bucketed":
+        meta["n_buckets"] = n_buckets
+    with open(_meta_path(state_path), "w") as f:
+        json.dump(meta, f)
+
+
+def _detect_layout(spark: SparkSession, state_path: str) -> str | None:
+    """The layout actually on disk: 'bucketed' (bucket=NN children),
+    'snapshot' (batch=<id> children directly under state/), or None for
+    a store with no state written yet."""
+    if _is_bucketed(spark, state_path):
+        return "bucketed"
+    if list_batch_partitions(spark, state_path):
+        return "snapshot"
+    return None
+
+
+def resolve_store_config(
+    spark: SparkSession, state_path: str, state_mode: str, n_buckets: int
+) -> None:
+    """Fail fast when the caller's (state_mode, n_buckets) disagree with
+    the store's durable layout. Precedence: the metadata file if present;
+    else the on-disk directory shape (legacy pre-r12 stores); a fresh
+    store adopts the caller's parameters and persists them. Called from
+    seed_state and from every _fold (one tiny local file read)."""
+    meta = read_store_meta(state_path)
+    if meta is None:
+        layout = _detect_layout(spark, state_path)
+        if layout is not None and layout != state_mode:
+            raise ValueError(
+                f"changelog store at {state_path} has on-disk layout "
+                f"'{layout}' but was opened with state_mode='{state_mode}'; "
+                "resuming with the wrong mode would silently read empty "
+                "state (pass the mode the store was created with)"
+            )
+        # adopt: fresh store, or legacy store whose layout matches.
+        # A legacy bucketed store's n_buckets cannot be recovered from
+        # the directory shape alone (buckets may be sparsely touched),
+        # so the caller's value is trusted ONCE here and pinned.
+        _write_store_meta(state_path, state_mode, n_buckets)
+        return
+    if meta.get("state_mode") != state_mode:
+        raise ValueError(
+            f"changelog store at {state_path} was created with "
+            f"state_mode='{meta.get('state_mode')}' but opened with "
+            f"state_mode='{state_mode}'"
+        )
+    if state_mode == "bucketed" and meta.get("n_buckets") != n_buckets:
+        raise ValueError(
+            f"changelog store at {state_path} was created with "
+            f"n_buckets={meta.get('n_buckets')} but opened with "
+            f"n_buckets={n_buckets}; doc_ids would hash to different "
+            "buckets and prior versions would never be found or superseded"
+        )
 
 
 def _bucket_expr(n_buckets: int):
@@ -143,6 +228,12 @@ def apply_version_events(
     big side is O(batch/B × corpus), not the corpus.
     """
     cols = ["doc_id", "source", "op", "text"]
+    # a null doc_id has no identity to fold over (and xxhash64(null)
+    # would still assign it a bucket, where it would collide with the
+    # store's null-doc_id marker rows and be silently dropped on read) —
+    # reject it here so markers stay the ONLY null-doc_id rows in the
+    # store by construction (r11 advice)
+    events = events.filter(F.col("doc_id").isNotNull())
     seq = F.col("seq") if "seq" in events.columns else F.lit(0)
     w = Window.partitionBy("doc_id").orderBy(
         seq.desc(), F.col("op"), F.col("text")
@@ -234,6 +325,37 @@ def _is_bucketed(spark: SparkSession, state_path: str) -> bool:
     return bool(_list_buckets(spark, state_path))
 
 
+def _list_bucket_leaves(
+    spark: SparkSession, state_path: str
+) -> dict[int, list[int]]:
+    """Every bucket's batch ids in ONE ``globStatus(bucket=*/batch=*)``
+    round trip — the all-buckets read path (snapshot_every full-state
+    copies, read_state_snapshot) must not pay one LIST per bucket: at
+    the documented B=4096 on an object store that is 4096 serial RPCs
+    per snapshot (r11 advice). Touched-bucket reads keep the per-bucket
+    listing (a handful of buckets, and globStatus over the whole store
+    would be the slower call there)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(state_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {}
+    out: dict[int, list[int]] = {}
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(state_path, "bucket=*", "batch=*")
+    )
+    for st in fs.globStatus(pattern) or []:
+        leaf = st.getPath()
+        bname, lname = leaf.getParent().getName(), leaf.getName()
+        try:
+            b = int(bname.split("=", 1)[1])
+            i = int(lname.split("=", 1)[1])
+        except ValueError:
+            continue
+        out.setdefault(b, []).append(i)
+    return out
+
+
 def read_bucketed_state(
     spark: SparkSession,
     state_path: str,
@@ -246,19 +368,26 @@ def read_bucketed_state(
     full-snapshot chain rule applied per bucket. One LIST per requested
     bucket, then ONE parquet read over the selected leaf directories;
     marker rows (null doc_id, written so empty buckets still supersede
-    their predecessors) are filtered here."""
+    their predecessors) are filtered here. The all-buckets path resolves
+    every chain from ONE recursive globStatus listing instead of one
+    LIST per bucket (r11 advice: B=4096 serial round trips per
+    full-state read on an object store)."""
     if buckets is None:
-        buckets = _list_buckets(spark, state_path)
+        leaves = _list_bucket_leaves(spark, state_path)
+    else:
+        leaves = {
+            b: list_batch_partitions(
+                spark, os.path.join(state_path, f"bucket={b}")
+            )
+            for b in buckets
+        }
     dirs: list[str] = []
-    for b in buckets:
-        bdir = os.path.join(state_path, f"bucket={b}")
-        ids = [
-            i
-            for i in list_batch_partitions(spark, bdir)
-            if exclude_batch is None or i != exclude_batch
-        ]
+    for b, all_ids in leaves.items():
+        ids = [i for i in all_ids if exclude_batch is None or i != exclude_batch]
         if ids:
-            dirs.append(os.path.join(bdir, f"batch={max(ids)}"))
+            dirs.append(
+                os.path.join(state_path, f"bucket={b}", f"batch={max(ids)}")
+            )
     if not dirs:
         return spark.createDataFrame([], _STATE_SCHEMA)
     return (
@@ -298,9 +427,13 @@ def _write_bucketed_state(
     )
     # caller contract: new_state is already materialized (localCheckpoint)
     # so this plan does NOT read the state_path leaves it is about to
-    # overwrite (continuous_agg.py's race note)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    out.write.mode("overwrite").partitionBy("bucket", "batch").parquet(state_path)
+    # overwrite (continuous_agg.py's race note). Overwrite mode is scoped
+    # to THIS write via the writer option — a session-conf set would
+    # silently make every later partitioned overwrite in the session
+    # dynamic (r11 advice)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket", "batch").parquet(state_path)
 
 
 def _prune_bucketed_state(spark: SparkSession, state_path: str) -> int:
@@ -321,9 +454,12 @@ def read_state_snapshot(
 ) -> DataFrame:
     """The standing state, whichever layout the store uses: per-bucket
     newest-committed leaves (bucketed, default) or the newest full
-    snapshot (legacy chain)."""
+    snapshot (legacy chain). The metadata file is the layout authority
+    when present; directory-shape detection covers pre-r12 stores."""
     state_path = os.path.join(store, "state")
-    if _is_bucketed(spark, state_path):
+    meta = read_store_meta(state_path)
+    mode = meta["state_mode"] if meta else None
+    if mode == "bucketed" or (mode is None and _is_bucketed(spark, state_path)):
         return read_bucketed_state(spark, state_path, exclude_batch=exclude_batch)
     return read_newest_snapshot(
         spark, state_path, _STATE_COLS, _STATE_SCHEMA, exclude_batch=exclude_batch
@@ -338,8 +474,11 @@ def seed_state(
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> None:
     """Bootstrap the state store from an existing corpus snapshot
-    (``batch=-1``, the seed convention — per bucket in bucketed mode)."""
+    (``batch=-1``, the seed convention — per bucket in bucketed mode).
+    Persists (state_mode, n_buckets) in the store's metadata file; they
+    are durable layout properties, validated on every later open."""
     state_path = os.path.join(store, "state")
+    resolve_store_config(docs.sparkSession, state_path, state_mode, n_buckets)
     snap = snapshot_state(docs)
     if state_mode == "snapshot":
         snap.write.mode("overwrite").parquet(os.path.join(state_path, "batch=-1"))
@@ -347,10 +486,9 @@ def seed_state(
     out = snap.withColumn("bucket", _bucket_expr(n_buckets)).withColumn(
         "batch", F.lit(-1)
     )
-    out.sparkSession.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic"
-    )
-    out.write.mode("overwrite").partitionBy("bucket", "batch").parquet(state_path)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket", "batch").parquet(state_path)
 
 
 def _prune_state_snapshots(spark: SparkSession, store: str) -> int:
@@ -403,6 +541,10 @@ def start_changelog_pipeline(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # layout guard BEFORE the fast-skip: a mode/bucket-count mismatch
+        # must fail loudly even on a replayed batch, never silently fold
+        # over empty or re-hashed state (r11 advice, both mediums)
+        resolve_store_config(spark, state_path, state_mode, n_buckets)
         if _already_applied(state_path, batch_id):
             return
         if state_mode == "bucketed":

@@ -439,3 +439,121 @@ def test_bucketed_compact_and_snapshot_every(spark, tmp_path):
     assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
         1, 2, 3, 4, 5,
     }
+
+
+def test_store_meta_rejects_mode_and_bucket_mismatch(spark, tmp_path):
+    """(state_mode, n_buckets) are durable layout properties persisted in
+    the store metadata file at seed time; reopening with a different
+    mode or bucket count must fail fast, not silently fold over empty or
+    re-hashed state (r11 advice, both mediums)."""
+    import pytest
+
+    from csv_loader_spark.streaming.changelog import resolve_store_config
+
+    store = str(tmp_path / "store")
+    state = os.path.join(store, "state")
+    seed_state(_corpus(spark), store, n_buckets=8)
+    with pytest.raises(ValueError, match="state_mode"):
+        resolve_store_config(spark, state, "snapshot", 8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        resolve_store_config(spark, state, "bucketed", 16)
+    # the matching config passes and seeding again with it still works
+    resolve_store_config(spark, state, "bucketed", 8)
+    with pytest.raises(ValueError):
+        seed_state(_corpus(spark), store, state_mode="snapshot")
+
+
+def test_legacy_layout_detected_without_meta(spark, tmp_path):
+    """A pre-r12 store has no metadata file; the on-disk directory shape
+    is the fallback authority. Resuming a snapshot-layout store with the
+    bucketed default must fail fast (the silent-empty-state hazard), and
+    resuming with the matching mode adopts + persists the config."""
+    import pytest
+
+    from csv_loader_spark.streaming.changelog import (
+        _meta_path,
+        read_store_meta,
+        resolve_store_config,
+    )
+
+    store = str(tmp_path / "store")
+    state = os.path.join(store, "state")
+    seed_state(_corpus(spark), store, state_mode="snapshot")
+    os.remove(_meta_path(state))  # simulate a pre-r12 store
+    with pytest.raises(ValueError, match="layout"):
+        resolve_store_config(spark, state, "bucketed", 64)
+    resolve_store_config(spark, state, "snapshot", 64)
+    assert read_store_meta(state)["state_mode"] == "snapshot"
+
+
+def test_pipeline_fails_fast_on_mode_mismatch(spark, tmp_path):
+    """End-to-end: a snapshot-mode store resumed through the pipeline
+    with the bucketed default terminates the query with the layout
+    error instead of misclassifying every upsert as 'added'."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    store = str(tmp_path / "store")
+    src = tmp_path / "events"
+    src.mkdir()
+    seed_state(_corpus(spark), store, state_mode="snapshot")
+    _write_events(src / "e1.json", [(1, "s", "upsert", "alpha v2", 0)])
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA).json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        available_now=True,  # state_mode defaults to "bucketed": mismatch
+    )
+    try:
+        q.awaitTermination(180)
+        raised = None
+    except StreamingQueryException as e:
+        raised = str(e)
+    assert raised is not None and "state_mode" in raised
+    # no state leaf was written and no changelog landed
+    assert not os.path.exists(os.path.join(store, "changelog"))
+
+
+def test_null_doc_id_events_rejected(spark):
+    """A null-doc_id event has no identity and would collide with the
+    store's marker rows (xxhash64(null) still buckets it); it must be
+    filtered at the top of the fold so markers remain the only
+    null-doc_id rows by construction (r11 advice)."""
+    state = snapshot_state(_corpus(spark))
+    events = spark.createDataFrame(
+        [
+            (None, "s", "upsert", "ghost document with no identity", 0),
+            (4, "s", "upsert", "delta document freshly crawled now", 0),
+        ],
+        _EV_SCHEMA,
+    )
+    changelog, new_state = apply_version_events(state, events)
+    got = {
+        (r["source"], r["verdict"]): r["n_docs"] for r in changelog.collect()
+    }
+    assert got == {("s", "added"): 1}
+    assert {r["doc_id"] for r in new_state.collect()} == {1, 2, 3, 4}
+
+
+def test_overwrite_mode_scoped_to_writer_not_session(spark, tmp_path):
+    """The dynamic partition overwrite is a per-write option; the session
+    conf must come back untouched (r11 advice: a session-conf set makes
+    every later partitioned overwrite in the session dynamic)."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key)
+    store = str(tmp_path / "store")
+    src = tmp_path / "events"
+    src.mkdir()
+    seed_state(_corpus(spark), store, n_buckets=4)
+    _write_events(src / "e1.json", [(4, "s", "upsert", "delta doc", 0)])
+    q = start_changelog_pipeline(
+        spark.readStream.schema(_EV_SCHEMA).json(str(src)),
+        store,
+        str(tmp_path / "ck"),
+        n_buckets=4,
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    assert spark.conf.get(key) == before
+    assert {r["doc_id"] for r in read_state_snapshot(spark, store).collect()} == {
+        1, 2, 3, 4,
+    }
