@@ -26,6 +26,8 @@ batch costs one narrow shuffle instead of C(n, 2) candidate pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -1590,6 +1592,23 @@ def q143_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROBE_TAU_NUM, _PROBE_TAU_DEN = 3, 10  # "true near-dup" = exact Jaccard >= 0.3
 
+# MOSS stop-list for the meters' verify-side posting join (r12, the last
+# unguarded posting join in the tree): a shingle held by more than this
+# many CORPUS docs is boilerplate, not near-dup evidence — without the
+# guard, each rejected arrival's candidate cost in the independent
+# verification join is Σ df_corpus(s) over its shingles, linear in corpus
+# size under a boilerplate flood (the exact shape q96's _WINNOW_MAX_DF
+# kills; see llm3.py for the drop-vs-cap rationale). Dropping hot
+# shingles from the corpus posting side bounds the join at
+# n_shingles(doc) × max_df candidates per rejected doc; intersection
+# counts can only shrink, so under flood the meter UNDER-reports
+# precision (a conservative audit) and at gate scale the guard is inert
+# (sf0.01 max corpus df = 5 over 500 docs). Env-tunable and read at
+# import so the Spark plan and the oracle SQL bake the SAME value.
+_PROBE_VERIFY_MAX_DF = int(
+    os.environ.get("SPARK_GRAFT_PROBE_VERIFY_MAX_DF", "512")
+)
+
 
 @query(
     "q144_ingest_probe_precision",
@@ -1620,11 +1639,16 @@ _PROBE_TAU_NUM, _PROBE_TAU_DEN = 3, 10  # "true near-dup" = exact Jaccard >= 0.3
         AND EXISTS (SELECT 1 FROM idx_band i
                     WHERE i.band = b.band AND i.bkey = b.bkey)
     ),
+    hotc AS (
+      SELECT s FROM exploded WHERE doc_id % 2 = 0
+      GROUP BY s HAVING count(*) > {_PROBE_VERIFY_MAX_DF}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, c.doc_id AS doc_c, count(*) AS n_inter
       FROM exploded a
       JOIN exploded c ON a.s = c.s
       WHERE a.doc_id IN (SELECT doc_id FROM nc) AND c.doc_id % 2 = 0
+        AND c.s NOT IN (SELECT s FROM hotc)
       GROUP BY 1, 2
     ),
     verified AS (
@@ -1694,7 +1718,10 @@ def _probe_precision_meter(
     corpus by exact Jaccard >= _PROBE_TAU and fold (n_rejected, n_true,
     precision_bp) into one single-action 1-row aggregate. One shingle
     materialization serves sizes and both join sides; the posting-list
-    join explodes only the rejected docs against the corpus."""
+    join explodes only the rejected docs against the corpus, and the
+    corpus side is df-stop-listed (_PROBE_VERIFY_MAX_DF) so a
+    boilerplate flood cannot make the per-rejection candidate cost
+    linear in corpus size (SCALING.json `probe_verify_guard`)."""
     from csv_loader_spark.queries.llm import _shingled
 
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
@@ -1703,8 +1730,16 @@ def _probe_precision_meter(
     ex_a = ex.join(nc, "doc_id", "left_semi").select(
         F.col("doc_id").alias("doc_a"), "s"
     )
-    ex_c = ex.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("doc_c"), "s"
+    # MOSS stop-list on the corpus posting side (r12): drop shingles
+    # whose corpus df exceeds _PROBE_VERIFY_MAX_DF before the join. The
+    # df count is a window over the SAME key the join hashes on (q96's
+    # pattern), so Catalyst reuses one exchange for the count, the
+    # filter, and the join build side — no extra shuffle.
+    ex_c = (
+        ex.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .filter(F.col("df") <= _PROBE_VERIFY_MAX_DF)
+        .select(F.col("doc_id").alias("doc_c"), "s")
     )
     inter = (
         ex_a.join(ex_c, "s")
@@ -1921,11 +1956,16 @@ def _q146_oracle() -> str:
       WHERE {VERIFY_TAU_DEN} * v.n_inter
             >= {VERIFY_TAU_NUM} * (sa.n_sh + sc.n_sh - v.n_inter)
     ),
+    hotc AS (
+      SELECT s FROM exploded WHERE doc_id % 2 = 0
+      GROUP BY s HAVING count(*) > {_PROBE_VERIFY_MAX_DF}
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, c.doc_id AS doc_c, count(*) AS n_inter
       FROM exploded a
       JOIN exploded c ON a.s = c.s
       WHERE a.doc_id IN (SELECT doc_id FROM nc) AND c.doc_id % 2 = 0
+        AND c.s NOT IN (SELECT s FROM hotc)
       GROUP BY 1, 2
     ),
     verified AS (

@@ -444,6 +444,79 @@ def run_cluster_flood(sf_dir: str, b: int) -> dict[str, float | int]:
         idx.unpersist()
 
 
+# --- probe-verify flood: q144/q146's independent verification join ---
+# r12 claim under test: the meters' verify-side posting join (the last
+# unguarded posting join in the tree until r12) is bounded by the
+# _PROBE_VERIFY_MAX_DF corpus stop-list. Unguarded, each rejected
+# arrival's candidate cost is sum(df_corpus(s)) over its shingles —
+# linear in corpus size under a shared-boilerplate flood; guarded, hot
+# shingles drop out and the join tracks the CONTENT overlap, not the
+# chrome.
+
+
+def run_probe_verify_flood(sf_dir: str, b: int) -> dict[str, float | int]:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.llm import shingled_docs
+    from csv_loader_spark.queries.llm8 import _PROBE_VERIFY_MAX_DF
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_signature_index,
+        fingerprint_index,
+        ingest_verdicts,
+    )
+
+    spark = get_spark("bench_scaling")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "source", "text"
+    )
+    if b:
+        docs = docs.withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.lit(_boiler_text(b)))
+        )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "text"
+    )
+    nc = (
+        ingest_verdicts(
+            arrivals, fingerprint_index(corpus), band_signature_index(corpus)
+        )
+        .filter(F.col("verdict") == "near_corpus")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sh = shingled_docs(docs.select("doc_id", "text")).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex_a = ex.join(nc, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
+    ex_c_raw = ex.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_c"), "s"
+    )
+    ex_c_guard = (
+        ex.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .filter(F.col("df") <= _PROBE_VERIFY_MAX_DF)
+        .select(F.col("doc_id").alias("doc_c"), "s")
+    )
+    n_rejected = nc.count()
+    t0 = time.perf_counter()
+    cands_guarded = ex_a.join(ex_c_guard, "s").count()
+    t_guard = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    cands_unguarded = ex_a.join(ex_c_raw, "s").count()
+    t_raw = round(time.perf_counter() - t0, 4)
+    return {
+        "max_df": _PROBE_VERIFY_MAX_DF,
+        "n_rejected": n_rejected,
+        "cands_unguarded": cands_unguarded,
+        "unguarded_sec": t_raw,
+        "cands_guarded": cands_guarded,
+        "guarded_sec": t_guard,
+    }
+
+
 def main() -> None:
     """``--relational-only`` / ``--dedup-only`` run one section (the
     relational curve takes ~12 min at x100; the dedup curve's winnow x10
@@ -453,13 +526,15 @@ def main() -> None:
     # each --X-only flag selects its section; passing any section flag
     # suppresses the sections not selected (no flags = rel + dedup)
     section_flags = {
-        "--relational-only", "--dedup-only", "--prefix-only", "--cluster-only"
+        "--relational-only", "--dedup-only", "--prefix-only", "--cluster-only",
+        "--probe-verify-only",
     }
     chosen = section_flags & args
     do_rel = not chosen or "--relational-only" in chosen
     do_dedup = not chosen or "--dedup-only" in chosen
     do_prefix = "--prefix-only" in args
     do_cluster = "--cluster-only" in args
+    do_probe = "--probe-verify-only" in args
     results = {}
     for m in MULTIPLIERS if do_rel else ():
         s = run_spark(sf_dir, m)
@@ -514,6 +589,17 @@ def main() -> None:
             f"total={r['total_sec']}s",
             file=sys.stderr,
         )
+    probe = {}
+    for b in BOILER_WORDS if do_probe else ():
+        r = run_probe_verify_flood(sf_dir, b)
+        probe[str(b)] = r
+        print(
+            f"# probe-verify B={b}: rejected={r['n_rejected']} "
+            f"cands unguarded={r['cands_unguarded']} ({r['unguarded_sec']}s) "
+            f"vs guarded={r['cands_guarded']} ({r['guarded_sec']}s) "
+            f"at max_df={r['max_df']}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -523,6 +609,7 @@ def main() -> None:
                 "dedup_results": dedup,
                 "prefix_results": prefix,
                 "cluster_results": cluster,
+                "probe_results": probe,
             }
         )
     )
