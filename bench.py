@@ -14,7 +14,10 @@ visible round-over-round — per-query times for BOTH groups land in
 Per-query time = plan + execute + collect to the driver (count() for large
 results), measured after a warm-up action so JVM/session startup isn't billed
 to the first query — matching how the DuckDB baseline is timed (per-query,
-warm process).
+warm process). Recorded values are per-query MEDIANS over TIMED_RUNS timed
+passes; the artifact stamps ``"canonical": false`` when the host was busy at
+start OR the per-run headline totals disagree beyond SPREAD_TOLERANCE (r11:
+mid-run noise slipped past a start-only load gate three rounds running).
 """
 
 from __future__ import annotations
@@ -100,6 +103,16 @@ _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS
 #: its idle cost two rounds running).
 IDLE_LOAD_THRESHOLD = 1.0
 
+#: timed measurement passes; per-query values are the per-query MEDIAN so a
+#: single disturbed pass cannot set any recorded number (overridable for
+#: quick smoke runs)
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: max allowed max/min ratio of the per-run headline totals before the
+#: artifact stamps itself non-canonical — mid-run interference shows up as
+#: run-to-run disagreement (the r11 noisy artifact's q143 alone varied 5x)
+SPREAD_TOLERANCE = 1.25
+
 
 def _wait_for_idle(max_wait_s: float) -> float:
     """Block (bounded) until the 1-min load average drops under
@@ -152,15 +165,38 @@ def main() -> None:
         for name in _ALL:
             specs[name].fn(spark, sf_dir).count()
 
-    times: dict[str, float] = {}
-    for name in _ALL:
-        fn = specs[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {n} rows in {times[name]:.3f}s", file=sys.stderr)
+    # MEDIAN of 3 timed runs (r11 verdict: a single timed run let mid-run
+    # host noise record q143 at 5.6x its real cost in a start-load-clean
+    # artifact — three rounds running the committed bench carried noise).
+    # The 1-min load average cannot gate MID-run interference: the bench's
+    # own 32-thread Spark work dominates it while measuring. What noise
+    # cannot fake is AGREEMENT — an interfering process inflates some runs
+    # and not others, so the per-run headline totals diverge. Gate on that
+    # spread; the median absorbs a single disturbed run either way.
+    runs: list[dict[str, float]] = []
+    run_totals: list[float] = []
+    run_loads: list[float] = []
+    for r in range(TIMED_RUNS):
+        t_run: dict[str, float] = {}
+        for name in _ALL:
+            fn = specs[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            t_run[name] = round(time.perf_counter() - t0, 4)
+            if r == 0:
+                print(f"# {name}: {n} rows in {t_run[name]:.3f}s", file=sys.stderr)
+        runs.append(t_run)
+        total = round(sum(t_run[n] for n in HEADLINE), 4)
+        run_totals.append(total)
+        run_loads.append(round(os.getloadavg()[0], 2))
+        print(f"# run {r + 1}/{TIMED_RUNS}: headline {total}s", file=sys.stderr)
 
+    times = {
+        name: round(sorted(t[name] for t in runs)[len(runs) // 2], 4)
+        for name in _ALL
+    }
+    spread = max(run_totals) / max(min(run_totals), 1e-9)
     print(
         json.dumps(
             {
@@ -176,17 +212,23 @@ def main() -> None:
                     "r10_ops": round(sum(times[n] for n in R10_OPS), 4),
                 },
                 "sf": sf,
-                # host-noise provenance (r9 verdict): the committed
-                # artifact must be re-creatable — a 1-min load average
-                # near 0 at start certifies an idle-host run. r11: the
-                # harness now WAITS for idle (bounded) before measuring,
-                # and stamps the verdict so round-over-round tooling can
-                # discard non-canonical artifacts instead of chasing noise
-                "canonical": load_avg_start <= IDLE_LOAD_THRESHOLD,
+                # host-noise provenance (r9-r11 verdicts): canonical means
+                # BOTH the host was idle when measurement began AND the
+                # three timed runs agree (headline spread within
+                # SPREAD_TOLERANCE) — a start-gated but mid-run-disturbed
+                # artifact now stamps itself non-canonical instead of
+                # presenting noise as signal. Per-query values are medians.
+                "canonical": (
+                    load_avg_start <= IDLE_LOAD_THRESHOLD
+                    and spread <= SPREAD_TOLERANCE
+                ),
                 "load_avg_start": round(load_avg_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
+                "run_headline_totals": run_totals,
+                "run_spread": round(spread, 3),
+                "load_avg_after_each_run": run_loads,
                 "warmup_runs": 2,
-                "timed_runs": 1,
+                "timed_runs": TIMED_RUNS,
             }
         )
     )

@@ -63,11 +63,12 @@ def build_curate_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="csv_loader_spark curate",
         description=(
-            "Run the admission DAG (blocklist -> exact+near dedup -> "
-            "per-source quota -> split) over a documents parquet and write "
-            "kept/ (partitioned by split) and manifest/ under --output. "
-            "Each rule is the oracle-gated operator the query surface "
-            "proves (q102/q131/q145/q121/q116); see ops/curate.py."
+            "Run the admission DAG (blocklist -> eval decontamination -> "
+            "exact+near dedup -> passage dedup -> per-source quota -> "
+            "split) over a documents parquet and write kept/ (partitioned "
+            "by split) and manifest/ under --output. Each rule is the "
+            "oracle-gated operator the query surface proves "
+            "(q102/q85/q131/q145/q115/q121/q116); see ops/curate.py."
         ),
     )
     p.add_argument("--input", required=True, help="documents parquet (doc_id, source, text)")
@@ -91,6 +92,25 @@ def build_curate_parser() -> argparse.ArgumentParser:
         help="Jaccard-verified near-dup rule (precision 1.0) for the "
         "corpus probe instead of band membership; requires --corpus",
     )
+    p.add_argument(
+        "--eval",
+        dest="eval_path",
+        help="held-out evaluation parquet (doc_id, text); candidates "
+        "sharing a word 4-gram with it are rejected as contaminated "
+        "(q85/q132's decontamination rule)",
+    )
+    p.add_argument(
+        "--no-dedup",
+        action="store_true",
+        help="skip the doc-level exact+near dedup stage (e.g. when dedup "
+        "runs at passage granularity instead)",
+    )
+    p.add_argument(
+        "--passage-dedup",
+        action="store_true",
+        help="reject docs whose passages are majority-duplicated within "
+        "the surviving set (q115/q132's passage rule)",
+    )
     p.add_argument("--quota-cap", type=int, default=30, help="max admitted docs per source")
     return p
 
@@ -101,6 +121,9 @@ def curate_main(argv: list[str]) -> int:
     args = build_curate_parser().parse_args(argv)
     if not os.path.exists(args.input):
         print(f"input not found: {args.input}", file=sys.stderr)
+        return 1
+    if args.eval_path and not os.path.exists(args.eval_path):
+        print(f"eval set not found: {args.eval_path}", file=sys.stderr)
         return 1
     if args.verify_members and not args.corpus:
         print(
@@ -116,6 +139,9 @@ def curate_main(argv: list[str]) -> int:
         args.input,
         args.output,
         blocklist=tuple(d.lower() for d in args.block),
+        eval_path=args.eval_path,
+        dedup=not args.no_dedup,
+        passage_dedup=args.passage_dedup,
         corpus_path=args.corpus,
         verify_members=args.verify_members,
         quota_cap=args.quota_cap,

@@ -1732,15 +1732,22 @@ def _probe_precision_meter(
     )
     # MOSS stop-list on the corpus posting side (r12): drop shingles
     # whose corpus df exceeds _PROBE_VERIFY_MAX_DF before the join. The
-    # df count is a window over the SAME key the join hashes on (q96's
-    # pattern), so Catalyst reuses one exchange for the count, the
-    # filter, and the join build side — no extra shuffle.
-    ex_c = (
-        ex.filter(F.col("doc_id") % 2 == 0)
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
-        .filter(F.col("df") <= _PROBE_VERIFY_MAX_DF)
-        .select(F.col("doc_id").alias("doc_c"), "s")
+    # hot set is an AGGREGATE + broadcast anti-join, not q96's window —
+    # the window shape sorts every posting row inside a full shuffle
+    # (measured 15.9 s vs 4.4 s for the whole meter at sf0.1), while the
+    # aggregate partial-combines map-side to ~distinct shingles and the
+    # surviving hot list is tiny (usually empty) so the anti-join
+    # broadcasts and the posting rows never reshuffle.
+    ex_c_all = ex.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_c"), "s"
     )
+    hot = (
+        ex_c_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _PROBE_VERIFY_MAX_DF)
+        .select("s")
+    )
+    ex_c = ex_c_all.join(F.broadcast(hot), "s", "left_anti")
     inter = (
         ex_a.join(ex_c, "s")
         .groupBy("doc_a", "doc_c")

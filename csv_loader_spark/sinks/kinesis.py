@@ -15,11 +15,16 @@ with HTTP 200 overall), so only the failed subset is re-put after
 ``while(!dataSent)``. At-least-once: a record whose response was lost in
 transit is resent.
 
-boto3 is not installed in this container — the import is gated and the
-default client factory raises a clear error at call time; the full
-chunking/partition-key/retry path runs against any injected
-``client_factory`` (tests/test_kinesis_sink.py drives it end-to-end
-through foreachPartition with a fake client).
+The boto3 import stays gated (the default client factory raises a clear
+error at call time when absent); the chunking/partition-key/retry path
+runs against any injected ``client_factory``
+(tests/test_kinesis_sink.py drives it end-to-end through
+foreachPartition with a fake client). Gate re-check 2026-08-14 (r12):
+boto3 1.43 + moto 5.2 ARE present in this image — the moto-backed
+contract tests in the same file now exercise the REAL client
+marshalling (botocore parameter validation, true PutRecords response
+shapes, shard read-back of the protobuf payload), closing the one gap
+the fake client could not reach.
 """
 
 from __future__ import annotations

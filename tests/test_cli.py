@@ -200,3 +200,60 @@ def test_curate_verify_members_requires_corpus(tmp_path, capsys):
     assert verdicts == {"near_corpus": 1, "admitted": 1}
     kept = spark.read.parquet(_os.path.join(out, "kept"))
     assert [r["doc_id"] for r in kept.collect()] == [12]
+
+
+def test_curate_cli_capstone_equals_q132_oracle(tmp_path, capsys):
+    """CAPSTONE (r11 advice #5): drive `python -m csv_loader_spark curate`
+    over the sf0.01 documents table with q132's exact rule parameters
+    (its blocklist, its eval split, passage-granularity dedup, its quota
+    cap) and assert the kept manifest equals q132's oracle-gated answer
+    row-for-row against the DuckDB oracle itself — the CLI surface is
+    gate-backed on real data, not just unit-tested on synthetic rows."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.cli import main
+    from csv_loader_spark.io.tables import load_table
+    from csv_loader_spark.queries.llm5 import _BLOCKLIST
+    from csv_loader_spark.queries.llm7 import _QUOTA, injected_url_text
+    from csv_loader_spark.queries.llm8 import _q132_oracle
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    sf_dir = "/root/testdata/sf0.01"
+    d = load_table(spark, sf_dir, "documents")
+    inj = d.select("doc_id", "source", injected_url_text().alias("text"))
+    src = str(tmp_path / "candidates.parquet")
+    ev = str(tmp_path / "eval.parquet")
+    # q132's candidate/eval split: doc_id % 10 == 0 is the held-out set
+    # (a reference input, never blocklist-filtered)
+    inj.filter(F.col("doc_id") % 10 != 0).write.parquet(src)
+    inj.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").write.parquet(ev)
+    out = str(tmp_path / "out")
+    args = [
+        "curate", "--input", src, "--output", out, "--eval", ev,
+        "--no-dedup", "--passage-dedup", "--quota-cap", str(_QUOTA),
+    ]
+    for dom in _BLOCKLIST:
+        args += ["--block", dom]
+    assert main(args) == 0
+
+    import os as _os
+
+    kept = spark.read.parquet(_os.path.join(out, "kept"))
+    got = {
+        (r["doc_id"], r["source"], r["split"], r["n_tok"])
+        for r in kept.select("doc_id", "source", "split", "n_tok").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = set(map(tuple, con.execute(_q132_oracle()).fetchall()))
+    assert got == want and len(got) > 0
+    # the manifest still covers every candidate exactly once
+    manifest = spark.read.parquet(_os.path.join(out, "manifest"))
+    n_cand = spark.read.parquet(src).count()
+    assert manifest.count() == n_cand
+    assert manifest.select("doc_id").distinct().count() == n_cand

@@ -179,3 +179,125 @@ def test_put_records_raises_on_malformed_responses():
             "s",
             chunk,
         )
+
+
+# ---------------------------------------------------------------------------
+# moto-backed contract tests (r12): the REAL boto3 client marshalling —
+# botocore parameter validation, response shapes (FailedRecordCount,
+# SequenceNumber), and a true read-back through shard iterators — against
+# moto's Kinesis backend. The fake-client tests above prove the
+# chunk/retry/foreachPartition plumbing; these prove the payload survives
+# a genuine client round trip. Driver-side on purpose: moto patches
+# botocore IN-PROCESS, and a foreachPartition body runs in a separate
+# Python worker where the patch is absent — the executor plumbing is
+# already covered by the fake-client end-to-end test.
+# ---------------------------------------------------------------------------
+
+moto = pytest.importorskip("moto")
+boto3 = pytest.importorskip("boto3")
+
+
+def _moto_stream(name="vehicles", shards=2):
+    client = boto3.client("kinesis", region_name="us-east-1")
+    client.create_stream(StreamName=name, ShardCount=shards)
+    return client
+
+
+def _read_all_records(client, stream_name):
+    out = []
+    shards = client.list_shards(StreamName=stream_name)["Shards"]
+    for sh in shards:
+        it = client.get_shard_iterator(
+            StreamName=stream_name,
+            ShardId=sh["ShardId"],
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        while it:
+            resp = client.get_records(ShardIterator=it, Limit=1000)
+            out.extend(resp["Records"])
+            if not resp["Records"]:
+                break
+            it = resp.get("NextShardIterator")
+    return out
+
+
+@moto.mock_aws
+def test_put_records_real_client_roundtrip():
+    """1,200 pings → 3 PutRecords chunks through a REAL boto3 client
+    (moto backend): every record lands, partition keys survive, and the
+    protobuf payload read back from the shards decodes to the original
+    (vehicle_id, lat, lon, ts)."""
+    import struct as _struct
+
+    from csv_loader_spark.sinks.envelope import _fields, _signed64
+    from csv_loader_spark.sinks.kinesis import (
+        put_records_with_retry,
+        records_for_kinesis,
+    )
+
+    def _decode_vehicle_message(body: bytes):
+        # the Data payload is a bare VehicleMessage (field1 vehicleId
+        # varint, field2 repeated Location) — walk it with the envelope
+        # module's field reader
+        vid, locs = 0, []
+        for fno, _, val in _fields(body):
+            if fno == 1:
+                vid = _signed64(val)
+            elif fno == 2:
+                lat = lon = 0.0
+                ts = 0
+                for lf, _, lv in _fields(val):
+                    if lf == 1:
+                        lat = _struct.unpack("<d", lv)[0]
+                    elif lf == 2:
+                        lon = _struct.unpack("<d", lv)[0]
+                    elif lf == 3:
+                        ts = _signed64(lv)
+                locs.append((lat, lon, ts))
+        return vid, locs
+
+    client = _moto_stream()
+    rows = [
+        {"vehicle_id": i, "lat": 45.0 + i / 1000.0, "lon": -122.0, "ts_millis": 1_000 + i}
+        for i in range(1200)
+    ]
+    chunks = list(records_for_kinesis(iter(rows)))
+    assert [len(c) for c in chunks] == [500, 500, 200]
+    for chunk in chunks:
+        attempts = put_records_with_retry(client, "vehicles", chunk)
+        assert attempts == 1
+    got = _read_all_records(client, "vehicles")
+    assert len(got) == 1200
+    decoded = {}
+    for rec in got:
+        vid, locs = _decode_vehicle_message(rec["Data"])
+        assert rec["PartitionKey"] == str(vid)
+        decoded[vid] = locs[0]
+    assert set(decoded) == set(range(1200))
+    # bit-exact doubles: the wire format is fixed64, so the read-back
+    # value must equal the input float exactly, not approximately
+    assert decoded[7] == (rows[7]["lat"], rows[7]["lon"], rows[7]["ts_millis"])
+
+
+@moto.mock_aws
+def test_put_records_real_client_rejects_bad_entries():
+    """botocore's parameter validation is part of the real-client
+    contract the fake client cannot exercise: a record missing
+    PartitionKey must raise ParamValidationError, not silently drop."""
+    from botocore.exceptions import ParamValidationError
+
+    from csv_loader_spark.sinks.kinesis import put_records_with_retry
+
+    client = _moto_stream(name="strict", shards=1)
+    with pytest.raises((ParamValidationError, RuntimeError)):
+        # missing PartitionKey: the real client refuses to marshal it
+        client.put_records(
+            StreamName="strict", Records=[{"Data": b"\x08\x01"}]
+        )
+    # and the retry wrapper passes a well-formed chunk straight through
+    assert (
+        put_records_with_retry(
+            client, "strict", [{"Data": b"\x08\x01", "PartitionKey": "1"}]
+        )
+        == 1
+    )
