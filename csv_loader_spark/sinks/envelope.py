@@ -65,6 +65,83 @@ def to_vehicle_messages(pings: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Declared message schema (op 15): ONE table drives the hand-rolled encoder
+# below, the emitted .proto source (proto_schema), and the dynamic
+# descriptor (build_file_descriptor_proto) — so the wire constants, the
+# user-facing schema file, and the official-runtime round-trip test cannot
+# drift apart. Field numbers are declaration order of the reference's
+# builder calls (CsvLoader.java:150-158, 206-211), the protobuf convention;
+# see the module docstring for the upstream-numbering caveat.
+# ---------------------------------------------------------------------------
+
+#: message name -> ordered (field_name, field_number, type) where type is a
+#: scalar ("double" | "int64") or ("repeated", message_name)
+PROTO_SCHEMA: dict[str, list[tuple]] = {
+    "VehicleLocation": [
+        ("lat", 1, "double"),
+        ("lon", 2, "double"),
+        ("timestamp", 3, "int64"),
+    ],
+    "VehicleMessage": [
+        ("vehicleId", 1, "int64"),
+        ("locations", 2, ("repeated", "VehicleLocation")),
+    ],
+    "VehicleMessageEnvelope": [
+        ("sourceId", 1, "int64"),
+        ("messages", 2, ("repeated", "VehicleMessage")),
+    ],
+}
+
+
+def proto_schema(package: str = "pbf") -> str:
+    """The declared wire schema as .proto source text (proto2, matching
+    the reference's always-emit presence semantics) — the artifact a user
+    compiles with protoc to interoperate with this encoder, generated
+    from PROTO_SCHEMA so it cannot drift from the wire constants."""
+    out = ['syntax = "proto2";', "", f"package {package};", ""]
+    for msg, fields in PROTO_SCHEMA.items():
+        out.append(f"message {msg} {{")
+        for name, number, ty in fields:
+            if isinstance(ty, tuple):
+                out.append(f"  repeated {ty[1]} {name} = {number};")
+            else:
+                out.append(f"  optional {ty} {name} = {number};")
+        out.append("}")
+        out.append("")
+    return "\n".join(out)
+
+
+def build_file_descriptor_proto(package: str = "pbf"):
+    """PROTO_SCHEMA as a ``descriptor_pb2.FileDescriptorProto`` — the
+    programmatic twin of :func:`proto_schema` for building message
+    classes with the official runtime (google.protobuf must be
+    importable; streaming/trips.py ``ensure_protobuf`` discovers the
+    vendored copy). tests/test_envelope_wire.py serializes through the
+    resulting classes and asserts byte identity with the hand-rolled
+    encoder."""
+    from google.protobuf import descriptor_pb2
+
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "exchange_format_generated.proto"
+    fdp.package = package
+    type_map = {"double": "TYPE_DOUBLE", "int64": "TYPE_INT64"}
+    for msg, fields in PROTO_SCHEMA.items():
+        m = fdp.message_type.add()
+        m.name = msg
+        for name, number, ty in fields:
+            f = m.field.add()
+            f.name, f.number = name, number
+            if isinstance(ty, tuple):
+                f.type = f.TYPE_MESSAGE
+                f.label = f.LABEL_REPEATED
+                f.type_name = f".{package}.{ty[1]}"
+            else:
+                f.type = getattr(f, type_map[ty])
+                f.label = f.LABEL_OPTIONAL
+    return fdp
+
+
+# ---------------------------------------------------------------------------
 # Protobuf wire encoding (op 15)
 # ---------------------------------------------------------------------------
 

@@ -146,3 +146,80 @@ def test_message_and_location_fragments_compose():
     body = encode_message(2, [(1.5, -2.5, 1000)])
     assert body in GOLDEN
     assert encode_location(1.5, -2.5, 1000) in body
+
+
+# ---------------------------------------------------------------------------
+# r12: descriptor round-trip driven by the PRODUCT's declared schema
+# (PROTO_SCHEMA drives the encoder constants, the emitted .proto source,
+# and the dynamic descriptor — this closes the field-number residual as
+# far as the sandbox allows: protoc is absent, so the .proto text is
+# asserted field-for-field against the descriptor instead of compiled).
+# ---------------------------------------------------------------------------
+
+
+def _product_envelope_class():
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        if _VENDORED_PROTOBUF not in sys.path:
+            sys.path.insert(0, _VENDORED_PROTOBUF)
+        pytest.importorskip("google.protobuf")
+    from google.protobuf import descriptor_pool, message_factory
+
+    from csv_loader_spark.sinks.envelope import build_file_descriptor_proto
+
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(build_file_descriptor_proto())
+    return message_factory.GetMessageClass(
+        pool.FindMessageTypeByName("pbf.VehicleMessageEnvelope")
+    )
+
+
+@pytest.mark.parametrize("source_id,rows", CASES)
+def test_product_descriptor_matches_hand_encoder(source_id, rows):
+    """Messages built from the PRODUCT-generated descriptor
+    (envelope.build_file_descriptor_proto) serialize byte-identically to
+    the hand-rolled encoder — the schema table, not a test-local copy,
+    is what the official runtime verifies."""
+    Env = _product_envelope_class()
+    e = Env()
+    e.sourceId = source_id
+    for vid, lat, lon, ts in rows:
+        m = e.messages.add()
+        m.vehicleId = vid
+        loc = m.locations.add()
+        loc.lat, loc.lon, loc.timestamp = lat, lon, ts
+    official = e.SerializeToString()
+    assert encode_envelope(source_id, rows) == official
+    # and the official bytes decode through the hand-rolled decoder
+    d = decode_envelope(official)
+    assert d.source_id == source_id
+    assert d.messages == [(vid, [(lat, lon, ts)]) for vid, lat, lon, ts in rows]
+
+
+def test_proto_schema_text_matches_descriptor():
+    """The emitted .proto source and the FileDescriptorProto are two
+    views of PROTO_SCHEMA: every (message, field, number, type, label)
+    in the descriptor appears verbatim in the text, and vice versa
+    (field-count equality both ways)."""
+    from csv_loader_spark.sinks.envelope import PROTO_SCHEMA, proto_schema
+
+    text = proto_schema()
+    assert 'syntax = "proto2";' in text and "package pbf;" in text
+    n_fields = 0
+    for msg, fields in PROTO_SCHEMA.items():
+        assert f"message {msg} {{" in text
+        for name, number, ty in fields:
+            if isinstance(ty, tuple):
+                line = f"  repeated {ty[1]} {name} = {number};"
+            else:
+                line = f"  optional {ty} {name} = {number};"
+            assert line in text, line
+            n_fields += 1
+    # no extra field declarations beyond the schema table's (field lines
+    # are the indented ones; the syntax line also contains " = ")
+    assert sum(1 for ln in text.splitlines() if ln.startswith("  ")) == n_fields
+    # the wire constants the encoder uses are the schema's numbers
+    assert PROTO_SCHEMA["VehicleLocation"][0][:2] == ("lat", 1)
+    assert PROTO_SCHEMA["VehicleMessage"][1][:2] == ("locations", 2)
+    assert PROTO_SCHEMA["VehicleMessageEnvelope"][0][:2] == ("sourceId", 1)
