@@ -507,3 +507,17 @@ def test_q147_changelog_is_one_state_join(spark):
 
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id", plan)
     assert len(joins) == 1, joins
+
+
+def test_q148_dsir_is_broadcast_ratio_no_pairwise(spark):
+    """DSIR's scale claims, asserted on the physical plan: the log-ratio
+    table joins the candidate feature stream as a BROADCAST hash join
+    (it is <= 65536 rows by construction), the only nested-loop joins
+    are the 1-row totals cross-joins, and nothing in the plan is a
+    cartesian over documents or features."""
+    plan = _plan(spark, "q148_dsir_importance")
+    assert "CartesianProduct" not in plan
+    # the ratio -> candidate join is broadcast on the bucket id
+    assert "BroadcastHashJoin [b" in plan or "BroadcastHashJoin [cast(b" in plan
+    # top-k is a TakeOrdered, not a global sort materialization
+    assert "TakeOrderedAndProject" in plan
