@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.functions import vectors as VEC
 from csv_loader_spark.io.tables import load_table
 from csv_loader_spark.queries.llm2 import _hash16_spark_sql, _hash16_sql
 from csv_loader_spark.queries.registry import query
@@ -174,4 +175,158 @@ def q148_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_scores(target, raw)
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(DSIR_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149: SemDeDup — cluster-bounded semantic deduplication over embeddings
+# ---------------------------------------------------------------------------
+
+#: semantic-duplicate threshold, matched to q54/q97's corpus-tuned value
+#: (the synthetic embeddings' max pair sim is ~0.51).
+SEMDEDUP_TAU = 0.40
+
+
+def _semdedup_oracle() -> str:
+    from csv_loader_spark.queries.llm2 import _ivf_cent_values_sql
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM e
+    ),
+    centv(cid, cv0) AS (VALUES
+      {_ivf_cent_values_sql()}
+    ),
+    centd AS (
+      SELECT cid, list_transform(cv0, x -> CAST(x AS DOUBLE)) AS cv FROM centv
+    ),
+    cent AS (
+      SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+      FROM centd
+    ),
+    ranked AS (
+      SELECT n.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(n.v) + 1),
+                                     i -> n.v[i] * c.cv[i]))
+               / (n.nrm * c.cn) AS csim,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_sum(list_transform(range(1, len(n.v) + 1),
+                                                i -> n.v[i] * c.cv[i]))
+                        / (n.nrm * c.cn) DESC, c.cid) AS rk
+      FROM n CROSS JOIN cent c
+    ),
+    assign AS (SELECT vec_id, cid, csim FROM ranked WHERE rk = 1),
+    pairs AS (
+      SELECT u.vec_id AS u_id, w.vec_id AS w_id
+      FROM assign u JOIN assign w ON u.cid = w.cid
+      WHERE u.csim < w.csim
+         OR (u.csim = w.csim AND u.vec_id < w.vec_id)
+    ),
+    dups AS (
+      SELECT DISTINCT p.w_id
+      FROM pairs p
+      JOIN n a ON a.vec_id = p.u_id
+      JOIN n b ON b.vec_id = p.w_id
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                                    i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cid AS cluster_id,
+           round(a.csim, 4) AS centroid_sim,
+           CAST(CASE WHEN a.vec_id IN (SELECT w_id FROM dups)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM assign a
+    """
+
+
+@query(
+    "q149_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "similarity", "embedding", "llm"),
+)
+def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication with the
+    pairwise search BOUNDED by a coarse k-means partition — assign every
+    embedding to its nearest trained centroid (the frozen
+    ivf_centroids artifact, so both engines cluster bit-identically),
+    compare pairs only WITHIN a cluster, and flag a vector as a
+    semantic duplicate when a kept cluster-mate lies within cosine
+    >= {SEMDEDUP_TAU}. Keep-preference follows the paper: the member
+    FARTHEST from its centroid (lowest centroid sim) is kept first —
+    SemDeDup's 'keep the outlier' rule — with vec_id as the
+    deterministic tie-break; a vector is flagged iff some
+    earlier-in-preference cluster-mate is within tau (the single-pass
+    exists-dominator form of the paper's greedy, the q28/q53 keep-first
+    convention — it can flag strictly more than the iterative greedy
+    when dup chains exceed pairs, a conservative bias for a dedup).
+
+    Scale: this is the published answer to 'pairwise cosine doesn't
+    scale' — assignment is one broadcast-centroid scan, and the
+    quadratic term is Sum |cluster|^2, controlled by k: at 10^10 docs
+    one sizes k ~ N/10^4 so each cluster's pair block fits an executor
+    (the paper runs exactly this shape at LAION scale). Pair candidates
+    carry ONLY ids + the precedence scalar; vectors re-attach by id
+    equi-join before the one dot-product filter (q55's
+    wide-arrays-never-ride-the-shuffle discipline)."""
+    from pyspark.sql import Window as W
+
+    from csv_loader_spark.functions.ivf_centroids import CENTROIDS
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", VEC.as_double("embedding").alias("v")
+    )
+    n = e.withColumn("nrm", VEC.norm("v"))
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(CENTROIDS)], "cid INT, cv ARRAY<DOUBLE>"
+    ).withColumn("cn", VEC.norm("cv"))
+    csim = VEC.dot("v", "cv") / (F.col("nrm") * F.col("cn"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assign = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn("csim", csim)
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid", "csim")
+        .localCheckpoint(eager=False)
+    )
+    u = assign.select(
+        F.col("vec_id").alias("u_id"), "cid", F.col("csim").alias("u_csim")
+    )
+    w_side = assign.select(
+        F.col("vec_id").alias("w_id"), "cid", F.col("csim").alias("w_csim")
+    )
+    pairs = (
+        u.join(w_side, "cid")
+        .filter(
+            (F.col("u_csim") < F.col("w_csim"))
+            | ((F.col("u_csim") == F.col("w_csim")) & (F.col("u_id") < F.col("w_id")))
+        )
+        .select("u_id", "w_id")
+    )
+    av = n.select(F.col("vec_id").alias("u_id"), F.col("v").alias("uv"), F.col("nrm").alias("un"))
+    bv = n.select(F.col("vec_id").alias("w_id"), F.col("v").alias("wv"), F.col("nrm").alias("wn"))
+    sim = VEC.dot("uv", "wv") / (F.col("un") * F.col("wn"))
+    dups = (
+        pairs.join(av, "u_id")
+        .join(bv, "w_id")
+        .filter(sim >= SEMDEDUP_TAU)
+        .select("w_id")
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assign.join(dups, assign["vec_id"] == dups["w_id"], "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.round("csim", 4).alias("centroid_sim"),
+            F.coalesce(F.col("_dup"), F.lit(0)).cast("int").alias("is_dup"),
+        )
     )

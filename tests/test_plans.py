@@ -521,3 +521,22 @@ def test_q148_dsir_is_broadcast_ratio_no_pairwise(spark):
     assert "BroadcastHashJoin [b" in plan or "BroadcastHashJoin [cast(b" in plan
     # top-k is a TakeOrdered, not a global sort materialization
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q149_semdedup_pairs_bounded_by_cluster_join(spark):
+    """SemDeDup's scale shape: the ONLY nested-loop join is the
+    broadcast-centroid assignment scan; pair candidates come from an
+    equi-join on the cluster id (ids + precedence scalar only), and the
+    dot-product verify re-attaches vectors by id equi-join."""
+    plan = _plan(spark, "q149_semdedup")
+    assert "CartesianProduct" not in plan
+    import re
+
+    # the centroid-assignment broadcast scan sits behind the assign
+    # checkpoint; in the executed plan the only joins are the cid pair
+    # equi-join and the by-id vector re-attachments
+    bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(bnl) <= 1, bnl
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cid", plan)
+    assert re.search(r"BroadcastHashJoin \[u_id", plan)
+    assert re.search(r"BroadcastHashJoin \[w_id", plan)
