@@ -94,7 +94,13 @@ R10_OPS = (
     "q147_version_changelog",
 )
 
-_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS
+# The r12 operator surface: DSIR importance selection and SemDeDup.
+R12_OPS = (
+    "q148_dsir_importance",
+    "q149_semdedup",
+)
+
+_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
 
 
 #: a 1-min load average above this at bench start means some other work is
@@ -210,6 +216,7 @@ def main() -> None:
                     "r8_ops": round(sum(times[n] for n in R8_OPS), 4),
                     "r9_ops": round(sum(times[n] for n in R9_OPS), 4),
                     "r10_ops": round(sum(times[n] for n in R10_OPS), 4),
+                    "r12_ops": round(sum(times[n] for n in R12_OPS), 4),
                 },
                 "sf": sf,
                 # host-noise provenance (r9-r11 verdicts): canonical means

@@ -87,8 +87,12 @@ def start_hourly_rollup(
             # write overwrites out_path — lazy evaluation during the
             # overwrite would race the delete of its own input files
             merged = merged.localCheckpoint(eager=True)
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy("day").parquet(out_path)
+            # writer-scoped dynamic overwrite (r12, matching changelog.py):
+            # a session-conf set leaks dynamic semantics into every later
+            # partitioned overwrite in the session
+            merged.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("day").parquet(out_path)
             _record_applied(out_path, batch_id)
         finally:
             partial.unpersist()

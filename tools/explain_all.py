@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, R8_OPS, R9_OPS, R10_OPS  # noqa: E402
+from bench import HEADLINE, R8_OPS, R9_OPS, R10_OPS, R12_OPS  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 from csv_loader_spark.session import get_spark  # noqa: E402
 
@@ -107,6 +107,22 @@ NOTES = {
         "snapshot below everything still fits under 10 MB and "
         "auto-broadcasts — tiny-scale-only, by design."
     ),
+    "q148_dsir_importance": (
+        "**DSIR selection (r12).** Two hashed-count aggregates bounded at "
+        "2^16 rows each (map-side combined), the log-ratio table joins the "
+        "candidate feature stream as a BroadcastHashJoin on the bucket id, "
+        "per-doc sum is one groupBy(doc_id), and the top-k is "
+        "TakeOrderedAndProject - no global sort, nothing pairwise; the "
+        "candidate-side token scan is the only corpus-sized work."
+    ),
+    "q149_semdedup": (
+        "**SemDeDup (r12).** The centroid-assignment broadcast scan sits "
+        "behind the assign checkpoint; the executed plan's joins are the "
+        "cluster-id pair equi-join (ids + precedence scalar only) and two "
+        "by-id BroadcastHashJoins that re-attach vectors for the single "
+        "dot-product filter. The quadratic term is Sum |cluster|^2, sized "
+        "by k - the paper's own scale story."
+    )
 }
 
 
@@ -154,7 +170,7 @@ def main() -> None:
         "",
     ]
     heavy_r8 = tuple(
-        n for n in (R8_OPS + R9_OPS + R10_OPS) if n in NOTES
+        n for n in (R8_OPS + R9_OPS + R10_OPS + R12_OPS) if n in NOTES
     )  # the r8/r9 queries whose plans warrant the human-readable snapshot
     for name in HEADLINE + heavy_r8:
         df = specs[name].fn(spark, sf_dir)
