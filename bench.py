@@ -98,6 +98,8 @@ R10_OPS = (
 R12_OPS = (
     "q148_dsir_importance",
     "q149_semdedup",
+    "q150_lm_perplexity",
+    "q151_repetition_rules",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
@@ -112,7 +114,15 @@ IDLE_LOAD_THRESHOLD = 1.0
 #: timed measurement passes; per-query values are the per-query MEDIAN so a
 #: single disturbed pass cannot set any recorded number (overridable for
 #: quick smoke runs)
-TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+
+#: timed passes DISCARDED from the medians and the spread gate (recorded in
+#: run_headline_totals for transparency). An idle-host 3-run artifact still
+#: came out 6.68 -> 3.97 -> 3.41 s — monotone warm-in, C2 still compiling
+#: through the first timed pass despite the two untimed primes — which the
+#: spread gate correctly refused to stamp canonical. Discarding the first
+#: timed pass measures steady state instead of compilation.
+JIT_DISCARD_RUNS = 1
 
 #: max allowed max/min ratio of the per-run headline totals before the
 #: artifact stamps itself non-canonical — mid-run interference shows up as
@@ -198,11 +208,13 @@ def main() -> None:
         run_loads.append(round(os.getloadavg()[0], 2))
         print(f"# run {r + 1}/{TIMED_RUNS}: headline {total}s", file=sys.stderr)
 
+    kept = runs[JIT_DISCARD_RUNS:] if len(runs) > JIT_DISCARD_RUNS else runs
+    kept_totals = run_totals[len(runs) - len(kept):]
     times = {
-        name: round(sorted(t[name] for t in runs)[len(runs) // 2], 4)
+        name: round(sorted(t[name] for t in kept)[len(kept) // 2], 4)
         for name in _ALL
     }
-    spread = max(run_totals) / max(min(run_totals), 1e-9)
+    spread = max(kept_totals) / max(min(kept_totals), 1e-9)
     print(
         json.dumps(
             {
@@ -236,6 +248,7 @@ def main() -> None:
                 "load_avg_after_each_run": run_loads,
                 "warmup_runs": 2,
                 "timed_runs": TIMED_RUNS,
+                "jit_discard_runs": min(JIT_DISCARD_RUNS, max(len(runs) - 1, 0)),
             }
         )
     )

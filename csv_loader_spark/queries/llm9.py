@@ -1,15 +1,20 @@
-"""Round-12 LLM-pipeline operators: data selection via importance
-resampling (DSIR) — choosing pretraining candidates that LOOK LIKE a
-small high-quality target domain.
+"""Round-12 LLM-pipeline operators: data SELECTION and semantic dedup —
+choosing pretraining candidates that look like a small high-quality
+target domain, and pruning semantically redundant ones.
 
-Public-literature basis: Xie et al. 2023, "Data Selection for Language
-Models via Importance Resampling" (DSIR) — hashed unigram+bigram bag
-features, an importance weight per document equal to the log-likelihood
-ratio of its features under the target vs raw feature distributions, and
-selection of the highest-weight candidates. This file implements the
-deterministic top-k form (the oracle-able variant: Gumbel noise would
-make the draw engine-dependent); the weights are exactly DSIR's hashed
-n-gram estimator.
+Public-literature basis, one operator per paper:
+- q148: Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling" (DSIR) — hashed unigram+bigram bag features,
+  an importance weight per document equal to the log-likelihood ratio
+  of its features under the target vs raw feature distributions, and
+  selection of the highest-weight candidates. Implemented in the
+  deterministic top-k form (the oracle-able variant: Gumbel noise would
+  make the draw engine-dependent); the weights are exactly DSIR's
+  hashed n-gram estimator.
+- q149: Abbas et al. 2023, "SemDeDup" — semantic dedup bounded by a
+  coarse k-means partition.
+- q150: Wenzek et al. 2020, "CCNet" — LM-perplexity quality scoring
+  under a model trained on the curated split.
 
 The reference (CsvLoader.java, 274 lines) has no selection surface; this
 is part of the beyond-reference training-data pipeline mandated by the
@@ -330,3 +335,223 @@ def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_dup"), F.lit(0)).cast("int").alias("is_dup"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q150: CCNet-style LM-perplexity quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _lm_perplexity_oracle() -> str:
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    tb AS (SELECT g, count(*) AS cb FROM big WHERE doc_id % 10 = 0 GROUP BY g),
+    tu AS (SELECT w, count(*) AS cu FROM uni WHERE doc_id % 10 = 0 GROUP BY w),
+    voc AS (SELECT count(*) AS v FROM tu)
+    SELECT b.doc_id, b.source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(round(ln(coalesce(tb.cb, 0) + 1.0)
+                            - ln(coalesce(tu.cu, 0) + CAST(voc.v AS DOUBLE)),
+                      9)) / count(*), 4) AS avg_nll
+    FROM big b
+    LEFT JOIN tb ON tb.g = b.g
+    LEFT JOIN tu ON tu.w = split_part(b.g, ' ', 1)
+    CROSS JOIN voc
+    WHERE b.doc_id % 10 <> 0
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "q150_lm_perplexity",
+    oracle=_lm_perplexity_oracle(),
+    tags=("quality", "selection", "llm"),
+)
+def q150_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    score every candidate document by its average negative log-likelihood
+    under an add-1-smoothed bigram LM trained on the curated target split
+    (doc_id % 10 == 0, the q132/q148 held-out convention) — CCNet's
+    'perplexity under a Wikipedia-trained KenLM' filter with the 5-gram
+    Kneser-Ney model replaced by the oracle-able bigram/add-1 estimator.
+    Per candidate bigram (p, w): nll contribution
+    -[ln(c_train(p w) + 1) - ln(c_train(p) + V)] with V = training
+    unigram vocabulary size; unseen history backs off to the uniform
+    1/V. Low avg_nll == fluent under the target domain; a pipeline
+    thresholds or buckets on it (CCNet keeps the head/middle tail).
+
+    Scale: train-side counts are two map-side-combining aggregations
+    over the CURATED split (small by construction — CCNet's LM corpus is
+    Wikipedia, not the web crawl), broadcast to the candidate scan; the
+    candidate side is one explode + two broadcast equi-joins + one
+    per-doc groupBy — linear in corpus size, nothing pairwise, no
+    feature wider than a bigram string rides the shuffle. If the
+    training split ever outgrew broadcast range the joins degrade
+    gracefully to shuffle equi-joins on the gram key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    train = d.filter(F.col("doc_id") % 10 == 0)
+    cand = d.filter(F.col("doc_id") % 10 != 0)
+    tb = (
+        train.select(F.explode(TXT.word_ngrams("text", 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    tu = (
+        train.select(F.explode(TXT.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    voc = tu.agg(F.count(F.lit(1)).alias("v"))
+    feats = (
+        cand.select(
+            "doc_id", "source", F.explode(TXT.word_ngrams("text", 2)).alias("g")
+        )
+        .withColumn("p", F.substring_index("g", " ", 1))
+        .join(F.broadcast(tb), "g", "left")
+        .join(F.broadcast(tu), F.col("p") == F.col("w"), "left")
+        .crossJoin(F.broadcast(voc))
+    )
+    nll = F.round(
+        F.log(F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+        - F.log(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v").cast("double")),
+        9,
+    )
+    return feats.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(-F.sum(nll) / F.count(F.lit(1)), 4).alias("avg_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151: Gopher repetition-removal rules (the half of A1.1 q137 doesn't cover)
+# ---------------------------------------------------------------------------
+
+#: (n, kind, threshold_pct): fraction of document characters attributable
+#: to the top-occurring n-gram ("top") or to all n-grams occurring >= 2
+#: times ("dup") must not exceed threshold_pct / 100 (Rae et al. 2021,
+#: table A1 — word-n-gram subset; the line-based rules are inapplicable
+#: to the single-line synthetic corpus and are documented out).
+REP_RULES = ((2, "top", 20), (3, "top", 18), (4, "top", 16), (5, "dup", 15), (10, "dup", 10))
+
+_REP_NS = tuple(sorted({n for n, _, _ in REP_RULES}))
+
+
+def _repetition_oracle() -> str:
+    gram_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {n} AS n,
+             unnest(list_transform(range(1, len(t) - {n} + 2),
+                    i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))) AS g
+      FROM toks WHERE len(t) >= {n}"""
+        for n in _REP_NS
+    )
+    frac_cols = ",\n           ".join(
+        f"round(coalesce(max(CASE WHEN p.n = {n} THEN p.{kind} END), 0)"
+        f" / CAST(d.n_chars AS DOUBLE), 4) AS {kind}{n}_frac"
+        for n, kind, _ in REP_RULES
+    )
+    ok_expr = " AND ".join(
+        f"coalesce(max(CASE WHEN p.n = {n} THEN p.{kind} END), 0) * 100"
+        f" <= {pct} * d.n_chars"
+        for n, kind, pct in REP_RULES
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents WHERE n_chars > 0
+    ),
+    grams AS (
+{gram_selects}
+    ),
+    cnt AS (
+      SELECT doc_id, n, g, count(*) AS c, length(g) AS l
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    p AS (
+      SELECT doc_id, n,
+             max(c * l) AS top,
+             sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT d.doc_id,
+           {frac_cols},
+           CAST(CASE WHEN {ok_expr} THEN 1 ELSE 0 END AS INTEGER) AS ok_rep
+    FROM documents d
+    LEFT JOIN p ON p.doc_id = d.doc_id
+    WHERE d.n_chars > 0
+    GROUP BY d.doc_id, d.n_chars
+    """
+
+
+@query(
+    "q151_repetition_rules",
+    oracle=_repetition_oracle(),
+    tags=("quality", "text", "llm"),
+)
+def q151_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition removal (Rae et al. 2021, A1.1 — the half the
+    q137 rule pack does not cover): per document, the fraction of
+    characters attributable to (a) the single most-repeated word n-gram
+    (n = 2, 3, 4; 'top') and (b) all word n-grams occurring at least
+    twice (n = 5, 10; 'dup'), each bounded by the paper's threshold,
+    plus the conjunction ``ok_rep`` a filter stage consumes. Character
+    attribution is occurrences x gram length (overlaps double-count, the
+    published implementations' convention — e.g. Dolma's repetitions
+    tagger); count ties in 'top' break toward more characters (max of
+    c*len — equals the paper's value except on exact count ties). The
+    line-based duplicate-line rules are inapplicable to this single-line
+    corpus and deliberately omitted. Thresholds compare as integer
+    cross-multiplications so both engines decide each flag exactly;
+    the reported fractions round to 4dp.
+
+    Scale: one explode into (doc_id, n, gram) covering all five n's,
+    one count shuffle keyed (doc_id, n, gram), one per-(doc, n) fold,
+    one pivot back to doc rows, one broadcast-free left join to the doc
+    spine — linear in corpus size, no pairwise term, gram keys never
+    exceed 10 words. This is the second-stage quality filter a real
+    pipeline runs right after the map-only q137 pack."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+
+    def _tag(n: int):
+        # NOT a two-arg lambda with a default: F.transform dispatches on
+        # lambda ARITY, so `lambda g, n=n:` silently becomes the binary
+        # (element, index) form and binds n to the array position.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    arrs = [F.transform(TXT.word_ngrams("text", n), _tag(n)) for n in _REP_NS]
+    cnt = (
+        d.select("doc_id", F.explode(F.concat(*arrs)).alias("ng"))
+        .select("doc_id", "ng.n", "ng.g")
+        .groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("chars", F.col("c") * F.length("g"))
+    )
+    per_n = cnt.groupBy("doc_id", "n").agg(
+        F.max("chars").alias("top"),
+        F.sum(F.when(F.col("c") >= 2, F.col("chars")).otherwise(0)).alias("dup"),
+    )
+    wide = per_n.groupBy("doc_id").pivot("n", list(_REP_NS)).agg(
+        F.first("top").alias("top"), F.first("dup").alias("dup")
+    )
+    out = d.select("doc_id", "n_chars").join(wide, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    ok = F.lit(True)
+    for n, kind, pct in REP_RULES:
+        chars = F.coalesce(F.col(f"{n}_{kind}"), F.lit(0))
+        cols.append(
+            F.round(chars / F.col("n_chars").cast("double"), 4).alias(
+                f"{kind}{n}_frac"
+            )
+        )
+        ok = ok & (chars * 100 <= F.lit(pct) * F.col("n_chars"))
+    cols.append(ok.cast("int").alias("ok_rep"))
+    return out.select(*cols)

@@ -1,0 +1,74 @@
+"""Properties of the r12 selection/dedup operators (llm9.py) beyond the
+oracle gate: estimator identities and keep-rule invariants the gate's
+value-hash can't state."""
+
+from pyspark.sql import functions as F
+
+from csv_loader_spark.functions.text import tokens
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.llm9 import DSIR_TOP_K, dsir_scores
+from csv_loader_spark.queries.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _split(spark):
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    return d.filter(F.col("doc_id") % 10 == 0), d.filter(F.col("doc_id") % 10 != 0)
+
+
+def test_dsir_identity_when_target_equals_raw(spark):
+    """DSIR identity: scoring a corpus against ITSELF gives every doc a
+    zero importance weight — with target == raw, per-bucket counts and
+    totals coincide, so each feature's add-1-smoothed log-likelihood
+    ratio is exactly ln(x) - ln(x) = 0 before any rounding (Xie et al.
+    2023 §2.2: the weight estimates target-vs-raw divergence)."""
+    _, raw = _split(spark)
+    out = dsir_scores(raw, raw).collect()
+    assert len(out) > 0
+    assert all(r["dsir_score"] == 0.0 for r in out)
+
+
+def test_dsir_feature_counts_match_token_arithmetic(spark):
+    """Every raw-side feature occurrence survives into the scored sum:
+    the ratio table is built from the raw bucket counts themselves, so
+    the scoring join drops nothing and n_feat == n_tok + (n_tok - 1)
+    unigram+bigram occurrences (n_tok >= 1)."""
+    target, raw = _split(spark)
+    got = {r["doc_id"]: r["n_feat"] for r in dsir_scores(target, raw).collect()}
+    exp = {
+        r["doc_id"]: r["n"] + max(r["n"] - 1, 0)
+        for r in raw.select("doc_id", F.size(tokens("text")).alias("n")).collect()
+        if r["n"] >= 1
+    }
+    assert got == exp
+
+
+def test_q148_topk_is_a_subset_of_candidates(spark):
+    """The selection returns exactly DSIR_TOP_K rows, all drawn from the
+    candidate (doc_id % 10 != 0) split, in strictly non-increasing score
+    order with the doc_id tiebreak."""
+    rows = all_specs()["q148_dsir_importance"].fn(spark, SF_DIR).collect()
+    assert len(rows) == DSIR_TOP_K
+    assert all(r["doc_id"] % 10 != 0 for r in rows)
+    keys = [(-r["dsir_score"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_q149_partition_and_keep_rule(spark):
+    """SemDeDup invariants: every embedding is assigned exactly once,
+    and each cluster's most-preferred member (the outlier — lowest
+    centroid similarity, vec_id tiebreak) has no earlier-in-preference
+    cluster-mate, so it can never be flagged as a duplicate."""
+    rows = all_specs()["q149_semdedup"].fn(spark, SF_DIR).collect()
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n_vecs
+    assert len({r["vec_id"] for r in rows}) == n_vecs
+    by_cluster = {}
+    for r in rows:
+        k = (r["centroid_sim"], r["vec_id"])
+        cur = by_cluster.get(r["cluster_id"])
+        if cur is None or k < cur[0]:
+            by_cluster[r["cluster_id"]] = (k, r["is_dup"])
+    assert all(dup == 0 for _, dup in by_cluster.values())
+    assert all(r["is_dup"] in (0, 1) for r in rows)

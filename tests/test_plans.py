@@ -540,3 +540,33 @@ def test_q149_semdedup_pairs_bounded_by_cluster_join(spark):
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cid", plan)
     assert re.search(r"BroadcastHashJoin \[u_id", plan)
     assert re.search(r"BroadcastHashJoin \[w_id", plan)
+
+
+def test_q150_lm_perplexity_is_broadcast_counts_no_pairwise(spark):
+    """The bigram-LM scorer's scale claims: train-side count tables join
+    the candidate gram stream as BROADCAST hash joins (the training
+    split is the small curated side by construction), the only
+    nested-loop join is the 1-row vocabulary-size cross-join, and
+    nothing is cartesian over documents."""
+    plan = _plan(spark, "q150_lm_perplexity")
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert re.search(r"BroadcastHashJoin \[g", plan)
+    assert re.search(r"BroadcastHashJoin \[p", plan)
+    bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(bnl) <= 1, bnl
+
+
+def test_q151_repetition_rules_single_gram_shuffle_no_pairwise(spark):
+    """Gopher repetition rules: one exploded gram stream covers all five
+    n's (one count shuffle keyed (doc_id, n, gram)), the pivot is a
+    plain aggregate, and the only join is the doc-spine attach on
+    doc_id — nothing pairwise, nothing nested-loop."""
+    plan = _plan(spark, "q151_repetition_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id", plan)
+    assert len(joins) == 1, joins
