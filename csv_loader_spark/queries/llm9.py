@@ -555,3 +555,128 @@ def q151_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok = ok & (chars * 100 <= F.lit(pct) * F.col("n_chars"))
     cols.append(ok.cast("int").alias("ok_rep"))
     return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# q152: UniMax-style token-budget mixture via closed-form water-filling
+# ---------------------------------------------------------------------------
+
+#: budget as a fraction of total corpus tokens (numerator/denominator —
+#: integer arithmetic end-to-end so both engines compute the same budget).
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 9, 10
+
+
+def _unimax_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT source,
+             sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS n
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(({MIX_BUDGET_NUM} * sum(n)) // {MIX_BUDGET_DEN} AS BIGINT) AS b,
+             count(*) AS s
+      FROM toks
+    ),
+    r AS (
+      SELECT source, CAST(n AS BIGINT) AS n,
+             row_number() OVER (ORDER BY n, source) AS rn,
+             CAST(coalesce(sum(n) OVER (ORDER BY n, source
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cumb
+      FROM toks
+    ),
+    flg AS (
+      SELECT r.source, r.n, tot.b, tot.s,
+             CASE WHEN r.n * (tot.s - r.rn + 1) <= tot.b - r.cumb
+                  THEN 1 ELSE 0 END AS sat
+      FROM r CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN sat = 1 THEN n ELSE 0 END) AS BIGINT) AS satcap,
+             CAST(sum(sat) AS BIGINT) AS nsat
+      FROM flg
+    )
+    SELECT f.source, f.n AS n_tokens, CAST(f.sat AS INTEGER) AS saturated,
+           round(CASE WHEN f.sat = 1 THEN CAST(f.n AS DOUBLE)
+                      ELSE (f.b - a.satcap) / CAST(f.s - a.nsat AS DOUBLE)
+                 END, 4) AS alloc_tokens
+    FROM flg f CROSS JOIN agg a
+    """
+
+
+@query(
+    "q152_unimax_mixture",
+    oracle=_unimax_oracle(),
+    tags=("selection", "mixing", "llm"),
+)
+def q152_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style token-budget mixture (Chung et al. 2023: allocate a
+    training budget as UNIFORMLY as possible across sources, never
+    drawing more than each source's capacity) computed in the CLOSED
+    water-filling form instead of the paper's iterative loop: with
+    sources sorted by capacity ascending, source i saturates iff
+    cap_i * slots_remaining <= budget_still_unallocated — an integer
+    cross-multiplication both engines decide exactly (the unsaturated
+    set is provably a suffix: if row k fails the test, every later,
+    larger row fails it too) — and every unsaturated source receives the
+    common waterline (B - saturated_caps) / n_unsaturated. Budget here
+    is {MIX_BUDGET_NUM}/{MIX_BUDGET_DEN} of corpus tokens with capacity
+    = one epoch, i.e. 'take small sources fully, downsample the large
+    ones to a common level' — the shape a pipeline runs to fit a token
+    target without oversampling any source.
+
+    Scale: per-source token counts are one map-side-combining
+    aggregation over the corpus; everything after operates on the
+    <= |sources|-row frame, where the single-partition window is over a
+    few hundred rows at most (the q121 quota-frame convention) — the
+    100 TB cost is the one corpus scan."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum(TXT.token_count("text")).alias("n"))
+    )
+    tot = toks.agg(
+        F.expr(
+            f"CAST(({MIX_BUDGET_NUM} * sum(n)) div {MIX_BUDGET_DEN} AS BIGINT)"
+        ).alias("b"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    w = W.orderBy("n", "source")
+    r = toks.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.row_number().over(w).alias("rn"),
+        F.coalesce(
+            F.sum("n").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).cast("long").alias("cumb"),
+    )
+    flg = r.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "b",
+        "s",
+        (F.col("n") * (F.col("s") - F.col("rn") + 1) <= F.col("b") - F.col("cumb"))
+        .cast("int")
+        .alias("sat"),
+    )
+    agg = flg.agg(
+        F.sum(F.when(F.col("sat") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("satcap"),
+        F.sum("sat").cast("long").alias("nsat"),
+    )
+    return flg.crossJoin(F.broadcast(agg)).select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("sat").alias("saturated"),
+        F.round(
+            F.when(F.col("sat") == 1, F.col("n").cast("double")).otherwise(
+                (F.col("b") - F.col("satcap"))
+                / (F.col("s") - F.col("nsat")).cast("double")
+            ),
+            4,
+        ).alias("alloc_tokens"),
+    )

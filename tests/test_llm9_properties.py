@@ -72,3 +72,23 @@ def test_q149_partition_and_keep_rule(spark):
             by_cluster[r["cluster_id"]] = (k, r["is_dup"])
     assert all(dup == 0 for _, dup in by_cluster.values())
     assert all(r["is_dup"] in (0, 1) for r in rows)
+
+
+def test_q152_water_filling_invariants(spark):
+    """UniMax water-filling identities: (a) no source exceeds its
+    capacity, (b) unsaturated sources share one common waterline that is
+    at least every saturated capacity, (c) the allocation exhausts the
+    budget exactly: Σ alloc == floor(9/10 · total_tokens) up to the 4dp
+    rounding of the waterline shares."""
+    rows = all_specs()["q152_unimax_mixture"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    total = sum(r["n_tokens"] for r in rows)
+    budget = (9 * total) // 10
+    assert all(r["alloc_tokens"] <= r["n_tokens"] + 1e-6 for r in rows)
+    levels = {r["alloc_tokens"] for r in rows if r["saturated"] == 0}
+    sat_caps = [r["n_tokens"] for r in rows if r["saturated"] == 1]
+    assert len(levels) <= 1
+    if levels and sat_caps:
+        assert max(sat_caps) <= next(iter(levels)) + 1e-6
+    got = sum(r["alloc_tokens"] for r in rows)
+    assert abs(got - budget) <= 0.0001 * max(len(rows), 1)

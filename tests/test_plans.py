@@ -570,3 +570,17 @@ def test_q151_repetition_rules_single_gram_shuffle_no_pairwise(spark):
 
     joins = re.findall(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id", plan)
     assert len(joins) == 1, joins
+
+
+def test_q152_unimax_single_corpus_scan_then_tiny_frame(spark):
+    """The mixture solver's 100 TB cost is the one per-source token
+    count; everything downstream is the <= |sources|-row frame — the
+    only nested-loop joins are broadcast 1-row cross-joins (budget
+    totals and the saturation aggregate; the totals join appears twice
+    because the final projection re-reads the flagged frame)."""
+    plan = _plan(spark, "q152_unimax_mixture")
+    assert "CartesianProduct" not in plan
+    import re
+
+    bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(bnl) <= 3, bnl
