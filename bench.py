@@ -101,6 +101,7 @@ R12_OPS = (
     "q150_lm_perplexity",
     "q151_repetition_rules",
     "q152_unimax_mixture",
+    "q153_ccnet_buckets",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

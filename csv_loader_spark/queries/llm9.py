@@ -341,15 +341,17 @@ def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lm_perplexity_oracle() -> str:
-    return r"""
-    WITH toks AS (
-      SELECT doc_id, source,
+def _lm_scored_sql(carry: str) -> str:
+    """Shared oracle CTE chain ending in ``scored`` — per-candidate-doc
+    (doc_id, {carry}, n_bigrams, avg_nll) under the curated-split bigram
+    LM (q150's estimator; q153 reuses it with a different carry column)."""
+    return rf"""toks AS (
+      SELECT doc_id, {carry},
              string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
     big AS (
-      SELECT doc_id, source,
+      SELECT doc_id, {carry},
              unnest(list_transform(range(1, len(t)),
                                    i -> t[i] || ' ' || t[i+1])) AS g
       FROM toks WHERE len(t) >= 2
@@ -357,18 +359,26 @@ def _lm_perplexity_oracle() -> str:
     uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
     tb AS (SELECT g, count(*) AS cb FROM big WHERE doc_id % 10 = 0 GROUP BY g),
     tu AS (SELECT w, count(*) AS cu FROM uni WHERE doc_id % 10 = 0 GROUP BY w),
-    voc AS (SELECT count(*) AS v FROM tu)
-    SELECT b.doc_id, b.source,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(-sum(round(ln(coalesce(tb.cb, 0) + 1.0)
-                            - ln(coalesce(tu.cu, 0) + CAST(voc.v AS DOUBLE)),
-                      9)) / count(*), 4) AS avg_nll
-    FROM big b
-    LEFT JOIN tb ON tb.g = b.g
-    LEFT JOIN tu ON tu.w = split_part(b.g, ' ', 1)
-    CROSS JOIN voc
-    WHERE b.doc_id % 10 <> 0
-    GROUP BY 1, 2
+    voc AS (SELECT count(*) AS v FROM tu),
+    scored AS (
+      SELECT b.doc_id, b.{carry},
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-sum(round(ln(coalesce(tb.cb, 0) + 1.0)
+                              - ln(coalesce(tu.cu, 0) + CAST(voc.v AS DOUBLE)),
+                        9)) / count(*), 4) AS avg_nll
+      FROM big b
+      LEFT JOIN tb ON tb.g = b.g
+      LEFT JOIN tu ON tu.w = split_part(b.g, ' ', 1)
+      CROSS JOIN voc
+      WHERE b.doc_id % 10 <> 0
+      GROUP BY 1, 2
+    )"""
+
+
+def _lm_perplexity_oracle() -> str:
+    return f"""
+    WITH {_lm_scored_sql("source")}
+    SELECT doc_id, source, n_bigrams, avg_nll FROM scored
     """
 
 
@@ -398,7 +408,15 @@ def q150_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature wider than a bigram string rides the shuffle. If the
     training split ever outgrew broadcast range the joins degrade
     gracefully to shuffle equi-joins on the gram key."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return lm_nll_scores(spark, sf_dir, carry="source")
+
+
+def lm_nll_scores(spark: SparkSession, sf_dir: str, carry: str) -> DataFrame:
+    """q150's scorer body, shared with q153: per candidate doc
+    (doc_id, {carry}, n_bigrams, avg_nll) under the curated-split
+    add-1 bigram LM. See :func:`q150_lm_perplexity` for semantics and
+    the scale adjudication."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", carry, "text")
     train = d.filter(F.col("doc_id") % 10 == 0)
     cand = d.filter(F.col("doc_id") % 10 != 0)
     tb = (
@@ -414,7 +432,7 @@ def q150_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     voc = tu.agg(F.count(F.lit(1)).alias("v"))
     feats = (
         cand.select(
-            "doc_id", "source", F.explode(TXT.word_ngrams("text", 2)).alias("g")
+            "doc_id", carry, F.explode(TXT.word_ngrams("text", 2)).alias("g")
         )
         .withColumn("p", F.substring_index("g", " ", 1))
         .join(F.broadcast(tb), "g", "left")
@@ -426,9 +444,58 @@ def q150_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.log(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v").cast("double")),
         9,
     )
-    return feats.groupBy("doc_id", "source").agg(
+    return feats.groupBy("doc_id", carry).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(-F.sum(nll) / F.count(F.lit(1)), 4).alias("avg_nll"),
+    )
+
+
+def _ccnet_buckets_oracle() -> str:
+    return f"""
+    WITH {_lm_scored_sql("lang")}
+    SELECT doc_id, lang, avg_nll,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+    FROM scored
+    """
+
+
+@query(
+    "q153_ccnet_buckets",
+    oracle=_ccnet_buckets_oracle(),
+    tags=("quality", "selection", "llm"),
+)
+def q153_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4.4): within
+    each LANGUAGE, split the candidate documents into equal thirds by
+    their LM score — 'head' (most fluent under the curated-domain LM),
+    'middle', 'tail' — the partition CCNet publishes per language so a
+    consumer can choose head-only, head+middle, etc. Scores come from
+    :func:`lm_nll_scores` (q150's estimator); the split is an exact
+    ntile(3) over (avg_nll, doc_id) — deterministic because the sort
+    key is unique per partition.
+
+    Scale: the scorer is q150's linear pipeline; the bucketing adds one
+    window partitioned by language. Exact ntile implies a per-language
+    sort — at 100 TB one replaces it with CCNet's actual mechanism
+    (fixed thresholds read off a per-language score HISTOGRAM, one
+    aggregation + a map-only bucket assignment); the ntile form is the
+    exact semantic the histogram approximates, and per-language skew is
+    bounded by the corpus's language mix."""
+    from pyspark.sql import Window as W
+
+    scored = lm_nll_scores(spark, sf_dir, carry="lang")
+    w = W.partitionBy("lang").orderBy("avg_nll", "doc_id")
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
     )
 
 

@@ -92,3 +92,23 @@ def test_q152_water_filling_invariants(spark):
         assert max(sat_caps) <= next(iter(levels)) + 1e-6
     got = sum(r["alloc_tokens"] for r in rows)
     assert abs(got - budget) <= 0.0001 * max(len(rows), 1)
+
+
+def test_q153_buckets_are_balanced_and_ordered(spark):
+    """CCNet bucketing invariants per language: the three buckets are
+    equal thirds (sizes differ by at most 1) and are ORDERED — every
+    head doc sorts strictly before every middle doc, every middle
+    before every tail, under the (avg_nll, doc_id) key."""
+    rows = all_specs()["q153_ccnet_buckets"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {}).setdefault(r["ppl_bucket"], []).append(
+            (r["avg_nll"], r["doc_id"])
+        )
+    for lang, buckets in by_lang.items():
+        sizes = [len(buckets.get(b, [])) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        for lo, hi in (("head", "middle"), ("middle", "tail")):
+            if buckets.get(lo) and buckets.get(hi):
+                assert max(buckets[lo]) < min(buckets[hi]), lang
