@@ -300,8 +300,6 @@ def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry ONLY ids + the precedence scalar; vectors re-attach by id
     equi-join before the one dot-product filter (q55's
     wide-arrays-never-ride-the-shuffle discipline)."""
-    from pyspark.sql import Window as W
-
     from csv_loader_spark.functions.ivf_centroids import CENTROIDS
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -312,15 +310,27 @@ def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, c) for i, c in enumerate(CENTROIDS)], "cid INT, cv ARRAY<DOUBLE>"
     ).withColumn("cn", VEC.norm("cv"))
     csim = VEC.dot("v", "cv") / (F.col("nrm") * F.col("cn"))
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    assign = (
+    # nearest-centroid argmax as a partially-aggregating max(struct) —
+    # (csim desc, cid asc) encoded as lexicographic (csim, -cid) — NOT a
+    # row_number window: the groupBy combines map-side so no (vec, csim)
+    # row ever rides the shuffle per centroid, where the window form
+    # shuffles and sorts all |vecs| x k assignment rows.
+    best = (
         n.crossJoin(F.broadcast(cent))
-        .withColumn("csim", csim)
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cid", "csim")
-        .localCheckpoint(eager=False)
+        .select(
+            "vec_id",
+            F.struct(
+                csim.alias("csim"), (-F.col("cid")).alias("nc")
+            ).alias("cand"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("cand").alias("m"))
     )
+    assign = best.select(
+        "vec_id",
+        (-F.col("m.nc")).cast("int").alias("cid"),
+        F.col("m.csim").alias("csim"),
+    ).localCheckpoint(eager=False)
     u = assign.select(
         F.col("vec_id").alias("u_id"), "cid", F.col("csim").alias("u_csim")
     )
