@@ -102,6 +102,7 @@ R12_OPS = (
     "q151_repetition_rules",
     "q152_unimax_mixture",
     "q153_ccnet_buckets",
+    "q154_curation_capstone",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -371,17 +371,20 @@ def q149_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lm_scored_sql(carry: str) -> str:
+def _lm_scored_sql(*carry: str) -> str:
     """Shared oracle CTE chain ending in ``scored`` — per-candidate-doc
-    (doc_id, {carry}, n_bigrams, avg_nll) under the curated-split bigram
-    LM (q150's estimator; q153 reuses it with a different carry column)."""
+    (doc_id, *carry, n_bigrams, avg_nll) under the curated-split bigram
+    LM (q150's estimator; q153/q154 reuse it with other carry columns)."""
+    cs = ", ".join(carry)
+    qcs = ", ".join(f"b.{c}" for c in carry)
+    grp = ", ".join(str(i + 1) for i in range(1 + len(carry)))
     return rf"""toks AS (
-      SELECT doc_id, {carry},
+      SELECT doc_id, {cs},
              string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
     big AS (
-      SELECT doc_id, {carry},
+      SELECT doc_id, {cs},
              unnest(list_transform(range(1, len(t)),
                                    i -> t[i] || ' ' || t[i+1])) AS g
       FROM toks WHERE len(t) >= 2
@@ -391,7 +394,7 @@ def _lm_scored_sql(carry: str) -> str:
     tu AS (SELECT w, count(*) AS cu FROM uni WHERE doc_id % 10 = 0 GROUP BY w),
     voc AS (SELECT count(*) AS v FROM tu),
     scored AS (
-      SELECT b.doc_id, b.{carry},
+      SELECT b.doc_id, {qcs},
              CAST(count(*) AS BIGINT) AS n_bigrams,
              round(-sum(round(ln(coalesce(tb.cb, 0) + 1.0)
                               - ln(coalesce(tu.cu, 0) + CAST(voc.v AS DOUBLE)),
@@ -401,7 +404,7 @@ def _lm_scored_sql(carry: str) -> str:
       LEFT JOIN tu ON tu.w = split_part(b.g, ' ', 1)
       CROSS JOIN voc
       WHERE b.doc_id % 10 <> 0
-      GROUP BY 1, 2
+      GROUP BY {grp}
     )"""
 
 
@@ -438,15 +441,15 @@ def q150_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature wider than a bigram string rides the shuffle. If the
     training split ever outgrew broadcast range the joins degrade
     gracefully to shuffle equi-joins on the gram key."""
-    return lm_nll_scores(spark, sf_dir, carry="source")
+    return lm_nll_scores(spark, sf_dir, "source")
 
 
-def lm_nll_scores(spark: SparkSession, sf_dir: str, carry: str) -> DataFrame:
-    """q150's scorer body, shared with q153: per candidate doc
-    (doc_id, {carry}, n_bigrams, avg_nll) under the curated-split
+def lm_nll_scores(spark: SparkSession, sf_dir: str, *carry: str) -> DataFrame:
+    """q150's scorer body, shared with q153/q154: per candidate doc
+    (doc_id, *carry, n_bigrams, avg_nll) under the curated-split
     add-1 bigram LM. See :func:`q150_lm_perplexity` for semantics and
     the scale adjudication."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", carry, "text")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", *carry, "text")
     train = d.filter(F.col("doc_id") % 10 == 0)
     cand = d.filter(F.col("doc_id") % 10 != 0)
     tb = (
@@ -462,7 +465,7 @@ def lm_nll_scores(spark: SparkSession, sf_dir: str, carry: str) -> DataFrame:
     voc = tu.agg(F.count(F.lit(1)).alias("v"))
     feats = (
         cand.select(
-            "doc_id", carry, F.explode(TXT.word_ngrams("text", 2)).alias("g")
+            "doc_id", *carry, F.explode(TXT.word_ngrams("text", 2)).alias("g")
         )
         .withColumn("p", F.substring_index("g", " ", 1))
         .join(F.broadcast(tb), "g", "left")
@@ -474,7 +477,7 @@ def lm_nll_scores(spark: SparkSession, sf_dir: str, carry: str) -> DataFrame:
         - F.log(F.coalesce(F.col("cu"), F.lit(0)) + F.col("v").cast("double")),
         9,
     )
-    return feats.groupBy("doc_id", carry).agg(
+    return feats.groupBy("doc_id", *carry).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(-F.sum(nll) / F.count(F.lit(1)), 4).alias("avg_nll"),
     )
@@ -515,7 +518,7 @@ def q153_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the corpus's language mix."""
     from pyspark.sql import Window as W
 
-    scored = lm_nll_scores(spark, sf_dir, carry="lang")
+    scored = lm_nll_scores(spark, sf_dir, "lang")
     w = W.partitionBy("lang").orderBy("avg_nll", "doc_id")
     nt = F.ntile(3).over(w)
     return scored.select(
@@ -663,42 +666,54 @@ def q151_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_BUDGET_NUM, MIX_BUDGET_DEN = 9, 10
 
 
-def _unimax_oracle() -> str:
-    return rf"""
-    WITH toks AS (
-      SELECT source,
-             sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS n
-      FROM documents GROUP BY source
-    ),
-    tot AS (
+def _water_fill_sql(cte: str) -> str:
+    """Water-filling CTE fragment over an input CTE ``{cte}(source, n)``
+    (n = BIGINT capacity). Emits wf_tot/wf_r/wf_flg/wf_agg and the final
+    ``wf(source, n, saturated, alloc_tokens)`` — q152's exact arithmetic,
+    shared with q154's capstone."""
+    return f"""wf_tot AS (
       SELECT CAST(({MIX_BUDGET_NUM} * sum(n)) // {MIX_BUDGET_DEN} AS BIGINT) AS b,
              count(*) AS s
-      FROM toks
+      FROM {cte}
     ),
-    r AS (
-      SELECT source, CAST(n AS BIGINT) AS n,
+    wf_r AS (
+      SELECT source, n,
              row_number() OVER (ORDER BY n, source) AS rn,
              CAST(coalesce(sum(n) OVER (ORDER BY n, source
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS cumb
-      FROM toks
+      FROM {cte}
     ),
-    flg AS (
-      SELECT r.source, r.n, tot.b, tot.s,
-             CASE WHEN r.n * (tot.s - r.rn + 1) <= tot.b - r.cumb
+    wf_flg AS (
+      SELECT wf_r.source, wf_r.n, wf_tot.b, wf_tot.s,
+             CASE WHEN wf_r.n * (wf_tot.s - wf_r.rn + 1) <= wf_tot.b - wf_r.cumb
                   THEN 1 ELSE 0 END AS sat
-      FROM r CROSS JOIN tot
+      FROM wf_r CROSS JOIN wf_tot
     ),
-    agg AS (
+    wf_agg AS (
       SELECT CAST(sum(CASE WHEN sat = 1 THEN n ELSE 0 END) AS BIGINT) AS satcap,
              CAST(sum(sat) AS BIGINT) AS nsat
-      FROM flg
-    )
-    SELECT f.source, f.n AS n_tokens, CAST(f.sat AS INTEGER) AS saturated,
-           round(CASE WHEN f.sat = 1 THEN CAST(f.n AS DOUBLE)
-                      ELSE (f.b - a.satcap) / CAST(f.s - a.nsat AS DOUBLE)
-                 END, 4) AS alloc_tokens
-    FROM flg f CROSS JOIN agg a
+      FROM wf_flg
+    ),
+    wf AS (
+      SELECT f.source, f.n, CAST(f.sat AS INTEGER) AS saturated,
+             round(CASE WHEN f.sat = 1 THEN CAST(f.n AS DOUBLE)
+                        ELSE (f.b - a.satcap) / CAST(f.s - a.nsat AS DOUBLE)
+                   END, 4) AS alloc_tokens
+      FROM wf_flg f CROSS JOIN wf_agg a
+    )"""
+
+
+def _unimax_oracle() -> str:
+    return rf"""
+    WITH toks AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+                  AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    {_water_fill_sql("toks")}
+    SELECT source, n AS n_tokens, saturated, alloc_tokens FROM wf
     """
 
 
@@ -728,13 +743,26 @@ def q152_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= |sources|-row frame, where the single-partition window is over a
     few hundred rows at most (the q121 quota-frame convention) — the
     100 TB cost is the one corpus scan."""
-    from pyspark.sql import Window as W
-
     toks = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
-        .agg(F.sum(TXT.token_count("text")).alias("n"))
+        .agg(F.sum(TXT.token_count("text")).cast("long").alias("n"))
     )
+    return water_fill(toks).select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "saturated",
+        "alloc_tokens",
+    )
+
+
+def water_fill(toks: DataFrame) -> DataFrame:
+    """q152's closed-form water-filling over a tiny (source, n:long)
+    capacity frame; returns (source, n, saturated, alloc_tokens). Shared
+    with q154's capstone. See :func:`q152_unimax_mixture` for the
+    saturation-suffix proof and the scale adjudication."""
+    from pyspark.sql import Window as W
+
     tot = toks.agg(
         F.expr(
             f"CAST(({MIX_BUDGET_NUM} * sum(n)) div {MIX_BUDGET_DEN} AS BIGINT)"
@@ -767,7 +795,7 @@ def q152_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flg.crossJoin(F.broadcast(agg)).select(
         "source",
-        F.col("n").alias("n_tokens"),
+        "n",
         F.col("sat").alias("saturated"),
         F.round(
             F.when(F.col("sat") == 1, F.col("n").cast("double")).otherwise(
@@ -776,4 +804,226 @@ def q152_unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("alloc_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154: the model-based curation capstone (rules -> LM buckets -> budget)
+# ---------------------------------------------------------------------------
+
+
+def _gopher_ok_sql() -> str:
+    """CTE fragment (reads the shared ``toks``): ``gop(doc_id, n_tok)``
+    = candidate docs passing q137's four Gopher base rules; constants
+    imported from llm8 so the capstone cannot drift from q137."""
+    from csv_loader_spark.functions.text import STOPWORDS
+    from csv_loader_spark.queries.llm8 import (
+        _G_ALPHA_DEN,
+        _G_ALPHA_NUM,
+        _G_MAX_MWL,
+        _G_MAX_WORDS,
+        _G_MIN_MWL,
+        _G_MIN_STOP,
+        _G_MIN_WORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""gfeats AS (
+      SELECT doc_id,
+             len(t) AS n_tok,
+             list_sum(list_transform(t, x -> len(x))) AS sum_len,
+             len(list_filter(t, x -> x IN ({stops}))) AS n_stop,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM toks
+    ),
+    gop AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok
+      FROM gfeats
+      WHERE n_tok BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}
+        AND sum_len >= {_G_MIN_MWL} * n_tok
+        AND sum_len <= {_G_MAX_MWL} * n_tok
+        AND n_stop >= {_G_MIN_STOP}
+        AND {_G_ALPHA_DEN} * n_alpha >= {_G_ALPHA_NUM} * n_tok
+    )"""
+
+
+def _rep_ok_sql() -> str:
+    """CTE fragment (reads the shared ``toks`` + documents for n_chars):
+    ``rep(doc_id)`` = docs passing q151's five repetition rules; built
+    from the same REP_RULES constants as q151."""
+    gram_selects = "\n      UNION ALL\n".join(
+        f"""      SELECT doc_id, {n} AS n,
+             unnest(list_transform(range(1, len(t) - {n} + 2),
+                    i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))) AS g
+      FROM toks WHERE len(t) >= {n}"""
+        for n in _REP_NS
+    )
+    ok_expr = " AND ".join(
+        f"coalesce(max(CASE WHEN rp.n = {n} THEN rp.{kind} END), 0) * 100"
+        f" <= {pct} * d.n_chars"
+        for n, kind, pct in REP_RULES
+    )
+    return f"""rgrams AS (
+{gram_selects}
+    ),
+    rcnt AS (
+      SELECT doc_id, n, g, count(*) AS c, length(g) AS l
+      FROM rgrams GROUP BY 1, 2, 3
+    ),
+    rp AS (
+      SELECT doc_id, n,
+             max(c * l) AS top,
+             sum(CASE WHEN c >= 2 THEN c * l ELSE 0 END) AS dup
+      FROM rcnt GROUP BY 1, 2
+    ),
+    rep AS (
+      SELECT d.doc_id
+      FROM documents d
+      LEFT JOIN rp ON rp.doc_id = d.doc_id
+      WHERE d.n_chars > 0
+      GROUP BY d.doc_id, d.n_chars
+      HAVING {ok_expr}
+    )"""
+
+
+def _capstone_oracle() -> str:
+    return f"""
+    WITH {_lm_scored_sql("source", "lang")},
+    {_gopher_ok_sql()},
+    {_rep_ok_sql()},
+    surv AS (
+      SELECT s.doc_id, s.source, s.lang, g.n_tok, s.avg_nll
+      FROM scored s
+      JOIN gop g ON g.doc_id = s.doc_id
+      JOIN rep r ON r.doc_id = s.doc_id
+    ),
+    bkt AS (
+      SELECT surv.*,
+             ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS nt
+      FROM surv
+    ),
+    kept AS (SELECT * FROM bkt WHERE nt <= 2),
+    c_all AS (
+      SELECT source, count(*) AS n_docs
+      FROM documents WHERE doc_id % 10 <> 0 GROUP BY source
+    ),
+    c_rules AS (SELECT source, count(*) AS nr FROM surv GROUP BY source),
+    c_kept AS (SELECT source, count(*) AS nk FROM kept GROUP BY source),
+    wtoks AS (
+      SELECT a.source, CAST(coalesce(sum(k.n_tok), 0) AS BIGINT) AS n
+      FROM c_all a LEFT JOIN kept k ON k.source = a.source
+      GROUP BY a.source
+    ),
+    {_water_fill_sql("wtoks")}
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(r.nr, 0) AS BIGINT) AS n_rules_pass,
+           CAST(coalesce(k.nk, 0) AS BIGINT) AS n_kept,
+           w.n AS n_tokens_kept,
+           w.saturated,
+           w.alloc_tokens
+    FROM c_all a
+    LEFT JOIN c_rules r ON r.source = a.source
+    LEFT JOIN c_kept k ON k.source = a.source
+    JOIN wf w ON w.source = a.source
+    """
+
+
+@query(
+    "q154_curation_capstone",
+    oracle=_capstone_oracle(),
+    tags=("curation", "quality", "selection", "mixing", "llm"),
+)
+def q154_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-BASED curation tier composed end-to-end — the r12
+    counterpart of q132's rule-based admission manifest, mirroring the
+    published pipeline order (RefinedWeb/Dolma: heuristic filters, then
+    model-based quality, then mixing): (1) candidates (doc_id % 10 != 0)
+    pass q137's four Gopher base rules AND q151's five repetition rules;
+    (2) survivors are scored by q150's curated-split bigram LM and
+    bucketed per language by q153's ntile(3); the 'tail' third is
+    dropped; (3) the kept documents' tokens are allocated across sources
+    by q152's UniMax water-filling. Emits one row per source: docs in,
+    rules survivors, head+middle kept, kept tokens, and the budgeted
+    allocation — the manifest a pipeline owner reads before launching
+    tokenization.
+
+    Every stage reuses the exact constants/helpers of its standalone
+    query (llm8 Gopher constants, REP_RULES, lm_nll_scores,
+    water_fill), so the capstone proves the operators COMPOSE without
+    semantic drift; each stage is individually oracle-gated and the
+    composition is gated here.
+
+    Scale: union of the stages' own adjudications — every rule and the
+    scorer are linear corpus scans with broadcast side tables, the
+    bucketing is the per-language sort (histogram thresholds at 100 TB,
+    see q153), the allocation runs on the |sources|-row frame. Joins
+    between stages are doc_id equi-joins carrying scalars only."""
+    from csv_loader_spark.functions.text import STOPWORDS
+    from csv_loader_spark.queries.llm8 import (
+        _G_ALPHA_DEN,
+        _G_ALPHA_NUM,
+        _G_MAX_MWL,
+        _G_MAX_WORDS,
+        _G_MIN_MWL,
+        _G_MIN_STOP,
+        _G_MIN_WORDS,
+    )
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = d.filter(F.col("doc_id") % 10 != 0)
+
+    t = TXT.tokens("text")
+    gfeats = cand.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("sum_len"),
+        F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).alias("n_alpha"),
+    )
+    gop = gfeats.filter(
+        F.col("n_tok").between(_G_MIN_WORDS, _G_MAX_WORDS)
+        & (F.col("sum_len") >= _G_MIN_MWL * F.col("n_tok"))
+        & (F.col("sum_len") <= _G_MAX_MWL * F.col("n_tok"))
+        & (F.col("n_stop") >= _G_MIN_STOP)
+        & (_G_ALPHA_DEN * F.col("n_alpha") >= _G_ALPHA_NUM * F.col("n_tok"))
+    ).select("doc_id", F.col("n_tok").cast("long").alias("n_tok"))
+
+    rep = (
+        q151_repetition_rules(spark, sf_dir)
+        .filter(F.col("ok_rep") == 1)
+        .select("doc_id")
+    )
+
+    scored = lm_nll_scores(spark, sf_dir, "source", "lang")
+    surv = scored.join(gop, "doc_id").join(rep, "doc_id")
+    nt = F.ntile(3).over(W.partitionBy("lang").orderBy("avg_nll", "doc_id"))
+    kept = surv.withColumn("nt", nt).filter(F.col("nt") <= 2)
+
+    c_all = cand.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    c_rules = surv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    c_kept = kept.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nk"))
+    wtoks = (
+        c_all.join(
+            kept.groupBy("source").agg(F.sum("n_tok").alias("kt")), "source", "left"
+        )
+        .select("source", F.coalesce(F.col("kt"), F.lit(0)).cast("long").alias("n"))
+    )
+    wf = water_fill(wtoks)
+    return (
+        c_all.join(c_rules, "source", "left")
+        .join(c_kept, "source", "left")
+        .join(wf, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("nr"), F.lit(0)).alias("n_rules_pass"),
+            F.coalesce(F.col("nk"), F.lit(0)).alias("n_kept"),
+            F.col("n").alias("n_tokens_kept"),
+            "saturated",
+            "alloc_tokens",
+        )
     )

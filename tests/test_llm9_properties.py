@@ -112,3 +112,29 @@ def test_q153_buckets_are_balanced_and_ordered(spark):
         for lo, hi in (("head", "middle"), ("middle", "tail")):
             if buckets.get(lo) and buckets.get(hi):
                 assert max(buckets[lo]) < min(buckets[hi]), lang
+
+
+def test_q154_capstone_counts_nest_and_conserve_budget(spark):
+    """Capstone invariants: per source n_kept <= n_rules_pass <= n_docs;
+    the rules-survivor total equals the independently recomputed
+    q137-AND-q151 intersection over candidates; and the allocation
+    conserves the 9/10 budget over kept tokens."""
+    rows = all_specs()["q154_curation_capstone"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_rules_pass"] <= r["n_docs"]
+    gop = {
+        r["doc_id"]
+        for r in all_specs()["q137_gopher_rules"].fn(spark, SF_DIR).collect()
+        if r["ok_all"] and r["doc_id"] % 10 != 0
+    }
+    rep = {
+        r["doc_id"]
+        for r in all_specs()["q151_repetition_rules"].fn(spark, SF_DIR).collect()
+        if r["ok_rep"] == 1 and r["doc_id"] % 10 != 0
+    }
+    assert sum(r["n_rules_pass"] for r in rows) == len(gop & rep)
+    total_kept = sum(r["n_tokens_kept"] for r in rows)
+    budget = (9 * total_kept) // 10
+    got = sum(r["alloc_tokens"] for r in rows)
+    assert abs(got - budget) <= 0.0001 * max(len(rows), 1)

@@ -584,3 +584,18 @@ def test_q152_unimax_single_corpus_scan_then_tiny_frame(spark):
 
     bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
     assert len(bnl) <= 3, bnl
+
+
+def test_q154_capstone_composes_without_pairwise_joins(spark):
+    """The capstone chains four oracle-gated stages; every inter-stage
+    join is a doc_id/source equi-join and the only nested-loop joins
+    are 1-row scalar broadcasts (LM vocabulary size, water-fill totals
+    and saturation aggregate) — their count is inflated because the
+    four manifest branches each re-read the survivor subtree (heavy
+    exchanges dedup via ReuseExchange; the 1-row cross-joins do not)."""
+    plan = _plan(spark, "q154_curation_capstone")
+    assert "CartesianProduct" not in plan
+    import re
+
+    bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
+    assert len(bnl) <= 12, bnl
