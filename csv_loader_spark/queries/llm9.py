@@ -15,6 +15,13 @@ Public-literature basis, one operator per paper:
   coarse k-means partition.
 - q150: Wenzek et al. 2020, "CCNet" — LM-perplexity quality scoring
   under a model trained on the curated split.
+- q151: Rae et al. 2021, "Gopher" appendix A1.1 — the repetition-removal
+  rules (top-n-gram and duplicate-n-gram character fractions).
+- q152: Chung et al. 2023, "UniMax" — token-budget mixture allocation,
+  computed in closed water-filling form.
+- q153: CCNet §4.4 — per-language head/middle/tail perplexity buckets.
+- q154: the model-based curation tier composed end-to-end (RefinedWeb/
+  Dolma pipeline order), one manifest row per source.
 
 The reference (CsvLoader.java, 274 lines) has no selection surface; this
 is part of the beyond-reference training-data pipeline mandated by the

@@ -20,6 +20,26 @@ from csv_loader_spark.session import get_spark  # noqa: E402
 # the one we'd want. Keep these with the generator so regeneration
 # preserves them.
 NOTES = {
+    "q151_repetition_rules": (
+        "**The crossover query (r12).** One exploded gram stream covers all "
+        "five n's, one count shuffle keyed (doc_id, n, gram), a per-(doc, n) "
+        "fold, a pivot back to doc rows, and integer cross-multiplied "
+        "thresholds. At sf0.1 Spark (0.70 s) already beats the DuckDB oracle "
+        "(0.98 s) — the first r12 operator past the per-stage floor — and "
+        "x10 data grows Spark 0.9x vs DuckDB 10.5x "
+        "(SCALING.json r12_ops_scaling)."
+    ),
+    "q154_curation_capstone": (
+        "**The model-based curation tier, composed (r12).** Gopher base + "
+        "repetition rules, then the curated-split bigram-LM scores with "
+        "per-language ntile buckets (tail dropped), then UniMax "
+        "water-filling over kept tokens. Every inter-stage join is a "
+        "doc_id/source equi-join carrying scalars; the only nested-loop "
+        "joins are 1-row scalar broadcasts (their count reflects the four "
+        "manifest branches re-reading the survivor subtree — heavy "
+        "exchanges dedup via ReuseExchange, 1-row cross-joins do not). "
+        "Warm sf0.1 cost 2.6 s, cheaper than the rule-based q132 manifest."
+    ),
     "q21_monthly_orders": (
         "**Floor query — ratio is fixed cost, not plan waste (r7 note).** "
         "The worst bench ratios belong to the tiniest queries, and this is "
