@@ -1,17 +1,21 @@
-"""Iterative graph op: connected components by min-label propagation.
+"""Iterative graph ops: connected components and fixed-point PageRank.
 
-The dedup pipeline's last step: near-dup PAIRS (from MinHash/SimHash/
-Jaccard) → duplicate CLUSTERS (keep one doc per component). This is the
-canonical iterative DataFrame algorithm — no single SQL expression computes
-transitive closure, so we iterate to a fixpoint.
+Connected components is the dedup pipeline's last step: near-dup PAIRS
+(from MinHash/SimHash/Jaccard) → duplicate CLUSTERS (keep one doc per
+component). PageRank ranks nodes by link structure (Brin & Page 1998,
+"The Anatomy of a Large-Scale Hypertextual Web Search Engine") — the
+training-data use is domain/document authority scoring for curation
+(e.g. quality-weighting a crawl by its link graph). Both are the
+canonical iterative DataFrame algorithm — no single SQL expression
+computes them, so we iterate.
 
 Scale notes:
 - each iteration is one shuffle (join on node) + one aggregation; rounds
-  needed = graph diameter (near-dup clusters are shallow, ~2-4 rounds);
+  needed = graph diameter for components, a FIXED count for PageRank;
 - ``localCheckpoint`` every round truncates the lineage — without it the
   plan doubles per iteration and the optimizer chokes by round ~10;
-- convergence test is a cheap driver-side aggregate (sum of labels is
-  monotonically decreasing, so equality == fixpoint).
+- components' convergence test is a cheap driver-side aggregate (sum of
+  labels is monotonically decreasing, so equality == fixpoint).
 """
 
 from __future__ import annotations
@@ -88,3 +92,71 @@ def connected_components(
             "max_iterations or pre-contract the chains"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """PageRank over a directed edge list in EXACT integer arithmetic.
+
+    Ranks live in fixed-point units of 1/``scale``; every step is integer
+    multiply / integer division (``div``), so the result is bit-identical
+    across engines and runs — no float summation-order hazard — which is
+    what makes the op oracle-checkable (q160). The recurrence per round:
+
+        contrib(u) = pr(u) div out_deg(u)            -- u's per-edge share
+        pr'(v) = (scale*(den-num)) div den
+                 + (num * sum_{u->v} contrib(u)) div den
+
+    i.e. the standard damped power iteration with d = num/den (default
+    0.85), floored at each division. Dangling nodes (no out-edges)
+    contribute nothing — the standard simplification; symmetrize the edge
+    list to avoid them entirely. Fixed ``iterations`` (no convergence
+    probe): rank ordering stabilizes in a few rounds and a fixed count
+    keeps the job graph static.
+
+    Scale: per round one equi-join of the edge list against the rank
+    table (node-keyed, AQE-broadcastable when small) + one map-side
+    combined sum by dst. The edge frame is checkpointed ONCE; ranks are
+    lazily checkpointed per round (lineage stays O(1), same rationale as
+    connected_components above).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=False
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    base = scale * (damping_den - damping_num) // damping_den
+    for _ in range(iterations):
+        contrib = pr.join(deg, pr["node"] == deg["src"]).select(
+            "src", F.expr("pr div deg").alias("c")
+        )
+        s = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumnRenamed("dst", "node")
+        )
+        pr = (
+            nodes.join(s, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

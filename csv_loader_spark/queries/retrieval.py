@@ -1,0 +1,320 @@
+"""Retrieval / graph-authority operators: BM25 top-k, PageRank, phrase search.
+
+Public-literature basis:
+- q159: Robertson et al., "Okapi at TREC-3" (1994) — the BM25 ranking
+  function, with Lucene's non-negative idf variant
+  ``ln(1 + (N - df + 0.5)/(df + 0.5))``. In a training-data pipeline this
+  is the lexical retriever behind decontamination lookups and
+  quality-by-query curation.
+- q160: Brin & Page 1998 — PageRank as damped power iteration; re-expressed
+  in exact integer fixed-point (ops/graph.py:pagerank_fixed_point) so the
+  iterative result is bit-identical across engines and oracle-checkable.
+  Authority scoring over a link graph is a standard crawl-curation signal.
+- q161: positional inverted index / phrase query — Manning, Raghavan &
+  Schütze, "Introduction to Information Retrieval" ch. 2 (positional
+  postings, adjacency merge). Exact-phrase hits are the decontamination
+  primitive for verbatim benchmark leakage.
+
+The reference (CsvLoader.java, 274 lines) has no retrieval surface; these
+belong to the beyond-reference training-data operators mandated by the
+build brief. Everything derives from the cited public papers and the
+public Spark / DuckDB APIs.
+
+Scale notes (100 TB):
+- q159 never materializes a per-term score matrix: tokens shuffle once to
+  (doc, term) counts, the CORPUS-level stats (N, avgdl, per-term df)
+  reduce to one broadcast row, and scoring is a map-side expression over
+  the per-doc tf pivot — the only per-doc state is |query| counters. The
+  final top-k is a single ORDER BY k-limit (TakeOrderedAndProject — no
+  global sort materialization).
+- q159 determinism: each doc's score is a FIXED-ORDER left-to-right sum
+  of |query| per-term expressions (a groupBy sum over doubles would be
+  summation-order-nondeterministic); both engines evaluate the identical
+  expression tree, so round(,4) agrees.
+- q160's per-round cost is one node-keyed equi-join + one map-side
+  combined sum (see ops/graph.py). The customer-supplier graph here
+  stands in for a domain link graph; edges are symmetrized so no node
+  dangles.
+- q161 shuffles (doc, pos) int pairs for the PHRASE TERMS ONLY (filter
+  pushed below the positional explode); the adjacency merge is an
+  equi-join on (doc, pos+1) — position keys are unique per doc, so the
+  join has no fan-out and cost stays linear in the postings touched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.ops.graph import pagerank_fixed_point
+from csv_loader_spark.queries.registry import query
+
+# --- q159: BM25 top-k -------------------------------------------------------
+
+#: fixed query: one rare term ('dup' marks the injected duplicate docs,
+#: df ~ 5% of corpus) + two common ones — BM25's idf weighting is what
+#: separates them.
+BM25_TERMS = ("dup", "vector", "stream")
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 25
+
+
+def _bm25_term_score(t: str) -> str:
+    """One term's BM25 contribution as engine-portable SQL.
+
+    Evaluates to exactly 0.0 when tf = 0 (numerator kills it), so missing
+    terms need no CASE. Identical text runs on Spark and DuckDB; every
+    name it references (tf_{t}, dl, nd, avgdl, df_{t}) is a column of the
+    scored frame.
+    """
+    idf = f"ln(1.0 + (nd - df_{t} + 0.5) / (df_{t} + 0.5))"
+    norm = f"(tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    return f"({idf} * (tf_{t} * ({BM25_K1} + 1.0)) / {norm})"
+
+
+_BM25_SCORE = " + ".join(_bm25_term_score(t) for t in BM25_TERMS)
+
+
+def _bm25_oracle() -> str:
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    tf_cols = ", ".join(
+        f"CAST(sum(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    tf AS (
+      SELECT doc_id, {tf_cols}
+      FROM toks WHERE term IN ({terms_in}) GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd, avg(dl) AS avgdl FROM dl
+    ),
+    dfs AS (SELECT {df_cols} FROM tf),
+    scored AS (
+      SELECT tf.doc_id, round({_BM25_SCORE}, 4) AS bm25
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus CROSS JOIN dfs
+    )
+    SELECT doc_id, bm25, n_rank FROM (
+      SELECT doc_id, bm25,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+               AS n_rank
+      FROM scored
+    ) WHERE n_rank <= {BM25_TOPK}
+    """
+
+
+@query(
+    "q159_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("retrieval", "llm", "r12"),
+)
+def q159_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} documents for a fixed multi-term query
+    (k1=1.2, b=0.75, Lucene idf), scored wholly in Catalyst expressions
+    over a per-doc tf pivot + one broadcast corpus-stats row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
+                for t in BM25_TERMS
+            ]
+        )
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("nd"), F.avg("dl").alias("avgdl")
+    )
+    dfs = tf.agg(
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(dfs))
+        .select("doc_id", F.round(F.expr(_BM25_SCORE), 4).alias("bm25"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    # sort, no single-partition window over the full scored set), then a
+    # row_number over just the k survivors for the rank column
+    topk = scored.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(BM25_TOPK)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return topk.withColumn("n_rank", F.row_number().over(w).cast("int")).select(
+        "doc_id", "bm25", "n_rank"
+    )
+
+
+# --- q160: integer fixed-point PageRank ------------------------------------
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000
+PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    base = PR_SCALE * 15 // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        rounds.append(
+            f"""
+    s{i} AS (
+      SELECT e.dst AS node, CAST(sum({prev}.pr // d.deg) AS BIGINT) AS s
+      FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS pr
+      FROM n LEFT JOIN s{i} USING (node)
+    )"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT cu AS src, su AS dst FROM pairs
+      UNION ALL SELECT su AS src, cu AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM n),
+    {",".join(rounds)}
+    SELECT CAST(node AS BIGINT) AS node_id, pr AS pr_e6
+    FROM {prev} ORDER BY pr_e6 DESC, node_id LIMIT {PR_TOPK}
+    """
+
+
+@query(
+    "q160_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "llm", "r12"),
+)
+def q160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PR_TOPK} nodes by {PR_ITERS}-round fixed-point PageRank over the
+    symmetrized customer-supplier trade graph (node id = 2*custkey /
+    2*suppkey+1). Integer arithmetic end-to-end — the unrolled-CTE oracle
+    reproduces it exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cu"),
+            (F.col("l_suppkey") * 2 + 1).alias("su"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cu").alias("src"), F.col("su").alias("dst")
+    ).unionAll(pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst")))
+    pr = pagerank_fixed_point(
+        edges, "src", "dst", iterations=PR_ITERS, scale=PR_SCALE
+    )
+    return (
+        pr.select(F.col("node").cast("long").alias("node_id"), F.col("pr").alias("pr_e6"))
+        .orderBy(F.col("pr_e6").desc(), F.col("node_id"))
+        .limit(PR_TOPK)
+    )
+
+
+# --- q161: positional phrase search -----------------------------------------
+
+#: fixed phrase set: a 2-gram and a 3-gram over the corpus vocabulary.
+PHRASES = (("spark", "table"), ("key", "agg", "row"))
+
+
+def _phrase_oracle() -> str:
+    blocks = []
+    for words in PHRASES:
+        phrase = " ".join(words)
+        joins = []
+        conds = []
+        for j in range(1, len(words)):
+            joins.append(f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id")
+            conds.append(f"p{j}.pos = p0.pos + {j} AND p{j}.term = '{words[j]}'")
+        blocks.append(
+            f"""
+      SELECT '{phrase}' AS phrase, p0.doc_id,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM pos p0 {" ".join(joins)}
+      WHERE p0.term = '{words[0]}'{"".join(" AND " + c for c in conds)}
+      GROUP BY p0.doc_id"""
+        )
+    return rf"""
+    WITH toked AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, l[CAST(i AS INTEGER)] AS term
+      FROM toked, unnest(range(1, len(l) + 1)) AS t(i)
+    )
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@query(
+    "q161_phrase_search",
+    oracle=_phrase_oracle(),
+    tags=("retrieval", "llm", "r12"),
+)
+def q161_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase occurrence counts per document via positional postings
+    + adjacency equi-joins — one (doc, pos+j) join per extra phrase word,
+    postings pre-filtered to the phrase terms."""
+    d = load_table(spark, sf_dir, "documents")
+    all_terms = sorted({w for p in PHRASES for w in p})
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos0", "term"
+        ),
+    ).filter(F.col("term").isin(*all_terms))
+    # 1-based to match the oracle's range(1, len+1)
+    pos = pos.select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term"
+    )
+    results = []
+    for words in PHRASES:
+        phrase = " ".join(words)
+        cur = pos.filter(F.col("term") == words[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for j, w in enumerate(words[1:], start=1):
+            nxt = pos.filter(F.col("term") == w).select(
+                "doc_id", (F.col("pos") - j).alias("p0")
+            )
+            cur = cur.join(nxt, ["doc_id", "p0"])
+        results.append(
+            cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(phrase).alias("phrase"), "doc_id", "n_hits"
+            )
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
