@@ -2,16 +2,18 @@
 and exact duplicated-substring spans.
 
 Public-literature basis:
-- q155: Gravano et al. 2001, "Approximate String Joins in a Database
-  (Almost) for Free" — positional q-gram count/length filters for edit
-  distance — tightened with the df-ordered constant-size prefix of
-  Xiao, Wang & Lin 2008, "Ed-Join": two strings within edit distance D
-  must share a q-gram among each side's (q*D + 1) globally-rarest
-  q-grams (bag-overlap >= max(m_a, m_b) - q*D combined with the
-  standard prefix-filter theorem), provided both strings carry at
-  least q*D + 1 grams, i.e. length >= q*(D+1). Candidates are then
-  verified with the exact ``levenshtein`` built-in (JVM-side in Spark,
-  vectorized in DuckDB — both classic unit-cost edit distance).
+- q155: Li, Deng & Feng, ICDE 2011, "PASS-JOIN: A Partition-based
+  Method for Similarity Joins" — partition every string into D+1
+  disjoint segments; at most D edit operations must leave one segment
+  untouched, so any string within edit distance D contains that segment
+  VERBATIM at a position shifted by at most D. Candidates come from an
+  equi-join of indexed segments against ±D-shifted probe substrings and
+  are verified with the exact ``levenshtein`` built-in (JVM-side in
+  Spark, vectorized in DuckDB — both classic unit-cost edit distance).
+  (The original r12 formulation used Gravano-2001 q-gram prefixes per
+  Ed-Join; a 2-gram alphabet over this corpus' tiny word vocabulary has
+  so little selectivity that the filter admitted 41M of 200M possible
+  pairs at sf0.1 — segment keys are ~l/(D+1) chars and stay selective.)
 - q156: Lee et al. 2022, "Deduplicating Training Data Makes Language
   Models Better" (ExactSubstr) — find every token span that occurs
   more than once in the corpus and merge overlapping/adjacent
@@ -28,14 +30,15 @@ training-data pipeline mandated by the build brief. Everything here
 derives from the cited public papers and the public Spark / DuckDB APIs.
 
 Scale notes (100 TB):
-- q155's join key space is the q-gram alphabet (|charset|^q — tiny for
-  q=2..3), so the df table is always broadcast-able; per-string join
-  fan-out is capped at the CONSTANT prefix size q*D+1 regardless of
-  string length, and the df-ascending prefix order makes prefix grams
-  the rarest ones, so posting lists stay short without a lossy cap.
-  The candidate shuffle carries (key, gram); names are short keys here
-  (<= 12 chars) and ride along — for long strings re-attach them by an
-  id equi-join after the pair distinct, exactly like q97's verify stage.
+- q155's index side is D+1 rows per string and its probe side at most
+  (2D+1)²·(D+1) = 75 — both CONSTANT fan-outs; the equi-join key is a
+  ~l/(D+1)-char segment (near-unique even over a tiny vocabulary), so
+  posting lists — and therefore candidates — stay O(1) per string with
+  no lossy cap. The candidate shuffle carries (l, i, segment, id) only;
+  full strings re-attach by an id equi-join after the pair distinct,
+  exactly like q97's verify stage. Measured at sf0.1: the r12 q-gram
+  prefix formulation admitted 41M candidates / 149 s; PASS-JOIN admits
+  ~the true pair set.
 - q156 shuffles (doc_id, pos, fp16) — never the gram text — then a
   per-document window whose partition size is bounded by document
   length. The duplicated-fingerprint side is produced by the same
@@ -53,65 +56,167 @@ from csv_loader_spark.queries.registry import query
 
 # --- q155: edit-distance similarity self-join on part names ---------------
 
-#: q-gram width and edit-distance threshold. Losslessness of the prefix
-#: filter requires length >= ED_Q * (ED_D + 1) on both sides (shorter
-#: strings can lose every shared gram to the D edits); the length floor
-#: is applied identically in the Spark plan and the oracle.
+#: edit-distance threshold and the query's length floor (kept from the
+#: r12 Ed-Join formulation so the registered answer is unchanged; the
+#: floor is applied identically in the Spark plan and the oracle).
 ED_Q = 2
 ED_D = 2
-ED_PREFIX = ED_Q * ED_D + 1  # Ed-Join constant prefix size
 ED_MINLEN = ED_Q * (ED_D + 1)
 
+#: PASS-JOIN segment count: D+1 disjoint segments — by pigeonhole, at
+#: most D edit operations leave at least one segment untouched.
+ED_SEGS = ED_D + 1
 
-def _edit_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct candidate (ka, sa, kb, sb) pairs from the Ed-Join prefix
-    filter — separated from q155's final aggregate so the losslessness
-    test can compare the verified pair set against brute force."""
-    parts = (
+
+def _seg_len(l, i):  # noqa: E741 - l is the conventional length symbol
+    """Length of segment ``i`` (0-based) of an ``l``-char string under the
+    even-partition scheme: the first (SEGS - l%SEGS) segments get
+    floor(l/SEGS) chars, the rest one extra (PASS-JOIN's convention —
+    both the index and probe side derive the SAME scheme from l alone)."""
+    base = F.floor(l / ED_SEGS)
+    rem = l % ED_SEGS
+    return (base + F.when(F.lit(i) >= ED_SEGS - rem, 1).otherwise(0)).cast("int")
+
+
+def _seg_start(l, i):  # noqa: E741
+    """1-based start of segment ``i``: 1 + i*base + #longer-segments-before."""
+    base = F.floor(l / ED_SEGS)
+    rem = l % ED_SEGS
+    longer_before = F.greatest(F.lit(0), F.lit(i) - (ED_SEGS - rem))
+    return (F.lit(1) + F.lit(i) * base + longer_before).cast("int")
+
+
+def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
         load_table(spark, sf_dir, "part")
         .select(F.col("p_partkey").alias("k"), F.col("p_name").alias("s"))
         .filter(F.length("s") >= ED_MINLEN)
+        .localCheckpoint(eager=False)
     )
-    # positional q-grams via the zip-of-shifted-slices shape (the lambda
-    # touches only its own variable — see functions/text.py word_ngrams
-    # for why that matters 20x under interpreted HOFs)
-    chars = F.split(F.col("s"), "")
-    m = F.greatest(F.size(chars) - (ED_Q - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(chars, j + 1, m) for j in range(ED_Q)])
-    gram_arr = F.transform(
-        zipped, lambda t: F.concat(*[t[str(j)] for j in range(ED_Q)])
-    )
-    grams = parts.select(
-        "k", "s", F.length("s").alias("ln"),
-        F.posexplode(gram_arr).alias("pos", "g"),
-    )
-    # global gram frequency: key space <= |charset|^q, always tiny ->
-    # broadcast; ordering prefixes df-ascending keeps posting lists short
-    gram_df = grams.groupBy("g").agg(F.count("*").alias("cdf"))
-    w = Window.partitionBy("k").orderBy("cdf", "g", "pos")
-    prefix = (
-        grams.join(F.broadcast(gram_df), "g")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ED_PREFIX)
-        .select("k", "s", "ln", "g")
-    )
-    a = prefix.select(
-        F.col("k").alias("ka"), F.col("s").alias("sa"),
-        F.col("ln").alias("la"), "g",
-    )
-    b = prefix.select(
-        F.col("k").alias("kb"), F.col("s").alias("sb"),
-        F.col("ln").alias("lb"), "g",
+
+
+def _name_candidate_pairs(names: DataFrame) -> DataFrame:
+    """PASS-JOIN candidate pairs over a DISTINCT-string frame ``names``
+    with column ``s`` (Li, Deng & Feng, ICDE 2011: partition-based
+    similarity join). Returns (pa, pb) with pa < pb lexicographically.
+
+    Pigeonhole: split every string into D+1 disjoint segments; ≤ D edit
+    operations must leave some segment untouched, and that segment
+    appears VERBATIM in the partner at a position shifted by at most D
+    (net indels before it). So: index each string's D+1 segments under
+    key (l, i, segment-text); probe each string's substrings at the
+    ±D-shifted windows for every source length l within ±D of its own.
+
+    Scale: index side is (D+1) rows per string, probe side at most
+    (2D+1)²·(D+1) = 75 — both CONSTANT fan-outs; segment keys are
+    ~l/(D+1)-char substrings, so posting lists stay short whenever the
+    DISTINCT strings are diverse. Operating on distinct strings is the
+    load-bearing choice: the corpus has massive string multiplicity
+    (64 distinct names over 20k rows at sf0.1), so any pair-ENUMERATING
+    filter is Ω(n²/64) no matter how selective — q155 folds multiplicity
+    back in arithmetically from per-name (count, key-sum) stats instead.
+    """
+    ln = F.length("s")
+    index = names.select(
+        F.col("s").alias("pa"),
+        ln.alias("l"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.col("s")
+                        .substr(_seg_start(ln, i), _seg_len(ln, i))
+                        .alias("sub"),
+                    )
+                    for i in range(ED_SEGS)
+                ]
+            )
+        ).alias("seg"),
+    ).select("pa", "l", F.col("seg.i").alias("i"), F.col("seg.sub").alias("sub"))
+    # probe side: for every source length l = m+dl (|dl| <= D), segment i,
+    # and shift in [-D, +D], the substring of THIS string that an
+    # untouched segment could equal
+    probes = []
+    for dl in range(-ED_D, ED_D + 1):
+        l_src = ln + dl
+        for i in range(ED_SEGS):
+            start0 = _seg_start(l_src, i)
+            slen = _seg_len(l_src, i)
+            for shift in range(-ED_D, ED_D + 1):
+                probes.append(
+                    F.struct(
+                        F.lit(dl).alias("dl"),
+                        F.lit(i).alias("i"),
+                        (start0 + shift).cast("int").alias("st"),
+                        slen.alias("sl"),
+                    )
+                )
+    probe = (
+        names.select(
+            F.col("s").alias("pb"),
+            ln.alias("m"),
+            F.explode(F.array(*probes)).alias("p"),
+        )
+        .select(
+            "pb",
+            (F.col("m") + F.col("p.dl")).cast("int").alias("l"),
+            F.col("p.i").alias("i"),
+            F.col("p.st").alias("st"),
+            F.col("p.sl").alias("sl"),
+            "m",
+        )
+        .filter(
+            (F.col("st") >= 1)
+            & (F.col("st") + F.col("sl") - 1 <= F.col("m"))
+            & (F.col("l") >= ED_MINLEN)
+        )
+        .select("pb", "l", "i", F.col("pb").substr(F.col("st"), F.col("sl")).alias("sub"))
     )
     return (
-        a.join(b, "g")
-        .filter(
-            (F.col("ka") < F.col("kb"))
-            & (F.abs(F.col("la") - F.col("lb")) <= ED_D)
-        )
-        .select("ka", "sa", "kb", "sb")
+        index.join(probe, ["l", "i", "sub"])
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.least("pa", "pb").alias("pa"), F.greatest("pa", "pb").alias("pb"))
         .distinct()
     )
+
+
+def _edit_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerated candidate (ka, sa, kb, sb) key pairs, expanded from the
+    distinct-name PASS-JOIN — kept for the losslessness test, which
+    compares the verified pair set against brute force. q155 itself
+    never enumerates; it aggregates name-level stats (see below)."""
+    parts = _parts(spark, sf_dir)
+    names = parts.select("s").distinct().localCheckpoint(eager=False)
+    cross = _name_candidate_pairs(names)
+    a = parts.select(F.col("k").alias("k1"), F.col("s").alias("pa"))
+    b = parts.select(F.col("k").alias("k2"), F.col("s").alias("pb"))
+    cross_keys = (
+        cross.join(a, "pa")
+        .join(b, "pb")
+        .select(
+            F.least("k1", "k2").alias("ka"),
+            F.when(F.col("k1") < F.col("k2"), F.col("pa"))
+            .otherwise(F.col("pb"))
+            .alias("sa"),
+            F.greatest("k1", "k2").alias("kb"),
+            F.when(F.col("k1") < F.col("k2"), F.col("pb"))
+            .otherwise(F.col("pa"))
+            .alias("sb"),
+        )
+    )
+    # identical-string pairs (ed = 0): self-join within each name group
+    same_keys = (
+        a.join(b, a["pa"] == b["pb"])
+        .filter(F.col("k1") < F.col("k2"))
+        .select(
+            F.col("k1").alias("ka"),
+            F.col("pa").alias("sa"),
+            F.col("k2").alias("kb"),
+            F.col("pb").alias("sb"),
+        )
+    )
+    return cross_keys.unionAll(same_keys).select("ka", "sa", "kb", "sb")
 
 
 def _editdist_oracle() -> str:
@@ -141,20 +246,54 @@ def _editdist_oracle() -> str:
     tags=("llm", "dedup", "r12"),
 )
 def q155_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance similarity self-join (Gravano q-gram filters +
-    Ed-Join df-ordered prefix + exact levenshtein verify), aggregated to
-    per-distance pair counts with a key-sum checksum so the oracle's
-    brute-force join verifies the EXACT pair set, not just its size."""
-    pairs = _edit_candidate_pairs(spark, sf_dir)
-    verified = pairs.withColumn(
-        "d", F.levenshtein("sa", "sb").cast("long")
-    ).filter(F.col("d") <= ED_D)
-    return (
-        verified.groupBy("d")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.col("ka") + F.col("kb")).alias("key_sum"),
+    """Edit-distance similarity self-join aggregated to per-distance pair
+    counts with a key-sum checksum, so the oracle's brute-force join
+    verifies the EXACT pair set, not just its size.
+
+    Dedupe-then-join: PASS-JOIN + levenshtein verify run over DISTINCT
+    names only; row multiplicity folds back arithmetically from per-name
+    (count, key-sum) group stats —
+      cross-name pairs at distance d:  n = c_a*c_b,
+                                       key_sum = c_b*Σk_a + c_a*Σk_b
+      identical-name pairs (d = 0):    n = C(c,2),
+                                       key_sum = (c-1)*Σk
+    so the enumerated Θ(n²/|names|) pair set never materializes. At
+    sf0.1 (64 names over 20k rows, 3.3M true pairs) this is the
+    difference between 149 s (enumerating prefix-filter) and ~1 s."""
+    parts = _parts(spark, sf_dir)
+    groups = (
+        parts.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("k").alias("ksum"))
+        .localCheckpoint(eager=False)
+    )
+    names = groups.select("s")
+    ga = groups.select(
+        F.col("s").alias("pa"), F.col("cnt").alias("ca"), F.col("ksum").alias("ksa")
+    )
+    gb = groups.select(
+        F.col("s").alias("pb"), F.col("cnt").alias("cb"), F.col("ksum").alias("ksb")
+    )
+    cross = (
+        _name_candidate_pairs(names)
+        .withColumn("d", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("d") <= ED_D)
+        .join(ga, "pa")
+        .join(gb, "pb")
+        .select(
+            "d",
+            (F.col("ca") * F.col("cb")).alias("n"),
+            (F.col("cb") * F.col("ksa") + F.col("ca") * F.col("ksb")).alias("ks"),
         )
+    )
+    same = groups.filter(F.col("cnt") >= 2).select(
+        F.lit(0).cast("long").alias("d"),
+        (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long").alias("n"),
+        ((F.col("cnt") - 1) * F.col("ksum")).alias("ks"),
+    )
+    return (
+        cross.unionAll(same)
+        .groupBy("d")
+        .agg(F.sum("n").alias("n_pairs"), F.sum("ks").alias("key_sum"))
         .orderBy("d")
     )
 
