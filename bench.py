@@ -112,6 +112,9 @@ R12_OPS = (
     "q159_bm25_topk",
     "q160_pagerank",
     "q161_phrase_search",
+    "q162_weighted_sample",
+    "q163_rendezvous_shards",
+    "q164_dedup_clean",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -306,8 +306,10 @@ SPAN_K = 8
 SPAN_TOP = 25
 
 
-def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
-    """Per-document maximal duplicated spans over a (doc_id, text) frame.
+def dup_islands(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Duplicated K-gram positions per document, labeled with their
+    maximal-span island id — the shared core of the span REPORT (q156)
+    and span REMOVAL (q164).
 
     A position's K-gram is *duplicated* when its fingerprint occurs >= 2
     times corpus-wide (including repeats inside the same document — a
@@ -315,19 +317,25 @@ def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     any-second-occurrence definition). Overlapping or token-adjacent
     duplicated K-grams merge into one maximal span via gaps-and-islands.
 
-    Returns one row per document that carries at least one duplicated
-    span: (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio).
+    Returns (doc_id, n_tok, pos, island).
     """
-    grams = docs.select(
-        "doc_id",
-        TXT.token_count("text").alias("n_tok"),
-        F.posexplode(TXT.word_ngrams("text", k)).alias("pos0", "g"),
-    ).select(
-        "doc_id",
-        "n_tok",
-        (F.col("pos0") + 1).alias("pos"),
-        # shuffle the 16-hex fingerprint, never the gram text
-        F.substring(F.md5("g"), 1, 16).alias("fp"),
+    grams = (
+        docs.select(
+            "doc_id",
+            TXT.token_count("text").alias("n_tok"),
+            F.posexplode(TXT.word_ngrams("text", k)).alias("pos0", "g"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            (F.col("pos0") + 1).alias("pos"),
+            # shuffle the 16-hex fingerprint, never the gram text
+            F.substring(F.md5("g"), 1, 16).alias("fp"),
+        )
+        # the gram pipeline (interpreted-HOF shingling + md5) feeds BOTH
+        # the df aggregate and the join probe — materialize it once
+        # (measured 1.5 s/evaluation at sf0.1; the checkpoint halves q156)
+        .localCheckpoint(eager=False)
     )
     dup_fp = grams.groupBy("fp").agg(F.count("*").alias("c")).filter(
         F.col("c") >= 2
@@ -341,12 +349,27 @@ def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     brk = F.when(
         prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
     ).otherwise(0)
-    islands = dup.withColumn(
+    return dup.withColumn(
         "island",
         F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    spans = islands.groupBy("doc_id", "n_tok", "island").agg(
-        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_tokens")
+
+
+def dup_span_intervals(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Maximal duplicated spans as 1-based token intervals:
+    (doc_id, n_tok, s_pos, e_pos)."""
+    return dup_islands(docs, k).groupBy("doc_id", "n_tok", "island").agg(
+        F.min("pos").alias("s_pos"),
+        (F.max("pos") + (k - 1)).alias("e_pos"),
+    )
+
+
+def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Per-document duplicated-span report (see :func:`dup_islands` for
+    the duplication definition). One row per document carrying at least
+    one span: (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio)."""
+    spans = dup_span_intervals(docs, k).withColumn(
+        "span_tokens", F.col("e_pos") - F.col("s_pos") + 1
     )
     return spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
@@ -358,10 +381,11 @@ def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     )
 
 
-def _dup_spans_oracle() -> str:
-    k = SPAN_K
-    return rf"""
-    WITH toks AS (
+def _spans_ctes(k: int) -> str:
+    """Shared oracle CTE chain toks → spans (1-based maximal duplicated
+    span intervals as (doc_id, n_tok, island, s_pos, e_pos)) — the SQL
+    twin of :func:`dup_span_intervals`, used by q156 and q164."""
+    return rf"""toks AS (
       SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
       FROM documents
     ),
@@ -394,15 +418,20 @@ def _dup_spans_oracle() -> str:
     ),
     spans AS (
       SELECT doc_id, n_tok, island,
-             max(pos) + {k - 1} - min(pos) + 1 AS span_tokens
+             min(pos) AS s_pos, max(pos) + {k - 1} AS e_pos
       FROM islands GROUP BY doc_id, n_tok, island
-    ),
+    )"""
+
+
+def _dup_spans_oracle() -> str:
+    return rf"""
+    WITH {_spans_ctes(SPAN_K)},
     agg AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_spans,
-             CAST(sum(span_tokens) AS BIGINT) AS dup_tokens,
+             CAST(sum(e_pos - s_pos + 1) AS BIGINT) AS dup_tokens,
              CAST(any_value(n_tok) AS BIGINT) AS n_tokens,
-             round(CAST(sum(span_tokens) AS DOUBLE) / any_value(n_tok), 4)
+             round(CAST(sum(e_pos - s_pos + 1) AS DOUBLE) / any_value(n_tok), 4)
                AS dup_ratio
       FROM spans GROUP BY doc_id
     )
@@ -422,3 +451,101 @@ def q156_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = dup_spans(docs, SPAN_K)
     return out.orderBy(F.desc("dup_tokens"), "doc_id").limit(SPAN_TOP)
+
+
+# --- q164: ExactSubstr span REMOVAL (the dedup action, not the meter) ------
+
+
+def _dedup_clean_oracle() -> str:
+    return rf"""
+    WITH {_spans_ctes(SPAN_K)},
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(u.p AS BIGINT) AS pos
+      FROM spans, unnest(generate_series(s_pos, e_pos)) AS u(p)
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INTEGER)] AS term,
+             len(t) AS n_tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(term, ' ' ORDER BY tok.pos) AS cleaned
+      FROM tok LEFT JOIN covered
+        ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+      WHERE covered.pos IS NULL
+      GROUP BY tok.doc_id
+    ),
+    nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks)
+    SELECT nt.doc_id,
+           coalesce(kept.n_kept, 0) AS n_kept,
+           nt.n_tok - coalesce(kept.n_kept, 0) AS n_removed,
+           substr(md5(coalesce(kept.cleaned, '')), 1, 16) AS clean_fp
+    FROM nt LEFT JOIN kept USING (doc_id)
+    """
+
+
+@query(
+    "q164_dedup_clean",
+    oracle=_dedup_clean_oracle(),
+    tags=("llm", "dedup", "r12"),
+)
+def q164_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): drop every token
+    covered by a corpus-duplicated maximal {SPAN_K}-token span and emit
+    the cleaned corpus as (doc_id, n_kept, n_removed, clean_fp) — the
+    fingerprint stands in for the cleaned text so the oracle hash-checks
+    the actual output string, not just its length."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_clean(docs, SPAN_K)
+
+
+def dedup_clean(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Remove every token covered by a duplicated maximal span (per
+    :func:`dup_islands`'s definition) from a (doc_id, text) frame.
+
+    Scale: spans expand to covered (doc_id, pos) int pairs — total ≤
+    corpus token count, one explode — and the removal is a left-anti
+    equi-join on (doc_id, pos); reassembly is one per-doc sort_array
+    over the kept tokens. Linear end-to-end; no all-pairs stage."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos0", "term"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+    covered = (
+        dup_span_intervals(docs, k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence("s_pos", "e_pos")).alias("pos"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"))
+        .distinct()
+    )
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("cleaned"),
+        )
+    )
+    nt = docs.select(
+        "doc_id", TXT.token_count("text").cast("long").alias("n_tok")
+    )
+    return nt.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_tok") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.substring(F.md5(F.coalesce("cleaned", F.lit(""))), 1, 16).alias(
+            "clean_fp"
+        ),
+    )
