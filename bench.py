@@ -115,6 +115,7 @@ R12_OPS = (
     "q162_weighted_sample",
     "q163_rendezvous_shards",
     "q164_dedup_clean",
+    "q165_click_attribution",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -485,3 +485,66 @@ def q130_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * 10000).cast("long").alias("cd_bp"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join (batch-equivalent of the streaming op)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_click_attribution",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT v.user_id, view_id, click_id, view_ts, click_ts
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND click_ts >= view_ts
+       AND click_ts <= view_ts + INTERVAL 10 MINUTE
+    )
+    SELECT strftime(date_trunc('hour', click_ts), '%Y-%m-%d %H:%M:%S')
+             AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks,
+           CAST(sum(epoch_us(click_ts) - epoch_us(view_ts)) AS BIGINT)
+             AS delay_us_sum
+    FROM p GROUP BY 1
+    """,
+    tags=("streaming", "join", "r12"),
+)
+def q165_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click attribution by watermarked interval join (the stream-stream
+    join in streaming/events_stream.py:attribution_pairs, run here in its
+    batch mode — same transformation, exact oracle): every click paired
+    with each same-user view from the preceding 10 minutes, rolled up per
+    click hour with an exact microsecond delay sum. The REAL streaming
+    execution of the same function (availableNow -> memory sink, bounded
+    join state via the watermark + time-range condition) is asserted
+    stream == batch in tests/test_streaming_join.py."""
+    from csv_loader_spark.streaming.events_stream import attribution_pairs
+
+    e = load_table(spark, sf_dir, "events")
+    pairs = attribution_pairs(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "click"),
+    )
+    return (
+        pairs.groupBy(
+            F.date_format(F.date_trunc("hour", "click_ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("click_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.sum(
+                F.unix_micros("click_ts") - F.unix_micros("view_ts")
+            ).alias("delay_us_sum"),
+        )
+    )
