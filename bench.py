@@ -116,6 +116,7 @@ R12_OPS = (
     "q163_rendezvous_shards",
     "q164_dedup_clean",
     "q165_click_attribution",
+    "q166_triangle_nodes",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

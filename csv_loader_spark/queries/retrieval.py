@@ -14,6 +14,11 @@ Public-literature basis:
   Schütze, "Introduction to Information Retrieval" ch. 2 (positional
   postings, adjacency merge). Exact-phrase hits are the decontamination
   primitive for verbatim benchmark leakage.
+- q166: exact triangle counting by degree-oriented wedge join — Schank &
+  Wagner 2005 ("Finding, Counting and Listing All Triangles in Large
+  Graphs"); Suri & Vassilvitskii, WWW 2011 for the MapReduce/partition
+  shape. Clustering structure is a standard graph feature for
+  source-quality analysis.
 
 The reference (CsvLoader.java, 274 lines) has no retrieval surface; these
 belong to the beyond-reference training-data operators mandated by the
@@ -39,6 +44,10 @@ Scale notes (100 TB):
   pushed below the positional explode); the adjacency merge is an
   equi-join on (doc, pos+1) — position keys are unique per doc, so the
   join has no fan-out and cost stays linear in the postings touched.
+- q166's orientation bounds every out-degree by O(sqrt(m)) so the wedge
+  enumeration is at most m^1.5 — the known-optimal exact bound — where
+  the naive wedge join pays sum(deg^2) and a single hub blows it up;
+  all three shuffles carry int ids only.
 """
 
 from __future__ import annotations
@@ -318,3 +327,117 @@ def q161_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in results[1:]:
         out = out.unionAll(r)
     return out
+
+
+# --- q166: triangle counting (degree-oriented wedge join) -------------------
+
+TRI_TOPK = 15
+
+
+def _tri_edges_sql() -> str:
+    return """
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """
+
+
+def _triangle_oracle() -> str:
+    return f"""
+    WITH e AS ({_tri_edges_sql()}),
+    t AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    n AS (
+      SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t
+    ),
+    c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM n GROUP BY node)
+    SELECT node, n_tri, n_rank FROM (
+      SELECT node, n_tri,
+             CAST(row_number() OVER (ORDER BY n_tri DESC, node) AS INTEGER)
+               AS n_rank
+      FROM c
+    ) WHERE n_rank <= {TRI_TOPK}
+    """
+
+
+def triangle_nodes(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list (columns ``a`` < ``b``, distinct), via the degree-ordered wedge
+    join (Schank & Wagner 2005; Suri & Vassilvitskii, WWW 2011 for the
+    MapReduce shape): orient every edge from its lower-(degree, id)-rank
+    endpoint to the higher, enumerate wedges only at each triangle's
+    LOWEST-rank vertex, and close them with one equi-join on the
+    (v, w) pair.
+
+    Scale: orientation bounds every out-degree by O(sqrt(m)), so the
+    wedge count is at most m^1.5 — the known-optimal bound for exact
+    enumeration — instead of sum(deg^2), which a hub node would blow up.
+    Three shuffles total (degree, wedge-center self-join, pair-closing
+    join), all carrying int ids only.
+    """
+    e = edges.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dv"),
+    ).localCheckpoint(eager=False)
+    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
+    wedges = w1.join(w2, "u").filter(
+        F.struct(F.col("dv1"), F.col("v1")) < F.struct(F.col("dv2"), F.col("v2"))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v1").alias("node")))
+        .unionAll(tri.select(F.col("v2").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+
+
+@query(
+    "q166_triangle_nodes",
+    oracle=_triangle_oracle(),
+    tags=("graph", "llm", "r12"),
+)
+def q166_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRI_TOPK} parts by triangle participation in the co-order
+    graph (parts that appear together in an order are adjacent) — the
+    degree-oriented wedge join keeps exact counting at the m^1.5 bound;
+    the oracle's unoriented 3-way brute join proves it exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(other, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_partkey") < F.col("p2")))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    counts = triangle_nodes(edges)
+    topk = counts.orderBy(F.col("n_tri").desc(), F.col("node")).limit(TRI_TOPK)
+    w = Window.orderBy(F.col("n_tri").desc(), F.col("node"))
+    return topk.withColumn("n_rank", F.row_number().over(w).cast("int")).select(
+        "node", "n_tri", "n_rank"
+    )

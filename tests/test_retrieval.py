@@ -126,3 +126,52 @@ def test_phrase_counts_overlapping(spark):
     )
     n = first.join(second, ["doc_id", "p0"]).count()
     assert n == 2
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from csv_loader_spark.queries.retrieval import triangle_nodes
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + a pendant edge
+    # (4,5: no triangles) + a separate triangle {6,7,8} (each node in 1)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (6, 7), (6, 8), (7, 8)]
+    df = spark.createDataFrame(edges, "a LONG, b LONG")
+    got = {r["node"]: r["n_tri"] for r in triangle_nodes(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+
+
+def test_triangle_total_matches_brute_force(spark):
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.retrieval import triangle_nodes
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    edges = (
+        li.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # each triangle contributes 3 node participations
+    part_sum = (
+        triangle_nodes(edges).agg(F.sum("n_tri")).collect()[0][0] or 0
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+    brute = (
+        e1.join(e2, "y")
+        .join(e3, (F.col("x") == F.col("x2")) & (F.col("z") == F.col("z2")))
+        .count()
+    )
+    assert brute > 0
+    assert part_sum == 3 * brute
