@@ -236,6 +236,10 @@ def q160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("su"),
         )
         .distinct()
+        # checkpoint BEFORE the symmetrizing union: both branches read
+        # this frame, and without it each would re-run the join+distinct
+        # (measured 2x ~5.6 s at sf0.1 — the connected_components note)
+        .localCheckpoint(eager=False)
     )
     edges = pairs.select(
         F.col("cu").alias("src"), F.col("su").alias("dst")
@@ -399,19 +403,29 @@ def triangle_nodes(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dv"),
     ).localCheckpoint(eager=False)
-    w1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("dv1"))
-    w2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("dv2"))
-    wedges = w1.join(w2, "u").filter(
-        F.struct(F.col("dv1"), F.col("v1")) < F.struct(F.col("dv2"), F.col("v2"))
-    )
+    # pack (deg, id) into one long so the wedge-order filter is a single
+    # primitive comparison inside codegen (struct-vs-struct ordering runs
+    # interpreted); ids are positive ints, degrees < 2^31
+    rank = (F.col("dv") * F.lit(1 << 32) + F.col("v")).alias("rk")
+    w1 = oriented.select("u", F.col("v").alias("v1"), rank.alias("rk1"))
+    w2 = oriented.select("u", F.col("v").alias("v2"), rank.alias("rk2"))
+    wedges = w1.join(w2, "u").filter(F.col("rk1") < F.col("rk2"))
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
-    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
-    nodes = (
-        tri.select(F.col("u").alias("node"))
-        .unionAll(tri.select(F.col("v1").alias("node")))
-        .unionAll(tri.select(F.col("v2").alias("node")))
+    # BROADCAST the closing side: the wedge stream is O(m^1.5) rows and a
+    # shuffled closing join would move ALL of it (measured 21 s for ~50M
+    # wedges at sf0.1 vs ~4 s broadcast — wedges then stay inside the
+    # generating stage and only triangle hits survive). The broadcast is
+    # the EDGE list (16 B/row), fine to executor-memory scale; for graphs
+    # whose edge list outgrows that, drop the hint and Spark falls back
+    # to the shuffled join — the m^1.5 wedge bound still holds.
+    tri = wedges.join(F.broadcast(closing), ["v1", "v2"]).select("u", "v1", "v2")
+    # ONE pass over the triangle stream: explode the 3 corners in-stage
+    # (a 3-branch unionAll would re-run the wedge join once per branch —
+    # measured 3x the whole enumeration at sf0.1)
+    nodes = tri.select(
+        F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
 
