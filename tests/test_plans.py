@@ -599,3 +599,47 @@ def test_q154_capstone_composes_without_pairwise_joins(spark):
 
     bnl = re.findall(r"BroadcastNestedLoopJoin", plan)
     assert len(bnl) <= 12, bnl
+
+
+def test_q157_grid_join_is_equi_not_cartesian(spark):
+    plan = _plan(spark, "q157_grid_distance_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is a HASH join keyed on the derived cell id
+    # (AQE picks broadcast at this scale; shuffled-hash/SMJ on the same
+    # cell keys at scale) — either way the join keys must be the cells
+    assert "Join [cell#" in plan
+
+
+def test_q159_bm25_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q159_bm25_topk")
+    # the scored set reaches the driver through per-partition heaps, not a
+    # global sort or a single-partition window over all scored docs
+    assert "TakeOrderedAndProject" in plan
+    # corpus stats ride a broadcast, never a shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q161_phrase_postings_filter_below_explode(spark):
+    plan = _plan(spark, "q161_phrase_search")
+    # adjacency merges are equi-joins on (doc_id, pos) — no theta join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q163_hrw_is_map_side_single_agg(spark):
+    plan = _plan(spark, "q163_rendezvous_shards")
+    # the argmax over shards is inline arithmetic: no join, no explode —
+    # the only exchange belongs to the <=N-row census aggregate
+    assert "Join" not in plan
+    assert "Generate explode" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg + final sort
+
+
+def test_q166_triangle_closing_join_is_broadcast(spark):
+    plan = _plan(spark, "q166_triangle_nodes")
+    # the O(m^1.5) wedge stream must NOT shuffle into the closing join
+    assert "BroadcastHashJoin [v1" in plan or (
+        "BroadcastHashJoin" in plan and "v1" in plan
+    )
+    assert "CartesianProduct" not in plan
