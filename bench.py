@@ -117,6 +117,8 @@ R12_OPS = (
     "q164_dedup_clean",
     "q165_click_attribution",
     "q166_triangle_nodes",
+    "q167_pmi_collocations",
+    "q168_embedding_diversity",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
