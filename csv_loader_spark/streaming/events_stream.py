@@ -67,6 +67,7 @@ def attribution_pairs(
     *,
     within: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream INTERVAL join: every (view, click) pair
     for the same user where the click lands in [view_ts, view_ts +
@@ -79,6 +80,12 @@ def attribution_pairs(
     expiration; an unconstrained stream-stream join would buffer
     forever). Stream == batch is asserted in
     tests/test_streaming_join.py.
+
+    ``how="left_outer"`` keeps unattributed views: on a stream the
+    null-padded row for a never-clicked view is emitted ONLY once the
+    watermark passes the view's join window (before that a matching
+    click could still arrive) — the delayed-outer-emission semantics
+    tests/test_streaming_join.py asserts batch-by-batch.
 
     Scale: the join shuffles both streams by user_id once; per-user
     state is the in-window row buffer only. At 1000 executors this is
@@ -99,6 +106,7 @@ def attribution_pairs(
         (F.col("v_user") == F.col("c_user"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("v_user").alias("user_id"),
         "view_id",
