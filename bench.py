@@ -119,6 +119,8 @@ R12_OPS = (
     "q166_triangle_nodes",
     "q167_pmi_collocations",
     "q168_embedding_diversity",
+    "q169_heavy_hitters",
+    "q170_exact_quantile",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
