@@ -121,6 +121,16 @@ R12_OPS = (
     "q168_embedding_diversity",
     "q169_heavy_hitters",
     "q170_exact_quantile",
+    "q171_gap_fill",
+    "q172_exp_smooth",
+    "q173_mad_outliers",
+    "q174_group_ols",
+    "q175_markov_transitions",
+    "q176_basket_lift",
+    "q177_time_weighted_avg",
+    "q178_path_mining",
+    "q179_profile_table",
+    "q180_hybrid_rrf",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -1,0 +1,372 @@
+"""Relational operator library, part 5: time-series analytics — gap-fill
+with forward-fill + linear interpolation, bounded-horizon exponential
+smoothing, MAD outlier detection, grouped OLS regression, and Markov
+next-event transition mining.
+
+These are the dashboard/feature-engineering shapes an analytics engine
+runs constantly over event streams (demand series with missing buckets,
+smoothed KPIs, robust anomaly flags, per-segment trend fits, clickstream
+transition models). The reference (CsvLoader.java, 274 lines) has no
+analytics surface; these extend the beyond-reference operator inventory
+(SURVEY.md §2.3 window/agg families).
+
+Scale notes (100 TB):
+- q171/q172 pre-aggregate to the HOUR grid first (map-side-combinable
+  groupBy), so every window that follows runs over a span-bounded series
+  (720 rows per group at this dataset's 30-day span), never over raw
+  events. The generated grid is |groups| x span rows — independent of
+  fact cardinality.
+- q173 reuses the exact-percentile aggregate (one shuffle per pass) and
+  re-attaches the 5-row group statistics via broadcast joins — the fact
+  table is scanned, never sorted globally.
+- q174 is a single map-side-combinable aggregate per group (Welford-style
+  running moments inside Spark's regr_* / corr built-ins).
+- q175 shuffles once on user_id for the lead() ordering, then aggregates
+  a |states|^2-bounded transition matrix; the top-k window runs over that
+  tiny matrix, not the events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+#: epoch-hour derivation, exact integer division on both engines.
+_HR_SPARK = "unix_micros(ts) div 3600000000"
+_HR_DUCK = "epoch_us(ts) // 3600000000"
+
+
+# --- q171: hourly gap-fill (forward-fill + linear interpolation) ------------
+
+
+@query(
+    "q171_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr,
+             count(*) AS cnt, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM bounds
+    ),
+    joined AS (
+      SELECT g.event_type, g.hr, h.cnt, h.sv
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hr = h.hr
+    ),
+    filled AS (
+      SELECT event_type, hr, cnt, sv,
+        last_value(cnt IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_cnt,
+        first_value(cnt IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_cnt,
+        last_value(sv IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_sv,
+        last_value(CASE WHEN cnt IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_hr,
+        first_value(CASE WHEN cnt IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr
+      FROM joined
+    )
+    SELECT event_type, hr,
+           CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS is_gap,
+           CAST(coalesce(prev_cnt, next_cnt) AS BIGINT) AS cnt_ffill,
+           round(CASE
+             WHEN cnt IS NOT NULL THEN CAST(cnt AS DOUBLE)
+             WHEN prev_cnt IS NULL THEN CAST(next_cnt AS DOUBLE)
+             WHEN next_cnt IS NULL THEN CAST(prev_cnt AS DOUBLE)
+             ELSE prev_cnt + (next_cnt - prev_cnt)
+                  * CAST(hr - prev_hr AS DOUBLE) / (next_hr - prev_hr)
+           END, 4) AS cnt_interp,
+           round(coalesce(prev_sv, 0.0), 2) AS sum_ffill
+    FROM filled
+    """,
+    tags=("timeseries", "window", "gapfill", "r12"),
+)
+def q171_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly demand series per event_type with missing buckets repaired:
+    a complete epoch-hour grid is generated per group (sequence over the
+    group's [min, max] span), left-joined to the hourly aggregate, then
+    gaps are filled two ways — forward-fill (last observation carried
+    forward, next-observation for the leading edge) and LINEAR
+    INTERPOLATION between the bracketing observed hours. Interpolation
+    runs on integer counts (exact arithmetic both engines); the grid is
+    span-bounded so the windows never scale with fact cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"), "value")
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("hr"))
+    )
+    j = grid.join(hourly, ["event_type", "hr"], "left")
+    w_back = (
+        W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    observed_hr = F.when(F.col("cnt").isNotNull(), F.col("hr"))
+    f = j.select(
+        "event_type",
+        "hr",
+        "cnt",
+        "sv",
+        F.last("cnt", ignorenulls=True).over(w_back).alias("prev_cnt"),
+        F.first("cnt", ignorenulls=True).over(w_fwd).alias("next_cnt"),
+        F.last("sv", ignorenulls=True).over(w_back).alias("prev_sv"),
+        F.last(observed_hr, ignorenulls=True).over(w_back).alias("prev_hr"),
+        F.first(observed_hr, ignorenulls=True).over(w_fwd).alias("next_hr"),
+    )
+    interp = (
+        F.when(F.col("cnt").isNotNull(), F.col("cnt").cast("double"))
+        .when(F.col("prev_cnt").isNull(), F.col("next_cnt").cast("double"))
+        .when(F.col("next_cnt").isNull(), F.col("prev_cnt").cast("double"))
+        .otherwise(
+            F.col("prev_cnt")
+            + (F.col("next_cnt") - F.col("prev_cnt"))
+            * (F.col("hr") - F.col("prev_hr")).cast("double")
+            / (F.col("next_hr") - F.col("prev_hr"))
+        )
+    )
+    return f.select(
+        "event_type",
+        "hr",
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).alias("is_gap"),
+        F.coalesce("prev_cnt", "next_cnt").cast("long").alias("cnt_ffill"),
+        F.round(interp, 4).alias("cnt_interp"),
+        F.round(F.coalesce("prev_sv", F.lit(0.0)), 2).alias("sum_ffill"),
+    )
+
+
+# --- q172: bounded-horizon exponential smoothing -----------------------------
+
+#: filter taps. alpha = 0.5 keeps every weight an exact binary fraction
+#: (0.5**d), so numerator/denominator are EXACT doubles on both engines —
+#: the 16-tap truncation bounds the horizon (weight beyond tap 15 is
+#: 2^-16 < 2e-5, below the output rounding).
+EWMA_TAPS = 16
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(cnt, {d}) OVER w, 0) * {0.5 ** d!r}" for d in range(EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(cnt, {d}) OVER w IS NULL THEN 0 ELSE {0.5 ** d!r} END"
+        for d in range(EWMA_TAPS)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT event_type, hr, cnt, ({num}) / ({den}) AS s
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type, hr, cnt, round(s, 4) AS smoothed
+    FROM sm
+    WHERE hr % 24 = 0
+    """
+
+
+@query(
+    "q172_exp_smooth",
+    oracle=_ewma_oracle(),
+    tags=("timeseries", "window", "r12"),
+)
+def q172_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of the hourly event-count series
+    (alpha=0.5, {EWMA_TAPS}-tap truncated horizon, weights renormalized
+    over the taps available near the series start). The recursive EWMA
+    y_i = a*x_i + (1-a)*y_(i-1) is re-expressed as a FIR filter so the
+    whole computation is a stack of lag() expressions inside one
+    window — no iteration, no UDF, exact binary-fraction arithmetic.
+    Output sampled at day boundaries (hr % 24 = 0) to keep the gate row
+    set small; the plan computes every hour."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("hr")
+    num = None
+    den = None
+    for d in range(EWMA_TAPS):
+        tap = F.lag("cnt", d).over(w)
+        weight = F.lit(0.5**d)
+        term = F.coalesce(tap, F.lit(0)) * weight
+        avail = F.when(tap.isNotNull(), weight).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return (
+        hourly.withColumn("s", num / den)
+        .filter(F.col("hr") % 24 == 0)
+        .select("event_type", "hr", "cnt", F.round("s", 4).alias("smoothed"))
+    )
+
+
+# --- q173: MAD (median absolute deviation) outlier detection ----------------
+
+
+@query(
+    "q173_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS d, m.med
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           round(any_value(dev.med), 4) AS med,
+           round(any_value(mad.mad), 4) AS mad,
+           count(*) FILTER (WHERE dev.d > 3 * mad.mad) AS n_outliers,
+           round(CAST(count(*) FILTER (WHERE dev.d > 3 * mad.mad) AS DOUBLE)
+                 / count(*), 4) AS outlier_rate
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    """,
+    tags=("agg", "percentile", "robust", "r12"),
+)
+def q173_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection via Median Absolute Deviation:
+    exact interpolated median per event_type (Spark `percentile` ==
+    DuckDB `quantile_cont`, q40 precedent), broadcast the 5-row medians
+    back, exact median of |x - med|, flag rows with deviation > 3*MAD.
+    Two combinable percentile aggregates + two broadcast joins — the
+    fact is scanned twice, never globally sorted."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.percentile("value", 0.5).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", 0.5).alias("mad"))
+    out = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count(F.when(F.col("d") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+            F.round(
+                F.count(F.when(F.col("d") > 3 * F.col("mad"), 1))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("outlier_rate"),
+        )
+    )
+    return out
+
+
+# --- q174: grouped OLS regression --------------------------------------------
+
+
+@query(
+    "q174_group_ols",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_xy
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "regression", "r12"),
+)
+def q174_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of extendedprice on quantity:
+    slope, intercept, R^2 and Pearson correlation from single-pass
+    Welford-style running moments (Spark's regr_* / corr built-ins ==
+    DuckDB's — both maintain centered co-moments, so the 4dp-rounded
+    values agree). One map-side-combinable aggregate; no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_xy"),
+    )
+
+
+# --- q175: Markov next-event transitions -------------------------------------
+
+
+@query(
+    "q175_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (
+      SELECT src, dst, count(*) AS cnt
+      FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT src, dst, cnt,
+             round(CAST(cnt AS DOUBLE)
+                   / sum(cnt) OVER (PARTITION BY src), 4) AS p,
+             CAST(row_number() OVER (PARTITION BY src
+                                     ORDER BY cnt DESC, dst) AS INTEGER) AS rnk
+      FROM t
+    )
+    SELECT src, dst, cnt, p, rnk FROM p WHERE rnk <= 3
+    """,
+    tags=("sequence", "window", "markov", "r12"),
+)
+def q175_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition model over per-user event sequences:
+    lead() pairs consecutive events (one shuffle on user_id, event_id
+    tiebreak for determinism), the transition matrix aggregates to at
+    most |states|^2 rows, and row-normalized probabilities + top-3 next
+    events per source state are windows over that tiny matrix — the
+    clickstream never reaches a window."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w_seq).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    w_norm = W.partitionBy("src")
+    w_rank = W.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    return (
+        t.withColumn("p", F.round(F.col("cnt") / F.sum("cnt").over(w_norm), 4))
+        .withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("src", "dst", "cnt", "p", "rnk")
+    )
