@@ -1,0 +1,77 @@
+"""Unit tests for the analytics operators: basket lift on a tiny known
+basket set, time-weighted average against a hand integral, and RRF fusion
+consistency between the fused output and its two source rankings."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from csv_loader_spark.queries.analytics import (
+    RRF_K,
+    RRF_SCALE,
+    q176_basket_lift,
+    q177_time_weighted_avg,
+    q180_hybrid_rrf,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def test_basket_lift_tiny_known_baskets(spark, tmp_path):
+    # orders: {1: (10, 20)}, {2: (10, 20)}, {3: (10, 30)}, {4: (20,)}
+    rows = []
+    for ok, parts in ((1, (10, 20)), (2, (10, 20)), (3, (10, 30)), (4, (20,))):
+        for i, pk in enumerate(parts):
+            rows.append((ok, pk, i))
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long, l_linenumber int")
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        (r["part_a"], r["part_b"]): r
+        for r in q176_basket_lift(spark, str(tmp_path)).collect()
+    }
+    # pair (10,20): c_ab=2, c_10=3, c_20=3, n_orders=4
+    r = got[(10, 20)]
+    assert r["c_ab"] == 2
+    assert r["conf_a_to_b"] == pytest.approx(round(2 / 3, 4))
+    assert r["lift"] == pytest.approx(round(2 * 4 / (3 * 3), 4))
+    assert r["n_rank"] == 1
+    assert got[(10, 30)]["c_ab"] == 1
+    assert len(got) == 2
+
+
+def test_time_weighted_avg_hand_integral(spark, tmp_path):
+    # user 1: value 10 for 2h, then 20 for 1h, then 99 (no duration)
+    rows = [
+        (1, EPOCH, 1, "a", 10.0),
+        (2, EPOCH + dt.timedelta(hours=2), 1, "a", 20.0),
+        (3, EPOCH + dt.timedelta(hours=3), 1, "a", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q177_time_weighted_avg(spark, str(tmp_path)).collect()[0]
+    assert r["n_intervals"] == 2
+    assert r["covered_us"] == 3 * 3600 * 1_000_000
+    # (10*2h + 20*1h) / 3h = 40/3
+    assert r["twa"] == pytest.approx(round(40 / 3, 4), abs=1e-9)
+
+
+def test_rrf_fusion_consistent_with_source_ranks(spark):
+    """Every fused row's rrf_score must equal the integer fixed-point
+    formula applied to its own lex_rank/dense_rank columns, and the output
+    must be ordered by (score desc, doc_id)."""
+    rows = q180_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            expect += RRF_SCALE // (RRF_K + r["dense_rank"])
+        assert r["rrf_score"] == expect
+    scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
+    assert scores == sorted(scores)
+    assert [r["n_rank"] for r in rows] == sorted(r["n_rank"] for r in rows)

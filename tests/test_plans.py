@@ -643,3 +643,59 @@ def test_q166_triangle_closing_join_is_broadcast(spark):
         "BroadcastHashJoin" in plan and "v1" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_q171_gap_fill_grid_join_is_equi(spark):
+    """The grid<->hourly join must be an equi-join on (event_type, hr) —
+    never a nested loop — and the windows run AFTER the span-bounded grid,
+    so no window partitions by anything data-sized."""
+    plan = _plan(spark, "q171_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q174_group_ols_single_aggregate_pass(spark):
+    """OLS via running co-moments: one scan, one partial+final aggregate,
+    no join and no window."""
+    plan = _plan(spark, "q174_group_ols")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    # scan prunes to the 3 referenced columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema
+
+
+def test_q175_q178_windows_only_on_census(spark):
+    """Markov/path mining: the rank windows must run over the aggregated
+    transition/path census, with exactly one data-sized exchange (user_id
+    for the lead ordering) plus census-sized ones."""
+    for name in ("q175_markov_transitions", "q178_path_mining"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning(user_id" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q176_basket_pairs_join_is_orderkey_equi(spark):
+    """Pair generation must be an equi-join keyed on the order id (bounded
+    fan-out), never a part x part product."""
+    plan = _plan(spark, "q176_basket_lift")
+    assert "CartesianProduct" not in plan
+    assert "Join [ok" in plan or "join [ok" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q179_profile_is_single_scan_expand(spark):
+    """Profiling: ONE FileScan of lineitem; the multi-distinct plans via
+    Expand, not repeated scans."""
+    plan = _plan(spark, "q179_profile_table")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_q180_rrf_legs_end_in_take_ordered(spark):
+    """Both retrieval legs must cut to top-N via TakeOrderedAndProject
+    (per-partition heaps); the fusion join sees only the truncated lists."""
+    plan = _plan(spark, "q180_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex leg, dense leg, fused
+    assert "CartesianProduct" not in plan
