@@ -684,13 +684,20 @@ def test_q176_basket_pairs_join_is_orderkey_equi(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_q179_profile_is_single_scan_expand(spark):
-    """Profiling: ONE FileScan of lineitem; the multi-distinct plans via
-    Expand, not repeated scans."""
+def test_q179_profile_branches_scan_one_pruned_column_each(spark):
+    """Profiling: one FileScan per profiled column, each pruned to JUST
+    that column (5 single-column scans = one table-width of pages on
+    columnar storage), no Expand row replication, no join."""
     plan = _plan(spark, "q179_profile_table")
-    assert plan.count("FileScan parquet") == 1
-    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == len(
+        __import__("csv_loader_spark.queries.analytics", fromlist=["x"]).PROFILE_COLS
+    )
+    assert "Expand" not in plan
     assert "Join" not in plan
+    import re
+
+    for schema in re.findall(r"ReadSchema: (struct<[^>]*>)", plan):
+        assert schema.count(":") == 1, schema  # exactly one column per scan
 
 
 def test_q180_rrf_legs_end_in_take_ordered(spark):
