@@ -131,6 +131,8 @@ R12_OPS = (
     "q178_path_mining",
     "q179_profile_table",
     "q180_hybrid_rrf",
+    "q181_kcore_peel",
+    "q182_join_size_estimate",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

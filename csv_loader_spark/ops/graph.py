@@ -160,3 +160,48 @@ def pagerank_fixed_point(
             .localCheckpoint(eager=False)
         )
     return pr
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` iterations of k-core peeling (Seidman 1983, "Network
+    structure and minimum degree"; Batagelj & Zaveršnik 2003 for the
+    peeling algorithm) over an undirected edge list (columns ``a``,
+    ``b``; one row per edge, endpoints distinct).
+
+    Each round drops every node whose degree in the surviving subgraph
+    is below ``k``, then recomputes degrees — deletions cascade. A FIXED
+    round count (the q160 PageRank convention) keeps the job graph
+    static and the operator oracle-checkable by unrolled SQL at any
+    scale factor; run it to the graph's fixpoint by raising ``rounds``.
+
+    Returns the surviving nodes with their degree in the final induced
+    subgraph: columns ``(node, deg)``.
+
+    Scale: per round two semi-joins of the edge list against the alive
+    set (node-keyed equi-joins, AQE-broadcastable once the alive set
+    shrinks) + one map-side-combined degree count. Edges and the alive
+    frame are lazily checkpointed per round so lineage stays O(1).
+    """
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(
+            eager=False
+        )
+        e = (
+            e.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -462,3 +462,81 @@ def q180_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("n_rank", F.row_number().over(w).cast("int")).select(
         "doc_id", "rrf_score", "lex_rank", "dense_rank", "n_rank"
     )
+
+
+# --- q182: sampled join-cardinality estimation --------------------------------
+
+#: 1-in-SAMPLE_MOD of DISTINCT keys enter the sample (hash-deterministic,
+#: so both engines pick the same keys and the estimate is exact-checkable).
+JCE_MOD = 64
+JCE_KEYS = ("l_partkey", "l_suppkey")
+
+
+def _jce_oracle() -> str:
+    from csv_loader_spark.queries.llm3 import _hash32_sql
+
+    parts = []
+    for key in JCE_KEYS:
+        h = _hash32_sql(f"CAST({key} AS VARCHAR)")
+        parts.append(
+            f"""
+    SELECT '{key}' AS key_col,
+           CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+           CAST({JCE_MOD} * sum(CASE WHEN ({h}) % {JCE_MOD} = 0
+                                     THEN c * c ELSE 0 END) AS BIGINT)
+             AS est_pairs,
+           CAST(abs({JCE_MOD} * sum(CASE WHEN ({h}) % {JCE_MOD} = 0
+                                         THEN c * c ELSE 0 END)
+                    - sum(c * c)) * 10000 // sum(c * c) AS BIGINT) AS err_bp
+    FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY {key})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q182_join_size_estimate",
+    oracle=_jce_oracle(),
+    tags=("stats", "optimizer", "sampling", "r12"),
+)
+def q182_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics operator: estimate the self-equi-join
+    cardinality Σ c_k² per key column from a deterministic 1/{JCE_MOD}
+    HASH sample of DISTINCT keys (distinct-value sampling — Haas &
+    Swami 1995 style — not row sampling, which underestimates skew),
+    alongside the exact value and the measured error in basis points.
+    The sample predicate hashes the key with the engine-portable
+    md5-prefix hash (llm3), so both engines select identical keys and
+    the estimate itself is oracle-exact. At scale the estimator is the
+    product surface: the per-key counts aggregate is the only full
+    pass, and a scan-level `WHERE hash(key) % {JCE_MOD} = 0` turns it
+    into a 1/{JCE_MOD}-cost probe (the exact column here is the test
+    harness)."""
+    from csv_loader_spark.queries.llm3 import _hash32_spark_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for key in JCE_KEYS:
+        counts = li.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        h = _hash32_spark_sql(f"CAST({key} AS STRING)")
+        sampled_sq = F.sum(
+            F.when(F.expr(f"({h}) % {JCE_MOD} = 0"), F.col("c") * F.col("c"))
+            .otherwise(F.lit(0))
+        )
+        exact_sq = F.sum(F.col("c") * F.col("c"))
+        one = counts.agg(
+            exact_sq.cast("long").alias("exact_pairs"),
+            (F.lit(JCE_MOD) * sampled_sq).cast("long").alias("est_pairs"),
+        ).select(
+            F.lit(key).alias("key_col"),
+            "exact_pairs",
+            "est_pairs",
+            F.expr("abs(est_pairs - exact_pairs) * 10000 div exact_pairs")
+            .cast("long")
+            .alias("err_bp"),
+        )
+        outs.append(one)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -455,3 +455,92 @@ def q166_triangle_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("n_rank", F.row_number().over(w).cast("int")).select(
         "node", "n_tri", "n_rank"
     )
+
+
+# --- q181: k-core peeling over the support-filtered co-order graph ----------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+KCORE_SUPPORT = 2
+KCORE_TOPK = 20
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.pk AS a, b.pk AS b
+      FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT}
+    )"""
+    rounds = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        prev = f"e{r - 1}"
+        rounds.append(
+            f"""
+    d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS deg
+      FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+      GROUP BY node
+    ),
+    a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN a{r} x ON e.a = x.node JOIN a{r} y ON e.b = y.node
+    )"""
+        )
+    last = f"e{KCORE_ROUNDS}"
+    return (
+        head
+        + ","
+        + ",".join(rounds)
+        + f""",
+    fin AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last})
+      GROUP BY node
+    )
+    SELECT node, deg, n_rank FROM (
+      SELECT node, deg,
+             CAST(row_number() OVER (ORDER BY deg DESC, node) AS INTEGER)
+               AS n_rank
+      FROM fin
+    ) WHERE n_rank <= {KCORE_TOPK}
+    """
+    )
+
+
+@query(
+    "q181_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("graph", "iterative", "r12"),
+)
+def q181_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_ROUNDS} rounds of {KCORE_K}-core peeling (Seidman 1983;
+    Batagelj & Zaveršnik 2003) over the support-≥{KCORE_SUPPORT} co-order
+    part graph: drop nodes with degree < {KCORE_K}, cascade, report the
+    top-{KCORE_TOPK} survivors by final induced degree. Fixed round count
+    (q160's convention) keeps the job graph static and the oracle an
+    unrolled CTE chain; per round the plan is two node-keyed semi-joins
+    + one map-side-combined degree count, edges lazily checkpointed."""
+    from csv_loader_spark.ops.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    other = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    edges = (
+        items.join(other, "ok")
+        .filter(F.col("pk") < F.col("pk_b"))
+        .groupBy(F.col("pk").alias("a"), F.col("pk_b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= KCORE_SUPPORT)
+        .select("a", "b")
+    )
+    fin = kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+    topk = fin.orderBy(F.col("deg").desc(), "node").limit(KCORE_TOPK)
+    w = Window.orderBy(F.col("deg").desc(), "node")
+    return topk.withColumn("n_rank", F.row_number().over(w).cast("int")).select(
+        "node", F.col("deg").cast("long").alias("deg"), "n_rank"
+    )

@@ -75,3 +75,23 @@ def test_rrf_fusion_consistent_with_source_ranks(spark):
     scores = [(-r["rrf_score"], r["doc_id"]) for r in rows]
     assert scores == sorted(scores)
     assert [r["n_rank"] for r in rows] == sorted(r["n_rank"] for r in rows)
+
+
+def test_join_size_estimate_exact_side_brute_force(spark):
+    """exact_pairs must equal sum(c^2) computed naively, and err_bp must
+    be the integer basis-point error of est vs exact."""
+    from csv_loader_spark.queries.analytics import q182_join_size_estimate
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["key_col"]: r for r in q182_join_size_estimate(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    import collections
+
+    for key in ("l_partkey", "l_suppkey"):
+        counts = collections.Counter(
+            r[key] for r in li.select(key).collect()
+        )
+        exact = sum(c * c for c in counts.values())
+        r = rows[key]
+        assert r["exact_pairs"] == exact
+        assert r["err_bp"] == abs(r["est_pairs"] - exact) * 10000 // exact

@@ -51,3 +51,31 @@ def test_exact_bound_convergence_does_not_raise(spark):
     )
     ok = connected_components(path, "src", "dst", max_iterations=10)
     assert ok.agg({"component": "max"}).collect()[0][0] == 0
+
+
+def test_kcore_peel_hand_graph(spark):
+    """Peeling a lollipop: triangle {1,2,3} + pendant chain 3-4-5. With
+    k=2 the chain peels over two rounds (5 first, then 4); the triangle
+    survives with degree 2 everywhere."""
+    from csv_loader_spark.ops.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, 2, 3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_peel_fixed_rounds_is_prefix_of_fixpoint(spark):
+    """One round removes only the currently-underdegree nodes: the 4-star
+    center survives round 1 (deg 4) but dies in round 2 once its leaves
+    (deg 1) are gone — with rounds=1 it must still be present."""
+    from csv_loader_spark.ops.graph import kcore_peel
+
+    star = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(star, "a long, b long")
+    after1 = {r["node"] for r in kcore_peel(edges, 2, 1).collect()}
+    assert after1 == set()  # leaves die round 1; center left with no edges
+    # k=1: everything survives (every node has deg >= 1)
+    all_nodes = {r["node"] for r in kcore_peel(edges, 1, 3).collect()}
+    assert all_nodes == {0, 1, 2, 3, 4}
