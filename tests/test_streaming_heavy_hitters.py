@@ -1,0 +1,94 @@
+"""Streaming Misra-Gries heavy hitters (streaming/heavy_hitters.py):
+the per-shard guarantee holds across micro-batches (state resumes), the
+snapshot contract is monotone, and counts are within the documented
+error bound of truth."""
+
+import collections
+import json
+import random
+
+from csv_loader_spark.streaming.heavy_hitters import heavy_hitter_stream, mg_update
+
+_SCHEMA = "w string"
+
+
+def _write_batch(path, words):
+    with open(path, "w") as f:
+        for w in words:
+            f.write(json.dumps({"w": w}) + "\n")
+
+
+def _latest_snapshot(rows):
+    """Apply the consumption contract: keep each shard's max-snap rows."""
+    latest = {}
+    for r in rows:
+        latest.setdefault(r["shard"], []).append(r)
+    out = {}
+    for shard, rs in latest.items():
+        top = max(r["snap"] for r in rs)
+        for r in rs:
+            if r["snap"] == top:
+                out[r["w"]] = (r["c_lower"], r["n_shard"])
+    return out
+
+
+def test_stream_candidates_cover_heavy_tokens_across_batches(spark, tmp_path):
+    rng = random.Random(11)
+    words = (
+        ["alpha"] * 300 + ["beta"] * 180 + [f"tail{i}" for i in range(400)]
+    )
+    rng.shuffle(words)
+    src = tmp_path / "toks"
+    src.mkdir()
+    # split across 3 micro-batches so the guarantee must survive resumes
+    third = len(words) // 3
+    _write_batch(src / "b1.json", words[:third])
+    _write_batch(src / "b2.json", words[third : 2 * third])
+    _write_batch(src / "b3.json", words[2 * third :])
+    stream = (
+        spark.readStream.schema(_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    k = 16
+    q = (
+        heavy_hitter_stream(stream, k=k, shards=4)
+        .writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    final = _latest_snapshot(rows)
+    true_counts = collections.Counter(words)
+    # per-token guarantee: global count > n_shard/k ==> present in final
+    # state; count underestimates by at most n_shard/k
+    for w, (c_lower, n_shard) in final.items():
+        assert c_lower <= true_counts[w]
+        assert true_counts[w] - c_lower <= n_shard / k
+    shard_n = {}
+    for r in rows:
+        shard_n[r["shard"]] = max(shard_n.get(r["shard"], 0), r["n_shard"])
+    assert sum(shard_n.values()) == len(words)
+    for w in ("alpha", "beta"):
+        # alpha/beta dominate any shard's n/k threshold — must be present
+        assert w in final, w
+        c_lower, n_shard = final[w]
+        assert true_counts[w] > n_shard / k
+
+
+def test_mg_update_matches_batch_reference():
+    """The streaming fold's counter step is the same MG recurrence the
+    batch q169 mapper implements — property-check on random data."""
+    rng = random.Random(5)
+    stream = [rng.choice(["a", "b", "c", "d", "e", "f", "g"]) for _ in range(500)]
+    ctr: dict[str, int] = {}
+    for w in stream:
+        mg_update(ctr, w, 4)
+    true = collections.Counter(stream)
+    n = len(stream)
+    for w, c in true.items():
+        if c > n / 4:
+            assert w in ctr
+    for w, c in ctr.items():
+        assert c <= true[w] and true[w] - c <= n / 4
