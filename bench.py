@@ -133,6 +133,9 @@ R12_OPS = (
     "q180_hybrid_rrf",
     "q181_kcore_peel",
     "q182_join_size_estimate",
+    "q183_ab_welch_ttest",
+    "q184_multi_touch_attribution",
+    "q185_cumulative_uniques",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

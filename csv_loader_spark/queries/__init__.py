@@ -13,6 +13,7 @@ from csv_loader_spark.queries import relational3  # noqa: E402,F401
 from csv_loader_spark.queries import relational4  # noqa: E402,F401
 from csv_loader_spark.queries import relational5  # noqa: E402,F401
 from csv_loader_spark.queries import analytics  # noqa: E402,F401
+from csv_loader_spark.queries import analytics2  # noqa: E402,F401
 from csv_loader_spark.queries import llm  # noqa: E402,F401
 from csv_loader_spark.queries import llm2  # noqa: E402,F401
 from csv_loader_spark.queries import llm3  # noqa: E402,F401

@@ -95,3 +95,91 @@ def test_join_size_estimate_exact_side_brute_force(spark):
         r = rows[key]
         assert r["exact_pairs"] == exact
         assert r["err_bp"] == abs(r["est_pairs"] - exact) * 10000 // exact
+
+
+def test_welch_ttest_vs_scipy_formula(spark, tmp_path):
+    """t statistic and Satterthwaite dof must match the closed form
+    computed in pure Python on a tiny known sample."""
+    import datetime as dt
+    import statistics
+
+    from csv_loader_spark.queries.analytics2 import q183_ab_welch_ttest
+
+    a_vals = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b_vals = [2.0, 2.5, 3.5, 8.0]
+    rows = []
+    eid = 0
+    for uid, vals in ((0, a_vals), (1, b_vals)):  # parity split
+        for v in vals:
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=eid), uid, "x", v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q183_ab_welch_ttest(spark, str(tmp_path)).collect()[0]
+    na, nb = len(a_vals), len(b_vals)
+    ma, mb = statistics.fmean(a_vals), statistics.fmean(b_vals)
+    va, vb = statistics.variance(a_vals), statistics.variance(b_vals)
+    qa, qb = va / na, vb / nb
+    t = (ma - mb) / (qa + qb) ** 0.5
+    dof = (qa + qb) ** 2 / (qa * qa / (na - 1) + qb * qb / (nb - 1))
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["t_stat"] == round(t, 4)
+    assert r["welch_dof"] == round(dof, 4)
+
+
+def test_multi_touch_attribution_hand_case(spark, tmp_path):
+    """One purchase with 2 in-window touches and 1 out-of-window touch:
+    last/first winners and the linear split must be exact."""
+    import datetime as dt
+
+    from csv_loader_spark.queries.analytics2 import q184_multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 2, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=30), 1, "click", 0.0),  # outside 24h
+        (2, t0 - dt.timedelta(hours=2), 1, "click", 0.0),   # first in-window
+        (3, t0 - dt.timedelta(hours=1), 1, "view", 0.0),    # last in-window
+        (4, t0, 1, "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["touch_type"]: r
+        for r in q184_multi_touch_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got["click"]["n_touches"] == 1
+    assert got["view"]["n_touches"] == 1
+    assert got["view"]["last_touch_conv"] == 1
+    assert got["click"]["first_touch_conv"] == 1
+    assert got["click"]["linear_credit"] == 0.5
+    assert got["view"]["linear_credit"] == 0.5
+
+
+def test_cumulative_uniques_counts_each_user_once(spark, tmp_path):
+    import datetime as dt
+
+    from csv_loader_spark.queries.analytics2 import q185_cumulative_uniques
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 1, "a", 0.0),
+        (2, base + dt.timedelta(days=1), 1, "a", 0.0),  # repeat user
+        (3, base + dt.timedelta(days=1), 2, "a", 0.0),  # new user day 2
+        (4, base + dt.timedelta(days=3), 3, "a", 0.0),  # new user day 4
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        (r["day"], r["n_new"], r["cum_users"])
+        for r in q185_cumulative_uniques(spark, str(tmp_path)).collect()
+    )
+    days = [d for d, _, _ in out]
+    assert [n for _, n, _ in out] == [1, 1, 1]
+    assert [c for _, _, c in out] == [1, 2, 3]
+    assert days[1] == days[0] + 1 and days[2] == days[0] + 3
