@@ -136,6 +136,9 @@ R12_OPS = (
     "q183_ab_welch_ttest",
     "q184_multi_touch_attribution",
     "q185_cumulative_uniques",
+    "q186_seasonality_index",
+    "q187_cusum_changepoint",
+    "q188_leadlag_xcorr",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -370,3 +370,205 @@ def q175_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("src", "dst", "cnt", "p", "rnk")
     )
+
+
+# --- q186: hour-of-day seasonality index -------------------------------------
+
+
+@query(
+    "q186_seasonality_index",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    hod AS (
+      SELECT event_type, hr % 24 AS hod,
+             CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(n_events) AS s_all, sum(n_hours) AS h_all
+      FROM hod GROUP BY 1
+    )
+    SELECT h.event_type, h.hod, h.n_events,
+           round((CAST(h.n_events AS DOUBLE) / h.n_hours)
+                 / (CAST(t.s_all AS DOUBLE) / t.h_all), 4) AS idx
+    FROM hod h JOIN tot t ON h.event_type = t.event_type
+    """,
+    tags=("timeseries", "seasonality", "agg", "r12"),
+)
+def q186_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality index per event_type (demand-forecasting
+    staple): mean hourly count at each hour-of-day divided by the
+    group's overall hourly mean. Two combinable aggregates (hour census,
+    then 24-bucket fold) + a 5-row broadcast join — the fact is scanned
+    once and every downstream frame is bucket-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hod = hourly.groupBy(
+        "event_type", (F.col("hr") % 24).alias("hod")
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    tot = hod.groupBy("event_type").agg(
+        F.sum("n_events").alias("s_all"), F.sum("n_hours").alias("h_all")
+    )
+    return hod.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hod",
+        "n_events",
+        F.round(
+            (F.col("n_events").cast("double") / F.col("n_hours"))
+            / (F.col("s_all").cast("double") / F.col("h_all")),
+            4,
+        ).alias("idx"),
+    )
+
+
+# --- q187: CUSUM changepoint in exact integer arithmetic ---------------------
+
+
+@query(
+    "q187_cusum_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, hr, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+             row_number() OVER (PARTITION BY event_type ORDER BY hr) AS t,
+             sum(cnt) OVER (PARTITION BY event_type) AS s,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    k AS (
+      SELECT event_type, hr,
+             CAST(n * pre - t * s AS BIGINT) AS cusum_scaled
+      FROM c
+    )
+    SELECT event_type, hr AS cp_hr, cusum_scaled,
+           CASE WHEN cusum_scaled >= 0 THEN 1 ELSE -1 END AS direction
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY abs(cusum_scaled) DESC, hr) AS r
+      FROM k
+    ) WHERE r = 1
+    """,
+    tags=("timeseries", "changepoint", "window", "r12"),
+)
+def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator (Page 1954) per event_type over the
+    hourly count series, in EXACT integer arithmetic: the mean-centered
+    cumulative sum Σ(x_i - x̄) is scaled by n (n·prefix_t - t·S — all
+    bigint, no float mean), and the changepoint is the argmax of its
+    absolute value (earliest hour on ties). Windows run over the
+    span-bounded hour census only; results are bit-identical across
+    engines because nothing ever leaves integer arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_pre = (
+        W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    c = hourly.select(
+        "event_type",
+        "hr",
+        F.sum("cnt").over(w_pre).alias("pre"),
+        F.row_number().over(W.partitionBy("event_type").orderBy("hr")).alias("t"),
+        F.sum("cnt").over(w_all).alias("s"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    ).select(
+        "event_type",
+        "hr",
+        (F.col("n") * F.col("pre") - F.col("t") * F.col("s"))
+        .cast("long")
+        .alias("cusum_scaled"),
+    )
+    w_arg = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), "hr"
+    )
+    return (
+        c.withColumn("r", F.row_number().over(w_arg))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("hr").alias("cp_hr"),
+            "cusum_scaled",
+            F.when(F.col("cusum_scaled") >= 0, 1).otherwise(-1).alias("direction"),
+        )
+    )
+
+
+# --- q188: lead-lag cross-correlation ----------------------------------------
+
+XCORR_LAGS = list(range(-3, 4))
+XCORR_A = "click"
+XCORR_B = "purchase"
+
+
+@query(
+    "q188_leadlag_xcorr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE event_type IN ('{XCORR_A}', '{XCORR_B}')
+      GROUP BY 1, 2
+    ),
+    a AS (SELECT hr, cnt FROM hourly WHERE event_type = '{XCORR_A}'),
+    b AS (SELECT hr, cnt FROM hourly WHERE event_type = '{XCORR_B}'),
+    lags AS (SELECT unnest([{", ".join(str(x) for x in XCORR_LAGS)}]) AS lag)
+    SELECT l.lag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(a.cnt, b.cnt), 4) AS xcorr
+    FROM lags l
+    JOIN a ON TRUE
+    JOIN b ON b.hr = a.hr + l.lag
+    GROUP BY l.lag
+    """,
+    tags=("timeseries", "correlation", "r12"),
+)
+def q188_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag analysis: Pearson cross-correlation of the {XCORR_A} and
+    {XCORR_B} hourly series at lags {XCORR_LAGS[0]}..{XCORR_LAGS[-1]}
+    ("does one metric lead the other?"). The series are span-bounded
+    hourly censuses; each lag is an (hr+lag) equi-join between them and
+    one corr aggregate — 7 lags cost 7 tiny joins, never a re-scan of
+    the facts."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type").isin(XCORR_A, XCORR_B))
+        .select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    a = hourly.filter(F.col("event_type") == XCORR_A).select(
+        F.col("hr").alias("hr_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = hourly.filter(F.col("event_type") == XCORR_B).select(
+        F.col("hr").alias("hr_b"), F.col("cnt").alias("cnt_b")
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in XCORR_LAGS])).alias("lag")
+    )
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("hr_b") == F.col("hr_a") + F.col("lag")
+    )
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("cnt_a", "cnt_b"), 4).alias("xcorr"),
+    )
