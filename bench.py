@@ -139,6 +139,9 @@ R12_OPS = (
     "q186_seasonality_index",
     "q187_cusum_changepoint",
     "q188_leadlag_xcorr",
+    "q189_fd_audit",
+    "q190_psi_drift",
+    "q191_unpivot",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

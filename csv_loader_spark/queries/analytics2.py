@@ -245,3 +245,227 @@ def q185_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "day", "n_new", F.sum("n_new").over(w).cast("long").alias("cum_users")
     )
+
+
+# --- q189: functional-dependency audit ---------------------------------------
+
+#: candidate FDs to audit: (determinant, dependent)
+FD_CANDIDATES = (
+    ("l_orderkey", "l_returnflag"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_linestatus"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+                 CAST(max(c) AS BIGINT) AS max_rhs_per_lhs,
+                 CASE WHEN max(c) = 1 THEN 1 ELSE 0 END AS holds
+               FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS c
+                     FROM lineitem GROUP BY {lhs})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q189_fd_audit",
+    oracle=_fd_oracle(),
+    tags=("profiling", "quality", "agg", "r12"),
+)
+def q189_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (the Deequ/constraint-mining shape,
+    cf. Papenbrock et al. 2015 FD discovery): for each candidate
+    lhs→rhs, count determinant groups whose rhs is not unique. One
+    (lhs)-keyed distinct aggregate per candidate over a two-column
+    pruned scan; violations and the max fan-out come from the same
+    group census — no joins, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for lhs, rhs in FD_CANDIDATES:
+        g = li.select(lhs, rhs).groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("c")
+        )
+        outs.append(
+            g.agg(
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("c") > 1).cast("long")).cast("long").alias(
+                    "n_violating"
+                ),
+                F.max("c").cast("long").alias("max_rhs_per_lhs"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_groups",
+                "n_violating",
+                "max_rhs_per_lhs",
+                F.when(F.col("max_rhs_per_lhs") == 1, 1).otherwise(0).alias(
+                    "holds"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# --- q190: PSI distribution drift --------------------------------------------
+
+#: fixed equal-width value buckets (width 50 over [0, 500)) and Laplace
+#: smoothing so empty buckets stay defined — (k+1)/(n+B) is exact
+#: rational on both engines before the ln.
+PSI_BUCKETS = 10
+PSI_WIDTH = 50
+
+
+@query(
+    "q190_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN (epoch_us(ts) // 86400000000) % 28 < 7 THEN 'a'
+                  WHEN (epoch_us(ts) // 86400000000) % 28 >= 21 THEN 'b'
+             END AS win,
+             least(CAST(floor(value / {PSI_WIDTH}) AS BIGINT),
+                   {PSI_BUCKETS - 1}) AS bucket
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, win, bucket, CAST(count(*) AS BIGINT) AS k
+      FROM tagged WHERE win IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT DISTINCT event_type, unnest(range(0, {PSI_BUCKETS})) AS bucket
+      FROM c
+    ),
+    f AS (
+      SELECT g.event_type, g.bucket,
+             coalesce(a.k, 0) AS ka, coalesce(b.k, 0) AS kb
+      FROM grid g
+      LEFT JOIN c a ON a.event_type = g.event_type
+        AND a.bucket = g.bucket AND a.win = 'a'
+      LEFT JOIN c b ON b.event_type = g.event_type
+        AND b.bucket = g.bucket AND b.win = 'b'
+    ),
+    n AS (
+      SELECT event_type,
+             sum(ka) AS na, sum(kb) AS nb FROM f GROUP BY 1
+    )
+    SELECT f.event_type,
+           round(sum(
+             (CAST(ka + 1 AS DOUBLE) / (na + {PSI_BUCKETS})
+              - CAST(kb + 1 AS DOUBLE) / (nb + {PSI_BUCKETS}))
+             * ln((CAST(ka + 1 AS DOUBLE) / (na + {PSI_BUCKETS}))
+                  / (CAST(kb + 1 AS DOUBLE) / (nb + {PSI_BUCKETS})))
+           ), 4) AS psi
+    FROM f JOIN n ON f.event_type = n.event_type
+    GROUP BY f.event_type
+    """,
+    tags=("monitoring", "drift", "agg", "r12"),
+)
+def q190_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and last week of each
+    event_type's value distribution (the standard model-monitoring drift
+    meter): fixed {PSI_BUCKETS} equal-width buckets, Laplace-smoothed
+    frequencies (exact rationals before the single ln), one bucket
+    census + a {PSI_BUCKETS}-row-per-group fold. PSI < 0.1 = stable,
+    0.1-0.25 = drifting, > 0.25 = shifted (Karakoulas 2004 convention).
+    """
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    win = (
+        F.when(day % 28 < 7, "a").when(day % 28 >= 21, "b")
+    )
+    tagged = e.select(
+        "event_type",
+        win.alias("win"),
+        F.least(
+            F.floor(F.col("value") / PSI_WIDTH).cast("long"),
+            F.lit(PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    ).filter(F.col("win").isNotNull())
+    c = tagged.groupBy("event_type", "win", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket"),
+        )
+    )
+    a = c.filter(F.col("win") == "a").select(
+        "event_type", "bucket", F.col("k").alias("ka")
+    )
+    b = c.filter(F.col("win") == "b").select(
+        "event_type", "bucket", F.col("k").alias("kb")
+    )
+    f = (
+        grid.join(a, ["event_type", "bucket"], "left")
+        .join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("ka", F.lit(0)).alias("ka"),
+            F.coalesce("kb", F.lit(0)).alias("kb"),
+        )
+    )
+    n = f.groupBy("event_type").agg(
+        F.sum("ka").alias("na"), F.sum("kb").alias("nb")
+    )
+    j = f.join(F.broadcast(n), "event_type")
+    pa = (F.col("ka") + 1).cast("double") / (F.col("na") + PSI_BUCKETS)
+    pb = (F.col("kb") + 1).cast("double") / (F.col("nb") + PSI_BUCKETS)
+    return j.groupBy("event_type").agg(
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi")
+    )
+
+
+# --- q191: unpivot (wide metrics → long form) --------------------------------
+
+UNPIVOT_METRICS = ("sum_qty", "sum_price", "sum_disc")
+
+
+@query(
+    "q191_unpivot",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_discount), 2) AS sum_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+    """,
+    tags=("unpivot", "relational", "r12"),
+)
+def q191_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: a wide per-group metrics row flipped to long
+    (group, metric, value) form via DataFrame.unpivot — the Expand-based
+    native operator, one pass over the 3-row aggregate, no union of
+    re-scans (the oracle's UNION ALL re-reads a 3-row CTE; at scale
+    unpivot's Expand touches each wide row once)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return w.unpivot(
+        ["l_returnflag"],
+        list(UNPIVOT_METRICS),
+        "metric",
+        "metric_value",
+    )
