@@ -142,6 +142,8 @@ R12_OPS = (
     "q189_fd_audit",
     "q190_psi_drift",
     "q191_unpivot",
+    "q192_lift_curve",
+    "q193_rfm_segments",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -469,3 +469,151 @@ def q191_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "metric_value",
     )
+
+
+# --- q192: decile lift curve ---------------------------------------------------
+
+#: "positive" class definition for the lift readout.
+LIFT_POS_LABELS = (0, 1, 2)
+LIFT_DECILES = 10
+
+
+@query(
+    "q192_lift_curve",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE WHEN e.label IN {LIFT_POS_LABELS} THEN 1 ELSE 0 END AS pos
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    deciled AS (
+      SELECT *, ntile({LIFT_DECILES}) OVER (ORDER BY n_chars DESC, doc_id)
+               AS decile
+      FROM j
+    ),
+    agg AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT sum(n_pos) AS p_all, sum(n) AS n_all FROM agg)
+    SELECT decile, n, n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 4) AS pos_rate,
+           round((CAST(n_pos AS DOUBLE) / n)
+                 / (CAST(p_all AS DOUBLE) / n_all), 4) AS lift,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / p_all, 4) AS cum_capture
+    FROM agg CROSS JOIN tot
+    """,
+    tags=("mleval", "window", "r12"),
+)
+def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift curve (the standard model-eval readout): rank documents
+    by a score (n_chars as the stand-in model score), cut into
+    {LIFT_DECILES} ntile buckets (deterministic (score, doc_id) order),
+    and report per-decile positive rate, lift over base rate, and
+    cumulative capture. The windows run after the join reduces to
+    (doc_id, score, pos) — and the decile aggregate is
+    {LIFT_DECILES} rows before any ratio math. At corpus scale swap
+    ntile's global sort for q170's sketch-banded rank select."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    j = d.join(e, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.col("label").isin(*LIFT_POS_LABELS).cast("int").alias("pos"),
+    )
+    w = W.orderBy(F.col("n_chars").desc(), "doc_id")
+    agg = (
+        j.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("n_pos"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_pos").alias("p_all"), F.sum("n").alias("n_all")
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 4).alias(
+                "pos_rate"
+            ),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n"))
+                / (F.col("p_all").cast("double") / F.col("n_all")),
+                4,
+            ).alias("lift"),
+            F.round(
+                F.sum("n_pos").over(w_cum).cast("double") / F.col("p_all"), 4
+            ).alias("cum_capture"),
+        )
+    )
+
+
+# --- q193: RFM segmentation -----------------------------------------------------
+
+RFM_BINS = 5
+
+
+@query(
+    "q193_rfm_segments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, monetary,
+             ntile({RFM_BINS}) OVER (ORDER BY last_us DESC, user_id) AS r,
+             ntile({RFM_BINS}) OVER (ORDER BY freq DESC, user_id) AS f,
+             ntile({RFM_BINS}) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM p
+    )
+    SELECT r, f, m,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(monetary), 2) AS sum_monetary
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("segmentation", "window", "r12"),
+)
+def q193_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quintiles — the
+    classic CRM cut): one purchase aggregate per user, three ntile
+    windows over the |users|-row frame with deterministic tiebreaks,
+    then the segment census. The facts are touched once; every window
+    input is user-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    scored = p.select(
+        "user_id",
+        "monetary",
+        F.ntile(RFM_BINS).over(W.orderBy(F.col("last_us").desc(), "user_id")).alias("r"),
+        F.ntile(RFM_BINS).over(W.orderBy(F.col("freq").desc(), "user_id")).alias("f"),
+        F.ntile(RFM_BINS).over(W.orderBy(F.col("monetary").desc(), "user_id")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("sum_monetary"),
+    )
