@@ -327,14 +327,19 @@ PSI_WIDTH = 50
 @query(
     "q190_psi_drift",
     oracle=f"""
-    WITH tagged AS (
+    WITH bounds AS (
+      SELECT min(epoch_us(ts) // 86400000000) AS mn,
+             max(epoch_us(ts) // 86400000000) AS mx
+      FROM events
+    ),
+    tagged AS (
       SELECT event_type,
-             CASE WHEN (epoch_us(ts) // 86400000000) % 28 < 7 THEN 'a'
-                  WHEN (epoch_us(ts) // 86400000000) % 28 >= 21 THEN 'b'
+             CASE WHEN (epoch_us(ts) // 86400000000) < mn + 7 THEN 'a'
+                  WHEN (epoch_us(ts) // 86400000000) > mx - 7 THEN 'b'
              END AS win,
              least(CAST(floor(value / {PSI_WIDTH}) AS BIGINT),
                    {PSI_BUCKETS - 1}) AS bucket
-      FROM events
+      FROM events CROSS JOIN bounds
     ),
     c AS (
       SELECT event_type, win, bucket, CAST(count(*) AS BIGINT) AS k
@@ -372,17 +377,22 @@ PSI_WIDTH = 50
 def q190_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and last week of each
     event_type's value distribution (the standard model-monitoring drift
-    meter): fixed {PSI_BUCKETS} equal-width buckets, Laplace-smoothed
-    frequencies (exact rationals before the single ln), one bucket
-    census + a {PSI_BUCKETS}-row-per-group fold. PSI < 0.1 = stable,
-    0.1-0.25 = drifting, > 0.25 = shifted (Karakoulas 2004 convention).
-    """
+    meter): windows anchored at the DATASET's day span (first 7 days vs
+    last 7, from one 1-row bounds broadcast), fixed {PSI_BUCKETS}
+    equal-width buckets, Laplace-smoothed frequencies (exact rationals
+    before the single ln), one bucket census + a
+    {PSI_BUCKETS}-row-per-group fold. PSI < 0.1 = stable, 0.1-0.25 =
+    drifting, > 0.25 = shifted (Karakoulas 2004 convention)."""
     e = load_table(spark, sf_dir, "events")
     day = F.expr("unix_micros(ts) div 86400000000")
-    win = (
-        F.when(day % 28 < 7, "a").when(day % 28 >= 21, "b")
+    bounds = e.agg(
+        F.min(day).alias("mn"), F.max(day).alias("mx")
     )
-    tagged = e.select(
+    win = (
+        F.when(day < F.col("mn") + 7, "a")
+        .when(day > F.col("mx") - 7, "b")
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         win.alias("win"),
         F.least(
