@@ -144,6 +144,13 @@ R12_OPS = (
     "q191_unpivot",
     "q192_lift_curve",
     "q193_rfm_segments",
+    "q194_benford_audit",
+    "q195_abc_pareto",
+    "q196_theil_sen",
+    "q197_id_gaps",
+    "q198_activity_drawdown",
+    "q199_dup_payments",
+    "q200_monitoring_capstone",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -627,3 +627,294 @@ def q193_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.round(F.sum("monetary"), 2).alias("sum_monetary"),
     )
+
+
+# --- q197: sequence-gap audit (gaps and islands) ------------------------------
+
+
+@query(
+    "q197_id_gaps",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+    isl AS (
+      SELECT id, id - row_number() OVER (ORDER BY id) AS grp FROM ids
+    ),
+    islands AS (
+      SELECT min(id) AS island_lo, max(id) AS island_hi,
+             CAST(count(*) AS BIGINT) AS island_len
+      FROM isl GROUP BY grp
+    )
+    SELECT island_lo, island_hi, island_len,
+           lead(island_lo) OVER (ORDER BY island_lo) - island_hi - 1
+             AS gap_after
+    FROM islands
+    """,
+    tags=("islands", "window", "audit", "r12"),
+)
+def q197_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands audit over the event_id sequence (the classic
+    id − row_number() grouping idiom): contiguous islands with their
+    bounds/length and the gap to the next island — the completeness
+    check a landing zone runs to spot dropped deliveries. One distinct
+    + two windows over the id column only (pruned scan); the islands
+    frame is tiny, the lead() runs there."""
+    e = load_table(spark, sf_dir, "events")
+    ids = e.select(F.col("event_id").alias("id")).distinct()
+    isl = ids.withColumn(
+        "grp", F.col("id") - F.row_number().over(W.orderBy("id"))
+    )
+    islands = isl.groupBy("grp").agg(
+        F.min("id").alias("island_lo"),
+        F.max("id").alias("island_hi"),
+        F.count(F.lit(1)).cast("long").alias("island_len"),
+    )
+    return islands.select(
+        "island_lo",
+        "island_hi",
+        "island_len",
+        (
+            F.lead("island_lo").over(W.orderBy("island_lo"))
+            - F.col("island_hi")
+            - 1
+        ).alias("gap_after"),
+    )
+
+
+# --- q198: activity drawdown (running peak vs current) -----------------------
+
+
+@query(
+    "q198_activity_drawdown",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+      SELECT event_type, hr, cnt,
+             max(cnt) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM hourly
+    )
+    SELECT event_type,
+           CAST(max(peak) AS BIGINT) AS peak_rate,
+           CAST(max(peak - cnt) AS BIGINT) AS max_drawdown,
+           CAST(sum(CASE WHEN peak - cnt > peak // 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hours_below_half_peak
+    FROM dd GROUP BY event_type
+    """,
+    tags=("window", "monitoring", "r12"),
+)
+def q198_activity_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity drawdown per event_type (the finance max-drawdown shape
+    applied to traffic monitoring): running peak of the hourly rate,
+    maximum drop below that peak, and hours spent under half the
+    then-current peak. Entirely integer arithmetic over the
+    span-bounded hour census — engine-exact, one window + one fold."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr("unix_micros(ts) div 3600000000").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_peak = (
+        W.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    dd = hourly.withColumn("peak", F.max("cnt").over(w_peak))
+    return dd.groupBy("event_type").agg(
+        F.max("peak").cast("long").alias("peak_rate"),
+        F.max(F.col("peak") - F.col("cnt")).cast("long").alias("max_drawdown"),
+        F.sum(
+            (
+                (F.col("peak") - F.col("cnt"))
+                > F.expr("peak div 2")
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_hours_below_half_peak"),
+    )
+
+
+# --- q199: duplicate-payment detector (1-D epsilon band join) -----------------
+
+#: tolerance in cents and seconds for "suspiciously similar" payments.
+DUP_EPS_CENTS = 1000
+DUP_EPS_US = 3_600_000_000
+
+
+@query(
+    "q199_dup_payments",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             b.event_id AS dup_event, a.event_id AS orig_event,
+             abs(b.cents - a.cents) AS d_cents,
+             abs(b.t - a.t) AS d_us
+      FROM p a JOIN p b
+        ON a.user_id = b.user_id AND b.event_id > a.event_id
+       AND (b.cents // {DUP_EPS_CENTS}) - (a.cents // {DUP_EPS_CENTS})
+             BETWEEN -1 AND 1
+       AND abs(b.cents - a.cents) <= {DUP_EPS_CENTS}
+       AND abs(b.t - a.t) <= {DUP_EPS_US}
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sus_pairs,
+           CAST(min(d_us) // 1000000 AS BIGINT) AS min_gap_s,
+           CAST(min(d_cents) AS BIGINT) AS min_d_cents
+    FROM pairs GROUP BY user_id
+    """,
+    tags=("fraud", "join", "band", "r12"),
+)
+def q199_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: per user, purchase pairs within
+    ±$10 and 1 hour of each other. The pair join is the 1-D version of
+    q157's grid epsilon join — one side explodes into its amount band
+    ±1 (band width == epsilon, so every qualifying pair matches exactly
+    one probe band), the join keys are (user_id, band), and the exact
+    |Δcents|/|Δt| predicates ride the join condition. No user's
+    purchases ever cross-join another band."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros("ts").alias("t"),
+    )
+    a = p.select(
+        "user_id",
+        F.col("event_id").alias("orig_event"),
+        F.col("cents").alias("c_a"),
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.array(
+                F.expr(f"cents div {DUP_EPS_CENTS} - 1"),
+                F.expr(f"cents div {DUP_EPS_CENTS}"),
+                F.expr(f"cents div {DUP_EPS_CENTS} + 1"),
+            )
+        ).alias("band"),
+    )
+    b = p.select(
+        "user_id",
+        F.col("event_id").alias("dup_event"),
+        F.col("cents").alias("c_b"),
+        F.col("t").alias("t_b"),
+        F.expr(f"cents div {DUP_EPS_CENTS}").alias("band"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "band"])
+        .filter(
+            (F.col("dup_event") > F.col("orig_event"))
+            & (F.abs(F.col("c_b") - F.col("c_a")) <= DUP_EPS_CENTS)
+            & (F.abs(F.col("t_b") - F.col("t_a")) <= DUP_EPS_US)
+        )
+        .select(
+            "user_id",
+            F.abs(F.col("c_b") - F.col("c_a")).alias("d_cents"),
+            F.abs(F.col("t_b") - F.col("t_a")).alias("d_us"),
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sus_pairs"),
+        F.expr("min(d_us) div 1000000").cast("long").alias("min_gap_s"),
+        F.min("d_cents").cast("long").alias("min_d_cents"),
+    )
+
+
+# --- q200: monitoring capstone -----------------------------------------------
+
+
+def _capstone_oracle() -> str:
+    from csv_loader_spark.queries.registry import get
+
+    g = get("q171_gap_fill").oracle
+    sm = get("q172_exp_smooth").oracle
+    cp = get("q187_cusum_changepoint").oracle
+    psi = get("q190_psi_drift").oracle
+    dd = get("q198_activity_drawdown").oracle
+    return f"""
+    WITH gaps AS (
+      SELECT event_type, CAST(sum(is_gap) AS BIGINT) AS n_gap_hours
+      FROM ({g}) GROUP BY event_type
+    ),
+    sm_last AS (
+      SELECT event_type, smoothed AS last_smoothed FROM (
+        SELECT event_type, smoothed,
+               row_number() OVER (PARTITION BY event_type ORDER BY hr DESC)
+                 AS r
+        FROM ({sm})
+      ) WHERE r = 1
+    ),
+    cp AS (SELECT event_type, cp_hr, direction FROM ({cp})),
+    psi AS (SELECT event_type, psi FROM ({psi})),
+    dd AS (
+      SELECT event_type, peak_rate, max_drawdown FROM ({dd})
+    )
+    SELECT gaps.event_type, n_gap_hours, last_smoothed, cp_hr, direction,
+           psi, peak_rate, max_drawdown
+    FROM gaps
+    JOIN sm_last ON gaps.event_type = sm_last.event_type
+    JOIN cp ON gaps.event_type = cp.event_type
+    JOIN psi ON gaps.event_type = psi.event_type
+    JOIN dd ON gaps.event_type = dd.event_type
+    """
+
+
+@query(
+    "q200_monitoring_capstone",
+    oracle=_capstone_oracle(),
+    tags=("capstone", "monitoring", "timeseries", "r12"),
+)
+def q200_monitoring_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitoring dashboard row: per event_type, gap-repair census
+    (q171), latest smoothed rate (q172), CUSUM changepoint + direction
+    (q187), PSI drift (q190) and activity drawdown (q198) — composed by
+    JOINING the registered operators' own outputs on event_type, exactly
+    as a user of the library would. Each leg keeps its adjudicated plan;
+    the joins see 5-row frames. The oracle nests the same five oracle
+    texts as derived tables — single source of truth per leg."""
+    from csv_loader_spark.queries.registry import get
+
+    gaps = (
+        get("q171_gap_fill")
+        .fn(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.sum("is_gap").cast("long").alias("n_gap_hours"))
+    )
+    sm = get("q172_exp_smooth").fn(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy(F.col("hr").desc())
+    sm_last = (
+        sm.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("event_type", F.col("smoothed").alias("last_smoothed"))
+    )
+    cp = get("q187_cusum_changepoint").fn(spark, sf_dir).select(
+        "event_type", "cp_hr", "direction"
+    )
+    psi = get("q190_psi_drift").fn(spark, sf_dir)
+    dd = get("q198_activity_drawdown").fn(spark, sf_dir).select(
+        "event_type", "peak_rate", "max_drawdown"
+    )
+    return (
+        gaps.join(sm_last, "event_type")
+        .join(cp, "event_type")
+        .join(psi, "event_type")
+        .join(dd, "event_type")
+        .select(
+            "event_type",
+            "n_gap_hours",
+            "last_smoothed",
+            "cp_hr",
+            "direction",
+            "psi",
+            "peak_rate",
+            "max_drawdown",
+        )
+    )

@@ -572,3 +572,205 @@ def q188_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("cnt_a", "cnt_b"), 4).alias("xcorr"),
     )
+
+
+# --- q194: Benford first-digit audit -----------------------------------------
+
+
+@query(
+    "q194_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit
+    ),
+    n AS (SELECT sum(observed) AS n FROM c)
+    SELECT digit, observed,
+           round(CAST(observed AS DOUBLE) / n, 4) AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 4) AS p_benford,
+           round(pow(CAST(observed AS DOUBLE) / n - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit) * n, 4) AS chi2_term
+    FROM c CROSS JOIN n
+    """,
+    tags=("quality", "audit", "agg", "r12"),
+)
+def q194_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals (Benford 1938;
+    the standard fraud/data-fabrication screen): observed first-digit
+    frequencies vs log10(1+1/d), with the per-digit chi-square
+    contribution. Digit extraction is exact integer/string arithmetic
+    (explicit floor before the bigint cast — DuckDB's double→BIGINT cast
+    ROUNDS while Spark's truncates — then first character), so the only float ops are the
+    shared-formula frequencies — one combinable 9-row census."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    n = c.agg(F.sum("observed").alias("n"))
+    p_obs = F.col("observed").cast("double") / F.col("n")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.crossJoin(F.broadcast(n)).select(
+        "digit",
+        "observed",
+        F.round(p_obs, 4).alias("p_obs"),
+        F.round(p_ben, 4).alias("p_benford"),
+        F.round(F.pow(p_obs - p_ben, 2) / p_ben * F.col("n"), 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# --- q195: ABC / Pareto classification ---------------------------------------
+
+ABC_A_PCT = 80
+ABC_B_PCT = 95
+
+
+@query(
+    "q195_abc_pareto",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+             sum(cents) OVER () AS tot_c
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey, cents,
+             CASE WHEN cum_c * 100 <= tot_c * {ABC_A_PCT} THEN 'A'
+                  WHEN cum_c * 100 <= tot_c * {ABC_B_PCT} THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS class_rev_cents
+    FROM classed GROUP BY abc
+    """,
+    tags=("pareto", "window", "agg", "r12"),
+)
+def q195_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A = the prefix holding {ABC_A_PCT}% of cumulative revenue,
+    B to {ABC_B_PCT}%, C the tail. ENTIRELY integer arithmetic: per-part
+    revenue is folded to exact cents, the running share comparison is
+    cross-multiplied bigints (cum*100 <= tot*pct) — no double ever
+    enters the classification or the class totals, so both engines are
+    bit-identical (the float formulation diverged by one cent in the
+    unordered 2.4e9-magnitude class sum). The one global sort runs on
+    the reduced |parts| frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    w_cum = W.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_c"),
+        F.sum("cents").over(w_all).alias("tot_c"),
+    )
+    abc = (
+        F.when(F.col("cum_c") * 100 <= F.col("tot_c") * ABC_A_PCT, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * ABC_B_PCT, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("cents", abc.alias("abc"))
+        .groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_rev_cents"),
+        )
+    )
+
+
+# --- q196: Theil-Sen robust trend slope --------------------------------------
+
+
+@query(
+    "q196_theil_sen",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, {_HR_DUCK} AS hr, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, hr - min(hr) OVER (PARTITION BY event_type) AS t, cnt
+      FROM hourly
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.cnt - a.cnt AS DOUBLE) / (b.t - a.t) AS s
+      FROM base a JOIN base b
+        ON a.event_type = b.event_type AND b.t > a.t
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 4) AS theil_sen_slope
+    FROM slopes GROUP BY event_type
+    """,
+    tags=("timeseries", "robust", "regression", "r12"),
+)
+def q196_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950; Sen 1968) over each
+    event_type's hourly count series: the median of all pairwise slopes
+    (cnt_j - cnt_i)/(t_j - t_i). The pair join runs over the
+    SPAN-BOUNDED hour census (≤ span² pairs per group — 259k at a
+    30-day span, independent of fact cardinality), never over events;
+    the median is the exact interpolated percentile (q40 precedent).
+    Each slope is one integer difference ratio, identical across
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    base = hourly.select(
+        "event_type",
+        (F.col("hr") - F.min("hr").over(W.partitionBy("event_type"))).alias("t"),
+        "cnt",
+    )
+    b = base.select(
+        F.col("event_type"),
+        F.col("t").alias("t2"),
+        F.col("cnt").alias("cnt2"),
+    )
+    slopes = (
+        base.join(b, "event_type")
+        .filter(F.col("t2") > F.col("t"))
+        .select(
+            "event_type",
+            (
+                (F.col("cnt2") - F.col("cnt")).cast("double")
+                / (F.col("t2") - F.col("t"))
+            ).alias("s"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.percentile("s", 0.5), 4).alias("theil_sen_slope"),
+    )

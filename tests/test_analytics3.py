@@ -1,0 +1,164 @@
+"""Unit tests for q194-q200: Benford digits on planted amounts, ABC
+classes on a known revenue skew, Theil-Sen on a perfect linear trend,
+islands/gaps on a punctured id sequence, drawdown on a planted dip,
+the epsilon-join duplicate screen, and capstone==legs consistency."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _write_events(spark, tmp_path, rows):
+    data = [
+        (eid, EPOCH + dt.timedelta(hours=h, minutes=eid % 40), uid, et, v)
+        for (eid, h, uid, et, v) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_benford_digit_census(spark, tmp_path):
+    from csv_loader_spark.queries.relational5 import q194_benford_audit
+
+    rows = [
+        (1, 1, "O", 123.45, EPOCH),   # digit 1
+        (2, 1, "O", 19.99, EPOCH),    # digit 1
+        (3, 1, "O", 999.99, EPOCH),   # digit 9 (floor -> 999, NOT 1000)
+        (4, 1, "O", 45.0, EPOCH),     # digit 4
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {r["digit"]: r for r in q194_benford_audit(spark, str(tmp_path)).collect()}
+    assert got[1]["observed"] == 2
+    assert got[9]["observed"] == 1  # the floor-vs-round cast trap, pinned
+    assert got[4]["observed"] == 1
+    assert got[1]["p_obs"] == 0.5
+    import math
+
+    assert got[1]["p_benford"] == round(math.log10(2), 4)
+
+
+def test_abc_pareto_classes(spark, tmp_path):
+    from csv_loader_spark.queries.relational5 import q195_abc_pareto
+
+    # revenues 80, 15, 3, 2 (no discount): A={80}, B={15}, C={3,2}
+    rows = []
+    for i, rev in enumerate((80.0, 15.0, 3.0, 2.0)):
+        rows.append((i, i + 1, 1, 1, 1.0, rev, 0.0, 0.0, "N", "O", EPOCH))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r["abc"]: r for r in q195_abc_pareto(spark, str(tmp_path)).collect()}
+    assert got["A"]["n_parts"] == 1 and got["A"]["class_rev_cents"] == 8000
+    assert got["B"]["n_parts"] == 1 and got["B"]["class_rev_cents"] == 1500
+    assert got["C"]["n_parts"] == 2 and got["C"]["class_rev_cents"] == 500
+
+
+def test_theil_sen_exact_on_linear_trend(spark, tmp_path):
+    from csv_loader_spark.queries.relational5 import q196_theil_sen
+
+    # counts 1,2,3,...,8 per hour: every pairwise slope is exactly 1.0
+    rows = []
+    eid = 0
+    for h in range(8):
+        for _ in range(h + 1):
+            rows.append((eid, h, 1, "a", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = q196_theil_sen(spark, sf).collect()[0]
+    assert r["n_pairs"] == 8 * 7 // 2
+    assert r["theil_sen_slope"] == 1.0
+
+
+def test_id_gaps_islands(spark, tmp_path):
+    from csv_loader_spark.queries.analytics2 import q197_id_gaps
+
+    # ids 1-3, 7-8, 12 -> islands (1,3),(7,8),(12,12); gaps 3 and 3
+    rows = [(i, 0, 1, "a", 1.0) for i in (1, 2, 3, 7, 8, 12)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = sorted(
+        (r["island_lo"], r["island_hi"], r["island_len"], r["gap_after"])
+        for r in q197_id_gaps(spark, sf).collect()
+    )
+    assert got == [(1, 3, 3, 3), (7, 8, 2, 3), (12, 12, 1, None)]
+
+
+def test_activity_drawdown_planted_dip(spark, tmp_path):
+    from csv_loader_spark.queries.analytics2 import q198_activity_drawdown
+
+    # hourly counts 5, 8, 2, 6: peak runs 5,8,8,8; max drawdown 6; one
+    # hour (cnt 2) sits below half the then-peak (8 div 2 = 4)
+    rows = []
+    eid = 0
+    for h, n in enumerate((5, 8, 2, 6)):
+        for _ in range(n):
+            rows.append((eid, h, 1, "a", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    r = q198_activity_drawdown(spark, sf).collect()[0]
+    assert r["peak_rate"] == 8
+    assert r["max_drawdown"] == 6
+    assert r["n_hours_below_half_peak"] == 1
+
+
+def test_dup_payments_planted_pair(spark, tmp_path):
+    from csv_loader_spark.queries.analytics2 import q199_dup_payments
+
+    rows = [
+        (1, 0, 1, "purchase", 100.00),
+        (2, 0, 1, "purchase", 104.00),   # within $10 and 1h -> pair
+        (3, 0, 1, "purchase", 250.00),   # amount too far
+        (4, 30, 1, "purchase", 101.00),  # 30h later -> outside window
+        (5, 0, 2, "purchase", 100.00),   # other user, no partner
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = q199_dup_payments(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["n_sus_pairs"] == 1
+    assert r["min_d_cents"] == 400
+
+
+def test_dup_payments_cross_band_pair_found(spark, tmp_path):
+    """Amounts straddling a band boundary (9.99 vs 10.01 with $10 bands)
+    must still pair — the ±1 band probe exists exactly for this."""
+    from csv_loader_spark.queries.analytics2 import q199_dup_payments
+
+    rows = [
+        (1, 0, 1, "purchase", 9.99),
+        (2, 0, 1, "purchase", 10.01),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = q199_dup_payments(spark, sf).collect()
+    assert len(got) == 1 and got[0]["n_sus_pairs"] == 1
+
+
+def test_capstone_matches_legs(spark):
+    from csv_loader_spark.queries.analytics2 import q200_monitoring_capstone
+    from csv_loader_spark.queries.registry import get
+
+    sf = "/root/testdata/sf0.001"
+    cap = {r["event_type"]: r for r in q200_monitoring_capstone(spark, sf).collect()}
+    psi = {r["event_type"]: r["psi"] for r in get("q190_psi_drift").fn(spark, sf).collect()}
+    cp = {
+        r["event_type"]: (r["cp_hr"], r["direction"])
+        for r in get("q187_cusum_changepoint").fn(spark, sf).collect()
+    }
+    assert set(cap) == set(psi)
+    for et, r in cap.items():
+        assert r["psi"] == psi[et]
+        assert (r["cp_hr"], r["direction"]) == cp[et]
