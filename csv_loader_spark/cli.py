@@ -150,10 +150,54 @@ def curate_main(argv: list[str]) -> int:
     return 0
 
 
+def build_monitor_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv_loader_spark monitor",
+        description=(
+            "Run the q200 monitoring dashboard over an events table: per "
+            "event_type gap-repair census (q171), latest smoothed hourly "
+            "rate (q172), CUSUM changepoint + direction (q187), PSI drift "
+            "vs the first week (q190) and activity drawdown (q198) — each "
+            "leg is the oracle-gated operator the query surface proves."
+        ),
+    )
+    p.add_argument(
+        "--sf-dir",
+        required=True,
+        help="directory containing events.parquet (a testdata sf dir or "
+        "any layout load_table understands)",
+    )
+    p.add_argument("--out", help="write the dashboard rows as JSON lines here")
+    return p
+
+
+def monitor_main(argv: list[str]) -> int:
+    import json
+
+    args = build_monitor_parser().parse_args(argv)
+    if not os.path.exists(os.path.join(args.sf_dir, "events.parquet")):
+        print(f"events.parquet not found under: {args.sf_dir}", file=sys.stderr)
+        return 1
+    from csv_loader_spark.queries.analytics2 import q200_monitoring_capstone
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("csv_loader_monitor")
+    rows = [r.asDict() for r in q200_monitoring_capstone(spark, args.sf_dir).collect()]
+    rows.sort(key=lambda r: r["event_type"])
+    lines = "\n".join(json.dumps(r) for r in rows)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(lines + "\n")
+    print(lines)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["curate"]:
         return curate_main(argv[1:])
+    if argv[:1] == ["monitor"]:
+        return monitor_main(argv[1:])
     args = build_parser().parse_args(argv)
     if not os.path.exists(args.file):
         # reference behavior: message + return, no stack trace (:59-61)

@@ -257,3 +257,35 @@ def test_curate_cli_capstone_equals_q132_oracle(tmp_path, capsys):
     n_cand = spark.read.parquet(src).count()
     assert manifest.count() == n_cand
     assert manifest.select("doc_id").distinct().count() == n_cand
+
+
+def test_monitor_subcommand_end_to_end(tmp_path, capsys):
+    """`python -m csv_loader_spark monitor` over the sf0.001 events table:
+    one JSON line per event_type with every dashboard column, equal to
+    the q200 operator's own answer."""
+    import json
+
+    from csv_loader_spark.cli import main
+
+    out_path = tmp_path / "dash.jsonl"
+    rc = main(
+        ["monitor", "--sf-dir", "/root/testdata/sf0.001", "--out", str(out_path)]
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out_path.read_text().splitlines()]
+    assert len(rows) == 5
+    cols = {
+        "event_type", "n_gap_hours", "last_smoothed", "cp_hr", "direction",
+        "psi", "peak_rate", "max_drawdown",
+    }
+    for r in rows:
+        assert set(r) == cols
+    assert [r["event_type"] for r in rows] == sorted(r["event_type"] for r in rows)
+
+
+def test_monitor_subcommand_missing_events_dir(tmp_path, capsys):
+    from csv_loader_spark.cli import main
+
+    rc = main(["monitor", "--sf-dir", str(tmp_path)])
+    assert rc == 1
+    assert "events.parquet not found" in capsys.readouterr().err
