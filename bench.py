@@ -277,11 +277,28 @@ def main() -> None:
     ):
         kept = kept[1:]
         kept_totals = kept_totals[1:]
+    # single-outlier trim (r12c): a mid-run JVM full-GC pause (or a brief
+    # host blip) inflates exactly ONE timed run — observed twice on a
+    # start-idle host as totals like [4.12, 3.93, 6.23, 4.27]. The leading-
+    # maximum discard above cannot remove a MIDDLE spike, so: if the kept
+    # runs disagree but dropping the single largest total brings the rest
+    # within tolerance, drop it and say so in the artifact
+    # (outlier_runs_discarded). Two disagreeing runs still stamp
+    # non-canonical — agreement of the remaining majority is required.
+    outlier_discarded = 0
+    spread = max(kept_totals) / max(min(kept_totals), 1e-9)
+    if spread > SPREAD_TOLERANCE and len(kept) >= 3:
+        i_max = kept_totals.index(max(kept_totals))
+        trial_totals = kept_totals[:i_max] + kept_totals[i_max + 1:]
+        if max(trial_totals) / max(min(trial_totals), 1e-9) <= SPREAD_TOLERANCE:
+            kept = kept[:i_max] + kept[i_max + 1:]
+            kept_totals = trial_totals
+            outlier_discarded = 1
+            spread = max(kept_totals) / max(min(kept_totals), 1e-9)
     times = {
         name: round(sorted(t[name] for t in kept)[len(kept) // 2], 4)
         for name in _ALL
     }
-    spread = max(kept_totals) / max(min(kept_totals), 1e-9)
     print(
         json.dumps(
             {
@@ -315,7 +332,8 @@ def main() -> None:
                 "load_avg_after_each_run": run_loads,
                 "warmup_runs": 2,
                 "timed_runs": TIMED_RUNS,
-                "jit_discard_runs": len(runs) - len(kept),
+                "jit_discard_runs": len(runs) - len(kept) - outlier_discarded,
+                "outlier_runs_discarded": outlier_discarded,
             }
         )
     )
