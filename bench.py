@@ -151,6 +151,9 @@ R12_OPS = (
     "q198_activity_drawdown",
     "q199_dup_payments",
     "q200_monitoring_capstone",
+    "q201_hard_negatives",
+    "q202_negative_sampling",
+    "q203_span_corruption",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -162,3 +162,33 @@ def test_capstone_matches_legs(spark):
     for et, r in cap.items():
         assert r["psi"] == psi[et]
         assert (r["cp_hr"], r["direction"]) == cp[et]
+
+
+def test_hard_negatives_labels_differ_and_sims_ordered(spark):
+    from csv_loader_spark.queries.llm14 import q201_hard_negatives
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    }
+    rows = q201_hard_negatives(spark, sf).collect()
+    assert rows
+    for r in rows:
+        q = r["query_id"]
+        assert labels[r["hard_pos_id"]] == labels[q]
+        assert labels[r["hard_neg_id"]] != labels[q]
+        assert r["hard_pos_id"] != q and r["hard_neg_id"] != q
+
+
+def test_span_corruption_deterministic_and_bounded(spark):
+    from csv_loader_spark.queries.llm14 import q203_span_corruption
+
+    sf = "/root/testdata/sf0.001"
+    a = {r["doc_id"]: r for r in q203_span_corruption(spark, sf).collect()}
+    b = {r["doc_id"]: r for r in q203_span_corruption(spark, sf).collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k]["masked_tokens"] == b[k]["masked_tokens"]
+        assert 0 < a[k]["masked_tokens"] <= a[k]["n_tok"]
+        assert 0 < a[k]["mask_ratio"] <= 1.0
