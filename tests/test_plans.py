@@ -706,3 +706,30 @@ def test_q180_rrf_legs_end_in_take_ordered(spark):
     plan = _plan(spark, "q180_hybrid_rrf")
     assert plan.count("TakeOrderedAndProject") >= 3  # lex leg, dense leg, fused
     assert "CartesianProduct" not in plan
+
+
+def test_q199_dup_payments_band_equi_join(spark):
+    """The epsilon screen must join on (user_id, band) — hash join, no
+    cartesian, no nested loop."""
+    plan = _plan(spark, "q199_dup_payments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan
+
+
+def test_q201_hard_negatives_no_pair_window(spark):
+    """Mining folds per-anchor winners map-side: a broadcast join feeds
+    a hash aggregate — the |anchors|x|corpus| pair stream must never
+    enter a Window or a Sort."""
+    plan = _plan(spark, "q201_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_q203_span_corruption_is_map_only(spark):
+    """Tokenize -> position explode -> hash filter -> span explode is
+    map-side; the only exchange belongs to the per-doc aggregate (and
+    its distinct)."""
+    plan = _plan(spark, "q203_span_corruption")
+    assert "Join" not in plan
+    assert "Window" not in plan
