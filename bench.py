@@ -154,6 +154,8 @@ R12_OPS = (
     "q201_hard_negatives",
     "q202_negative_sampling",
     "q203_span_corruption",
+    "q204_lateness_audit",
+    "q205_funnel_latency",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

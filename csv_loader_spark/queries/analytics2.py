@@ -918,3 +918,146 @@ def q200_monitoring_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_drawdown",
         )
     )
+
+
+# --- q204: event-lateness audit (watermark tuning) ---------------------------
+
+LATE_THRESH_US = 1_800_000_000  # 30 min
+
+
+@query(
+    "q204_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+      FROM events
+    ),
+    late AS (
+      SELECT event_type, hwm - t AS late_us FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           round(quantile_cont(CAST(late_us AS DOUBLE), 0.99), 4)
+             AS p99_late_us,
+           round(CAST(sum(CASE WHEN late_us > {LATE_THRESH_US} THEN 1
+                               ELSE 0 END) AS DOUBLE) / count(*), 4)
+             AS frac_beyond_30m
+    FROM late GROUP BY event_type
+    """,
+    tags=("streaming", "audit", "window", "r12"),
+)
+def q204_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning audit: treat event_id as ARRIVAL order and
+    event time as payload; per event, lateness = high-water-mark of
+    event time seen so far minus own event time (exact integer µs via a
+    running-max window). The summary — out-of-order fraction, max and
+    p99 lateness, fraction beyond a 30-minute watermark — is exactly
+    what sizes `withWatermark` for the streaming operators
+    (events_stream/ingest loops). One window on the arrival order + one
+    combinable fold; the p99 is the exact interpolated percentile."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type").orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        F.max(F.unix_micros("ts")).over(w).alias("hwm"),
+    ).select("event_type", (F.col("hwm") - F.col("t")).alias("late_us"))
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("late_us") > 0).cast("long")).cast("long").alias(
+            "n_out_of_order"
+        ),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.round(F.percentile(F.col("late_us").cast("double"), 0.99), 4).alias(
+            "p99_late_us"
+        ),
+        F.round(
+            F.sum((F.col("late_us") > LATE_THRESH_US).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_beyond_30m"),
+    )
+
+
+# --- q205: funnel time-to-convert quantiles ----------------------------------
+
+FUNNEL_PCTS = (0.5, 0.9)
+
+
+@query(
+    "q205_funnel_latency",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_buy
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT p.user_id,
+             CAST(p.t_buy - v.t_view AS DOUBLE) / 60000000 AS mins
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT 0.5 AS pct,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(mins, 0.5), 4) AS mins_to_convert
+    FROM d UNION ALL SELECT 0.9 AS pct,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(mins, 0.9), 4) AS mins_to_convert
+    FROM d
+    """,
+    tags=("funnel", "percentile", "composition", "r12"),
+)
+def q205_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: first view → first subsequent
+    purchase per user (the q61 funnel's edge), then exact interpolated
+    quantiles of the conversion latency in minutes. Two per-user min
+    aggregates + one broadcast-sized join; the percentile runs over the
+    |converted users| frame."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.unix_micros("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_buy"))
+    )
+    d = p.join(v, "user_id").select(
+        ((F.col("t_buy") - F.col("t_view")).cast("double") / 60_000_000).alias(
+            "mins"
+        )
+    )
+    pcts = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        *[
+            F.round(F.percentile("mins", pct), 4).alias(f"q_{i}")
+            for i, pct in enumerate(FUNNEL_PCTS)
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(pct).alias("pct"),
+            F.col("n_converted"),
+            F.col(f"q_{i}").alias("mins_to_convert"),
+        )
+        for i, pct in enumerate(FUNNEL_PCTS)
+    ]
+    return pcts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
