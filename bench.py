@@ -156,6 +156,7 @@ R12_OPS = (
     "q203_span_corruption",
     "q204_lateness_audit",
     "q205_funnel_latency",
+    "q206_audio_features",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS

@@ -333,3 +333,144 @@ def media_dhash(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(_batches, DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio plumbing: real RIFF/WAVE PCM16 synth + parse + features
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 8000  # synth sample rate; n_samples kept divisible by 8 so
+#                  duration_ms = n/8 is exact integer milliseconds
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_wav_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, half_period, amplitude) for the deterministic square
+    wave synthesized for ``doc_id`` — the closed forms the q206 oracle
+    reuses: RMS == amplitude, zero_crossings == (n-1) // half_period."""
+    n = 800 + (doc_id % 5) * 160
+    half = 8 + (doc_id % 7)
+    amp = 8000 + (doc_id % 9) * 500
+    return n, half, amp
+
+
+def _synth_wav_bytes(doc_id: int) -> bytes:
+    """A REAL minimal RIFF/WAVE file: PCM16 mono square wave."""
+    import struct
+
+    import numpy as np
+
+    n, half, amp = synth_wav_params(doc_id)
+    idx = np.arange(n)
+    data = np.where((idx // half) % 2 == 0, amp, -amp).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, AUDIO_SR, AUDIO_SR * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def attach_fake_audio(documents: DataFrame) -> DataFrame:
+    """(doc_id) → (doc_id, payload): Arrow-batched synthesis of real WAV
+    bytes (the stand-in for reading an audio lake; the parse side below
+    never sees anything but the bytes)."""
+
+    def _gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _synth_wav_bytes(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(_gen, schema=AUDIO_SCHEMA)
+
+
+def parse_wav(payload: bytes) -> tuple[int, "list[int]"] | None:
+    """REAL RIFF/WAVE parse, pure stdlib: walks the chunk list, reads
+    'fmt ' (PCM16 mono only) and 'data', returns (sample_rate, samples).
+    None for anything malformed — callers surface rejects, never crash.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, sr, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None  # truncated chunk — malformed, reject loudly
+        if cid == b"fmt " and clen >= 16:
+            _fmt, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if sr is None or data is None or bits != 16 or channels != 1:
+        return None
+    import numpy as np
+
+    n = len(data) // 2
+    samples = np.frombuffer(data[: n * 2], dtype="<i2")
+    return sr, samples
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """(doc_id, payload) → per-asset features computed FROM THE BYTES
+    (real parse; malformed payloads yield parse_ok = false with nulls):
+    sample rate, sample count, exact duration_ms, RMS, zero crossings,
+    peak amplitude. Arrow-batched mapInPandas — the only Python in the
+    plan, amortized per batch."""
+    import math as _math
+
+    out_schema = (
+        "doc_id long, parse_ok boolean, sr int, n_samples int, "
+        "duration_ms int, rms double, zero_crossings int, peak int"
+    )
+
+    def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                parsed = parse_wav(bytes(payload)) if payload is not None else None
+                if parsed is None:
+                    rows.append((int(doc_id), False, None, None, None, None, None, None))
+                    continue
+                sr, s = parsed
+                import numpy as np
+
+                arr = np.asarray(s, dtype=np.int64)
+                n = len(arr)
+                rms = _math.sqrt(float((arr * arr).sum()) / n) if n else 0.0
+                zc = int((arr[:-1] * arr[1:] < 0).sum()) if n > 1 else 0
+                peak = int(np.abs(arr).max()) if n else 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        True,
+                        int(sr),
+                        n,
+                        int(n * 1000 // sr),
+                        float(rms),
+                        int(zc),
+                        int(peak),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "parse_ok", "sr", "n_samples", "duration_ms",
+                    "rms", "zero_crossings", "peak",
+                ],
+            )
+
+    return media.mapInPandas(_feat, schema=out_schema)

@@ -280,3 +280,55 @@ def q203_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mask_ratio"
         ),
     )
+
+
+# --- q206: audio features through real WAV bytes ------------------------------
+
+
+@query(
+    "q206_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             800 + (doc_id % 5) * 160 AS n,
+             8 + (doc_id % 7) AS half,
+             8000 + (doc_id % 9) * 500 AS amp
+      FROM documents
+    )
+    SELECT doc_id,
+           1 AS parse_ok,
+           8000 AS sr,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(n // 8 AS INTEGER) AS duration_ms,
+           round(CAST(amp AS DOUBLE), 4) AS rms,
+           CAST((n - 1) // half AS INTEGER) AS zero_crossings,
+           CAST(amp AS INTEGER) AS peak
+    FROM p
+    """,
+    tags=("multimodal", "audio", "llm", "r12"),
+)
+def q206_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column plumbing proven end-to-end THROUGH THE BYTES: real
+    RIFF/WAVE PCM16 files are synthesized per document (the audio-lake
+    stand-in, ops/multimodal.attach_fake_audio), then a second
+    Arrow-batched stage PARSES the chunk list and computes duration /
+    RMS / zero-crossings / peak from the decoded samples
+    (ops/multimodal.audio_features — never from metadata). The oracle
+    states the closed forms of the synthesized square waves (RMS ==
+    amplitude, crossings == (n-1) div half-period), so any parse or
+    feature bug fails the exact gate. Map-only: two mapInPandas stages,
+    no shuffle."""
+    from csv_loader_spark.ops.multimodal import attach_fake_audio, audio_features
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    feats = audio_features(attach_fake_audio(d))
+    return feats.select(
+        "doc_id",
+        F.col("parse_ok").cast("int").alias("parse_ok"),
+        "sr",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+        "peak",
+    )

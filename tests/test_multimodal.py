@@ -258,3 +258,30 @@ def test_media_dhash_pseudo_tier_matches_engine_side_sigs(spark):
         for r in media_dhash(attach_fake_media(docs)).collect()
     }
     assert engine == decoder
+
+
+def test_wav_parse_rejects_malformed_and_roundtrips(spark):
+    """Real RIFF walk: truncated/garbage payloads surface parse_ok=false;
+    genuine WAV bytes decode to the synthesized parameters."""
+    from csv_loader_spark.ops.multimodal import (
+        _synth_wav_bytes,
+        audio_features,
+        parse_wav,
+        synth_wav_params,
+    )
+
+    assert parse_wav(b"not a wav") is None
+    assert parse_wav(b"RIFF\x00\x00\x00\x00WAVE") is None  # no chunks
+    good = _synth_wav_bytes(13)
+    assert parse_wav(good[:30]) is None  # truncated data chunk -> no data
+    media = spark.createDataFrame(
+        [(13, bytearray(good)), (14, bytearray(b"garbage"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_features(media).collect()}
+    n, half, amp = synth_wav_params(13)
+    ok = rows[13]
+    assert ok["parse_ok"] and ok["sr"] == 8000 and ok["n_samples"] == n
+    assert ok["rms"] == float(amp) and ok["peak"] == amp
+    assert ok["zero_crossings"] == (n - 1) // half
+    assert rows[14]["parse_ok"] is False and rows[14]["sr"] is None
