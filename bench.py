@@ -121,6 +121,13 @@ R12_OPS = (
     "q168_embedding_diversity",
     "q169_heavy_hitters",
     "q170_exact_quantile",
+)
+
+# The r12c analytics surface (q171+): time-series repair/smoothing,
+# robust stats, association rules, retrieval fusion, graph peeling,
+# optimizer statistics, experiment/attribution analytics, drift/audit
+# meters, the q200 capstone, training-data ops, audio plumbing.
+R12C_OPS = (
     "q171_gap_fill",
     "q172_exp_smooth",
     "q173_mad_outliers",
@@ -159,7 +166,7 @@ R12_OPS = (
     "q206_audio_features",
 )
 
-_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
+_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS
 
 
 #: a 1-min load average above this at bench start means some other work is
@@ -319,6 +326,9 @@ def main() -> None:
                     "r9_ops": round(sum(times[n] for n in R9_OPS), 4),
                     "r10_ops": round(sum(times[n] for n in R10_OPS), 4),
                     "r12_ops": round(sum(times[n] for n in R12_OPS), 4),
+                    "r12c_ops": round(
+                        sum(times[n] for n in R12C_OPS), 4
+                    ),
                 },
                 "sf": sf,
                 # host-noise provenance (r9-r11 verdicts): canonical means

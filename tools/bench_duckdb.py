@@ -13,7 +13,9 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import HEADLINE, NEW_OPS, R8_OPS, R9_OPS, R10_OPS, R12_OPS  # noqa: E402
+from bench import (  # noqa: E402
+    HEADLINE, NEW_OPS, R8_OPS, R9_OPS, R10_OPS, R12_OPS, R12C_OPS,
+)
 from csv_loader_spark.io.tables import TABLES  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
 
@@ -27,7 +29,8 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     specs = all_specs()
     times: dict[str, float] = {}
-    for name in HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS:
+    for name in (HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
+                 + R12C_OPS):
         sql = specs[name].oracle
         con.execute(sql).fetchall()  # prime
         t0 = time.perf_counter()
@@ -47,6 +50,9 @@ def main() -> None:
                     "r9_ops": round(sum(times[n] for n in R9_OPS), 4),
                     "r10_ops": round(sum(times[n] for n in R10_OPS), 4),
                     "r12_ops": round(sum(times[n] for n in R12_OPS), 4),
+                    "r12c_ops": round(
+                        sum(times[n] for n in R12C_OPS), 4
+                    ),
                 },
             }
         )
