@@ -285,3 +285,42 @@ def test_wav_parse_rejects_malformed_and_roundtrips(spark):
     assert ok["rms"] == float(amp) and ok["peak"] == amp
     assert ok["zero_crossings"] == (n - 1) // half
     assert rows[14]["parse_ok"] is False and rows[14]["sr"] is None
+
+
+def test_wavdir_source_reads_lake_and_feeds_features(spark, tmp_path):
+    """spark.read.format('wavdir'): executor-side header parse, numeric
+    stems become doc_ids, malformed files surface as parse_ok=false rows,
+    and the payloads feed audio_features to the synthesized closed forms."""
+    from csv_loader_spark.io import wav_source
+    from csv_loader_spark.ops.multimodal import (
+        _synth_wav_bytes,
+        audio_features,
+        synth_wav_params,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for doc_id in (3, 17):
+        (lake / f"{doc_id}.wav").write_bytes(_synth_wav_bytes(doc_id))
+    (lake / "broken.wav").write_bytes(b"RIFFxxxxWAVEgarbage")
+    wav_source.register(spark)
+    df = spark.read.format("wavdir").load(str(lake))
+    rows = {r["path"].split("/")[-1]: r for r in df.collect()}
+    assert set(rows) == {"3.wav", "17.wav", "broken.wav"}
+    n3, _, _ = synth_wav_params(3)
+    assert rows["3.wav"]["doc_id"] == 3 and rows["3.wav"]["parse_ok"]
+    assert rows["3.wav"]["sr"] == 8000 and rows["3.wav"]["n_samples"] == n3
+    assert rows["broken.wav"]["parse_ok"] is False
+    assert rows["broken.wav"]["doc_id"] is None
+    # payloads re-parse downstream: features match the closed forms
+    feats = {
+        r["doc_id"]: r
+        for r in audio_features(
+            df.filter("parse_ok").select("doc_id", "payload")
+        ).collect()
+    }
+    for doc_id in (3, 17):
+        n, half, amp = synth_wav_params(doc_id)
+        r = feats[doc_id]
+        assert r["rms"] == float(amp)
+        assert r["zero_crossings"] == (n - 1) // half
