@@ -92,3 +92,56 @@ def test_mg_update_matches_batch_reference():
             assert w in ctr
     for w, c in ctr.items():
         assert c <= true[w] and true[w] - c <= n / 4
+
+
+def test_state_survives_checkpoint_restart(spark, tmp_path):
+    """Two SEPARATE streaming runs sharing one checkpoint: the k-counter
+    state persisted by run 1 must resume in run 2 — counts and n_shard
+    keep growing across process restarts, and the final snapshot equals
+    a single-run fold of the whole stream."""
+    src = tmp_path / "toks"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    words1 = ["alpha"] * 40 + ["beta"] * 10
+    words2 = ["alpha"] * 5 + ["gamma"] * 30
+    _write_batch(src / "b1.json", words1)
+
+    out_dir = str(tmp_path / "out")
+
+    def _run(name):
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            heavy_hitter_stream(stream, k=8, shards=2)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir).collect()
+
+    rows1 = _run("hh_ckpt_a")
+    final1 = _latest_snapshot(rows1)
+    assert final1["alpha"][0] == 40  # full count, k=8 never evicts it
+
+    _write_batch(src / "b2.json", words2)
+    rows2 = _run("hh_ckpt_b")
+    # run 2's output contains only batch-2's trigger, but its state
+    # resumed from run 1: alpha's counter keeps the carried 40
+    final2 = _latest_snapshot(rows1 + rows2)
+    assert final2["alpha"][0] == 45
+    assert final2["gamma"][0] == 30
+    n_total = sum(
+        max(r["n_shard"] for r in rows if r["shard"] == shard)
+        for shard, rows in (
+            (s, [r for r in rows1 + rows2 if r["shard"] == s])
+            for s in {r["shard"] for r in rows1 + rows2}
+        )
+    )
+    assert n_total == len(words1) + len(words2)
