@@ -164,6 +164,8 @@ R12C_OPS = (
     "q204_lateness_audit",
     "q205_funnel_latency",
     "q206_audio_features",
+    "q207_skyline",
+    "q208_max_concurrency",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS

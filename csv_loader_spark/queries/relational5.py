@@ -774,3 +774,154 @@ def q196_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.round(F.percentile("s", 0.5), 4).alias("theil_sen_slope"),
     )
+
+
+# --- q207: 2-D skyline (Pareto-optimal points) -------------------------------
+
+
+@query(
+    "q207_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT l_partkey,
+             min(l_extendedprice / l_quantity) AS unit_price,
+             max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.l_partkey,
+           round(p.unit_price, 4) AS unit_price,
+           round(p.max_qty, 2) AS max_qty
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.unit_price <= p.unit_price AND q.max_qty >= p.max_qty
+        AND (q.unit_price < p.unit_price OR q.max_qty > p.max_qty)
+    )
+    """,
+    tags=("skyline", "window", "relational", "r12"),
+)
+def q207_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Börzsönyi et al. 2001, "The Skyline Operator"):
+    Pareto-optimal parts minimizing unit price and maximizing order
+    quantity. The Spark plan is the SORT-FILTER skyline — order points
+    by (unit_price asc, max_qty desc) and keep those whose max_qty
+    strictly exceeds the running maximum of everything cheaper (ties in
+    price keep only the best qty) — ONE window over the |parts|
+    aggregate, O(n log n), vs the oracle's quadratic NOT-EXISTS
+    dominance proof: two independent formulations, one exact answer.
+    Dominated-at-equal-coordinates duplicates are excluded exactly as
+    the dominance definition requires (strict in at least one axis;
+    coordinate-duplicate points all survive)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy("l_partkey").agg(
+        (F.min(F.col("l_extendedprice") / F.col("l_quantity"))).alias("unit_price"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    w_prev = (
+        W.orderBy(F.col("unit_price").asc(), F.col("max_qty").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # a point is dominated iff some PRIOR point (all priors have
+    # price <= mine in this order) has qty >= mine and is strictly
+    # better on one axis. Fold priors to max(struct(qty, -price)):
+    # lexicographically the highest qty, and among equal-qty priors the
+    # LOWEST price — if even that one isn't a strict dominator, none is.
+    # (Folding max(struct(qty, price)) instead is subtly wrong: among
+    # equal-qty priors it keeps the HIGHEST price and misses a cheaper
+    # equal-qty dominator — pinned by the A(5,1)/B(5,2)/p(5,2) unit
+    # test.)
+    prev_best = F.max(
+        F.struct(F.col("max_qty"), (-F.col("unit_price")).alias("neg_price"))
+    ).over(w_prev)
+    dominated = (
+        prev_best.isNotNull()
+        & (prev_best["max_qty"] >= F.col("max_qty"))
+        & (
+            (prev_best["max_qty"] > F.col("max_qty"))
+            | (-prev_best["neg_price"] < F.col("unit_price"))
+        )
+    )
+    return (
+        pts.withColumn("dom", dominated)
+        .filter(~F.col("dom"))
+        .select(
+            "l_partkey",
+            F.round("unit_price", 4).alias("unit_price"),
+            F.round("max_qty", 2).alias("max_qty"),
+        )
+    )
+
+
+# --- q208: sweep-line max concurrency ----------------------------------------
+
+#: each event "occupies" a fixed window after its timestamp.
+CONC_HOLD_US = 600_000_000  # 10 minutes
+
+
+@query(
+    "q208_max_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + {CONC_HOLD_US} AS e, event_id
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type, s AS t, 1 AS d, event_id, 1 AS tie FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d, event_id, 0 AS tie FROM iv
+    ),
+    sweep AS (
+      SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type
+               ORDER BY t, tie, d, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(max(load) AS BIGINT) AS max_concurrent,
+           CAST(min(t) AS BIGINT) AS first_us,
+           CAST(max(t) AS BIGINT) AS last_us
+    FROM sweep GROUP BY event_type
+    """,
+    tags=("sweepline", "interval", "window", "r12"),
+)
+def q208_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep line: each event holds a
+    10-minute interval; +1/−1 boundary points, one ordered running sum
+    per event_type, global max. End points sort BEFORE coincident start
+    points (tie column) so back-to-back intervals never double-count —
+    the classic room-scheduling/peak-load operator, O(n log n), all
+    integer µs arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + CONC_HOLD_US).alias("e"),
+        "event_id",
+    )
+    pts = iv.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).alias("d"),
+        "event_id",
+        F.lit(1).alias("tie"),
+    ).unionByName(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("d"),
+            "event_id",
+            F.lit(0).alias("tie"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type").orderBy("t", "tie", "d", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sweep = pts.withColumn("load", F.sum("d").over(w))
+    return sweep.groupBy("event_type").agg(
+        F.max("load").cast("long").alias("max_concurrent"),
+        F.min("t").cast("long").alias("first_us"),
+        F.max("t").cast("long").alias("last_us"),
+    )

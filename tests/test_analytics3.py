@@ -192,3 +192,75 @@ def test_span_corruption_deterministic_and_bounded(spark):
         assert a[k]["masked_tokens"] == b[k]["masked_tokens"]
         assert 0 < a[k]["masked_tokens"] <= a[k]["n_tok"]
         assert 0 < a[k]["mask_ratio"] <= 1.0
+
+
+def test_skyline_equal_qty_cheaper_dominator(spark, tmp_path):
+    """Pinned bug: among equal-qty priors the fold must keep the CHEAPEST
+    price — A(qty 5, unit 1) dominates p(qty 5, unit 2) even when B(qty
+    5, unit 2) sits between them in sort order; coordinate duplicates
+    both survive."""
+    from csv_loader_spark.queries.relational5 import q207_skyline
+
+    # one lineitem row per part: unit_price = price/qty, max_qty = qty
+    rows = [
+        (1, 101, 1, 1, 5.0, 5.0, 0.0, 0.0, "N", "O", EPOCH),    # A: unit 1, qty 5
+        (2, 102, 1, 1, 5.0, 10.0, 0.0, 0.0, "N", "O", EPOCH),   # B: unit 2, qty 5
+        (3, 103, 1, 1, 5.0, 10.0, 0.0, 0.0, "N", "O", EPOCH),   # p: duplicate of B
+        (4, 104, 1, 1, 9.0, 4.5, 0.0, 0.0, "N", "O", EPOCH),    # C: unit 0.5, qty 9
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = sorted(r["l_partkey"] for r in q207_skyline(spark, str(tmp_path)).collect())
+    # C dominates everything except A? C: unit 0.5 < 1, qty 9 > 5 -> yes,
+    # C dominates A, B and the duplicate. Only C survives.
+    assert got == [104]
+    # now without C: A dominates B and its duplicate (equal qty, cheaper)
+    df2 = spark.createDataFrame(
+        rows[:3],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df2.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got2 = sorted(r["l_partkey"] for r in q207_skyline(spark, str(tmp_path)).collect())
+    assert got2 == [101]
+    # coordinate duplicates both survive when nothing dominates them
+    df3 = spark.createDataFrame(
+        rows[1:3],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+        "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    df3.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got3 = sorted(r["l_partkey"] for r in q207_skyline(spark, str(tmp_path)).collect())
+    assert got3 == [102, 103]
+
+
+def test_max_concurrency_back_to_back_intervals(spark, tmp_path):
+    """An interval ending exactly when another starts must not
+    double-count (ends sort before coincident starts)."""
+    from csv_loader_spark.queries.relational5 import (
+        CONC_HOLD_US,
+        q208_max_concurrency,
+    )
+    import datetime as dt
+
+    hold_s = CONC_HOLD_US // 1_000_000
+    rows = [
+        (1, EPOCH, 1, "a", 0.0),
+        (2, EPOCH + dt.timedelta(seconds=hold_s), 1, "a", 0.0),  # starts at 1's end
+        (3, EPOCH + dt.timedelta(seconds=hold_s // 2), 1, "b", 0.0),
+        (4, EPOCH + dt.timedelta(seconds=hold_s // 2 + 1), 1, "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r["max_concurrent"] for r in q208_max_concurrency(spark, str(tmp_path)).collect()}
+    assert got["a"] == 1  # back-to-back never overlaps
+    assert got["b"] == 2
