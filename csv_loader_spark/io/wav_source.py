@@ -56,8 +56,15 @@ def _list_wavs(path: str) -> list[str]:
             if f.lower().endswith(".wav")
         )
     elif any(ch in path for ch in "*?["):
-        files = sorted(f for f in globlib.glob(path) if os.path.isfile(f))
+        files = sorted(
+            f
+            for f in globlib.glob(path)
+            if os.path.isfile(f) and f.lower().endswith(".wav")
+        )
     else:
+        if not os.path.isfile(path):
+            # fail DRIVER-side at load time, not executor-side mid-job
+            raise FileNotFoundError(f"wavdir source: no such file {path!r}")
         files = [path]
     if not files:
         raise FileNotFoundError(f"wavdir source: no .wav files at {path!r}")

@@ -392,35 +392,10 @@ def q180_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
 
-    # lexical leg — q159's scored frame (same expression text)
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{t}")
-                for t in BM25_TERMS
-            ]
-        )
-    )
-    corpus = dl.agg(F.count(F.lit(1)).alias("nd"), F.avg("dl").alias("avgdl"))
-    dfs = tf.agg(
-        *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
-            for t in BM25_TERMS
-        ]
-    )
-    lex_scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .crossJoin(F.broadcast(dfs))
-        .select("doc_id", F.expr(_BM25_SCORE).alias("bm25"))
-    )
+    # lexical leg — THE q159 scorer (shared builder, retrieval.bm25_scored)
+    from csv_loader_spark.queries.retrieval import bm25_scored
+
+    lex_scored = bm25_scored(d)
     lex_top = lex_scored.orderBy(F.col("bm25").desc(), "doc_id").limit(RRF_N)
     lex = lex_top.withColumn(
         "r", F.row_number().over(W.orderBy(F.col("bm25").desc(), "doc_id"))

@@ -760,7 +760,8 @@ DUP_EPS_US = 3_600_000_000
              abs(b.t - a.t) AS d_us
       FROM p a JOIN p b
         ON a.user_id = b.user_id AND b.event_id > a.event_id
-       AND (b.cents // {DUP_EPS_CENTS}) - (a.cents // {DUP_EPS_CENTS})
+       AND CAST(floor(b.cents / {DUP_EPS_CENTS}.0) AS BIGINT)
+             - CAST(floor(a.cents / {DUP_EPS_CENTS}.0) AS BIGINT)
              BETWEEN -1 AND 1
        AND abs(b.cents - a.cents) <= {DUP_EPS_CENTS}
        AND abs(b.t - a.t) <= {DUP_EPS_US}
@@ -778,7 +779,9 @@ def q199_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±$10 and 1 hour of each other. The pair join is the 1-D version of
     q157's grid epsilon join — one side explodes into its amount band
     ±1 (band width == epsilon, so every qualifying pair matches exactly
-    one probe band), the join keys are (user_id, band), and the exact
+    one probe band; floor() explicitly on both engines — Spark's `div`
+    truncates toward zero while DuckDB's `//` floors, which diverges on
+    negative amounts), the join keys are (user_id, band), and the exact
     |Δcents|/|Δt| predicates ride the join condition. No user's
     purchases ever cross-join another band."""
     e = load_table(spark, sf_dir, "events")
@@ -795,9 +798,9 @@ def q199_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("t_a"),
         F.explode(
             F.array(
-                F.expr(f"cents div {DUP_EPS_CENTS} - 1"),
-                F.expr(f"cents div {DUP_EPS_CENTS}"),
-                F.expr(f"cents div {DUP_EPS_CENTS} + 1"),
+                F.expr(f"CAST(floor(cents / {DUP_EPS_CENTS}.0) AS BIGINT) - 1"),
+                F.expr(f"CAST(floor(cents / {DUP_EPS_CENTS}.0) AS BIGINT)"),
+                F.expr(f"CAST(floor(cents / {DUP_EPS_CENTS}.0) AS BIGINT) + 1"),
             )
         ).alias("band"),
     )
@@ -806,7 +809,7 @@ def q199_dup_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("dup_event"),
         F.col("cents").alias("c_b"),
         F.col("t").alias("t_b"),
-        F.expr(f"cents div {DUP_EPS_CENTS}").alias("band"),
+        F.expr(f"CAST(floor(cents / {DUP_EPS_CENTS}.0) AS BIGINT)").alias("band"),
     )
     pairs = (
         a.join(b, ["user_id", "band"])

@@ -66,12 +66,16 @@ HN_QUERIES = 20  # vec_id < 20 are the anchors (q35 convention)
                                 ORDER BY sim DESC, cand_id) AS r
       FROM pairs
     )
-    SELECT p.query_id,
-           p.cand_id AS hard_pos_id, round(p.sim, 4) AS hard_pos_sim,
-           n.cand_id AS hard_neg_id, round(n.sim, 4) AS hard_neg_sim
-    FROM best p JOIN best n
-      ON p.query_id = n.query_id AND p.r = 1 AND n.r = 1
-     AND p.same_label = 1 AND n.same_label = 0
+    SELECT query_id,
+           max(CASE WHEN same_label = 1 AND r = 1 THEN cand_id END)
+             AS hard_pos_id,
+           round(max(CASE WHEN same_label = 1 AND r = 1 THEN sim END), 4)
+             AS hard_pos_sim,
+           max(CASE WHEN same_label = 0 AND r = 1 THEN cand_id END)
+             AS hard_neg_id,
+           round(max(CASE WHEN same_label = 0 AND r = 1 THEN sim END), 4)
+             AS hard_neg_sim
+    FROM best GROUP BY query_id
     """,
     tags=("similarity", "contrastive", "llm", "r12"),
 )
@@ -83,7 +87,10 @@ def q201_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold map-side as max(struct(sim, -cand_id)) — deterministic ties,
     no window over the pair stream. At corpus scale the candidate
     stream routes through the LSH/IVF bucketed generators (q36/q93)
-    instead of the brute scan."""
+    instead of the brute scan. An anchor whose label no other vector
+    shares keeps its row with NULL hard-positive columns (conditional
+    aggregation on BOTH engines — an inner-join oracle would silently
+    drop such anchors and diverge from this plan)."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", VEC.as_double("embedding").alias("v")
     )

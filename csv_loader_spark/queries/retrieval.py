@@ -123,16 +123,12 @@ def _bm25_oracle() -> str:
     """
 
 
-@query(
-    "q159_bm25_topk",
-    oracle=_bm25_oracle(),
-    tags=("retrieval", "llm", "r12"),
-)
-def q159_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{BM25_TOPK} documents for a fixed multi-term query
-    (k1=1.2, b=0.75, Lucene idf), scored wholly in Catalyst expressions
-    over a per-doc tf pivot + one broadcast corpus-stats row."""
-    d = load_table(spark, sf_dir, "documents")
+def bm25_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, bm25 raw double): the shared BM25 scorer
+    (tokenize → dl → tf pivot → 1-row corpus stats + dfs broadcasts →
+    Catalyst score expression). Single source of truth for the lexical
+    leg — q159 ranks it directly, q180's hybrid fusion reuses it, so a
+    tokenizer or idf change can never drift the two apart."""
     toks = d.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
@@ -157,11 +153,26 @@ def q159_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in BM25_TERMS
         ]
     )
-    scored = (
+    return (
         tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .crossJoin(F.broadcast(dfs))
-        .select("doc_id", F.round(F.expr(_BM25_SCORE), 4).alias("bm25"))
+        .select("doc_id", F.expr(_BM25_SCORE).alias("bm25"))
+    )
+
+
+@query(
+    "q159_bm25_topk",
+    oracle=_bm25_oracle(),
+    tags=("retrieval", "llm", "r12"),
+)
+def q159_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{BM25_TOPK} documents for a fixed multi-term query
+    (k1=1.2, b=0.75, Lucene idf), scored wholly in Catalyst expressions
+    over a per-doc tf pivot + one broadcast corpus-stats row."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scored(d).select(
+        "doc_id", F.round("bm25", 4).alias("bm25")
     )
     # top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
     # sort, no single-partition window over the full scored set), then a

@@ -19,7 +19,9 @@ within a micro-batch rows fold in ``seq`` order; across micro-batches
 ``seq`` must be monotone per key — an observation at-or-behind the
 carried high-water mark is a redelivery and surfaces as ``stale = true``
 (never folded twice, so a replayed batch cannot double-advance the
-statistic or re-fire an alarm).
+statistic or re-fire an alarm). A duplicate ``seq`` WITHIN one
+micro-batch folds its lowest ``x`` (deterministic) and surfaces the
+other copies as stale rows too.
 
 Scale: state is four numbers per key; observations shuffle once on the
 key. The fold is O(batch) python over Arrow batches — the same
@@ -78,10 +80,16 @@ def cusum_stream(
             s_pos, s_neg, last_seq = state.get
         else:
             s_pos, s_neg, last_seq = 0.0, 0.0, _NO_SEQ
-        batch = pd.concat(list(pdfs)).sort_values("seq")
-        batch = batch[~batch["seq"].duplicated(keep="first")]
+        # deterministic fold order: (seq, x) — a within-batch duplicate
+        # seq (source retry inside one trigger) folds its LOWEST x and
+        # surfaces the other copies as stale rows, same as the
+        # cross-batch redelivery contract (they carry data, so silent
+        # dropping would hide the retry from auditors and make which
+        # copy folded arrival-order-dependent)
+        batch = pd.concat(list(pdfs)).sort_values(["seq", "x"])
+        dup_mask = batch["seq"].duplicated(keep="first").to_numpy()
         seqs = batch["seq"].to_numpy()
-        stale_mask = seqs <= last_seq
+        stale_mask = (seqs <= last_seq) | dup_mask
         fresh = batch[~stale_mask]
         folded = cusum_fold(
             [float(v) for v in fresh["x"]], mu0, slack, h, s_pos, s_neg

@@ -70,7 +70,10 @@ def heavy_hitter_stream(
     """tokens (streaming; column ``w`` string) → per-trigger snapshots of
     each updated shard's k-counter summary (see module docstring for the
     guarantee and the max-``snap`` consumption contract)."""
-    sharded = tokens.withColumn(
+    # null tokens would hash to a permanent NULL shard group (xxhash64 of
+    # NULL is NULL) that folds nothing yet updates state every trigger —
+    # drop them before the shuffle
+    sharded = tokens.filter(F.col("w").isNotNull()).withColumn(
         "shard", F.pmod(F.xxhash64("w"), F.lit(shards)).cast("int")
     )
 

@@ -324,3 +324,14 @@ def test_wavdir_source_reads_lake_and_feeds_features(spark, tmp_path):
         r = feats[doc_id]
         assert r["rms"] == float(amp)
         assert r["zero_crossings"] == (n - 1) // half
+
+
+def test_wavdir_source_rejects_missing_literal_path_driver_side(spark, tmp_path):
+    from csv_loader_spark.io import wav_source
+
+    wav_source.register(spark)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as ei:
+        spark.read.format("wavdir").load(str(tmp_path / "missing.wav")).collect()
+    assert "no such file" in str(ei.value)

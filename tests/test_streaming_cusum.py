@@ -86,3 +86,21 @@ def test_pure_fold_resets_after_alarm():
     # statistic restarted: second spike re-accumulates from zero
     assert out[1][0] == 0.0
     assert out[2][0] == 9.5 and out[2][2] is True
+
+
+def test_within_batch_duplicate_seq_is_stale_and_deterministic(spark, tmp_path):
+    """A retried observation inside ONE micro-batch: exactly one copy
+    (the lowest x) folds, the rest surface as stale rows."""
+    src = tmp_path / "obs"
+    src.mkdir()
+    _write_batch(src / "b1.json", [("m", 0, 12.0), ("m", 1, 30.0), ("m", 1, 9.0)])
+    got = _run(spark, src)
+    fresh = sorted((r["seq"], r["x"]) for r in got if not r["stale"])
+    stale = [(r["seq"], r["x"]) for r in got if r["stale"]]
+    assert fresh == [(0, 12.0), (1, 9.0)]  # lowest x folded for seq 1
+    assert stale == [(1, 30.0)]
+    expect = cusum_fold([12.0, 9.0], MU0, SLACK, H)
+    folded = sorted(
+        ((r["seq"], r["s_pos"], r["s_neg"]) for r in got if not r["stale"])
+    )
+    assert [(sp, sn) for _, sp, sn in folded] == [(sp, sn) for sp, sn, _ in expect]
