@@ -166,6 +166,8 @@ R12C_OPS = (
     "q206_audio_features",
     "q207_skyline",
     "q208_max_concurrency",
+    "q209_largest_remainder",
+    "q210_weighted_median",
 )
 
 _ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS

@@ -1064,3 +1064,129 @@ def q205_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, pct in enumerate(FUNNEL_PCTS)
     ]
     return pcts.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# --- q209: proportional allocation (largest-remainder method) -----------------
+
+ALLOC_SLOTS = 1000
+
+
+@query(
+    "q209_largest_remainder",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS tot FROM c),
+    base AS (
+      SELECT source, n,
+             CAST({ALLOC_SLOTS} * n // tot AS BIGINT) AS floor_seats,
+             {ALLOC_SLOTS} * n % tot AS rem
+      FROM c CROSS JOIN t
+    ),
+    short AS (
+      SELECT CAST({ALLOC_SLOTS} - sum(floor_seats) AS BIGINT) AS k FROM base
+    ),
+    ranked AS (
+      SELECT source, n, floor_seats,
+             row_number() OVER (ORDER BY rem DESC, source) AS r
+      FROM base
+    )
+    SELECT source, n,
+           CAST(floor_seats + CASE WHEN r <= k THEN 1 ELSE 0 END AS BIGINT)
+             AS seats
+    FROM ranked CROSS JOIN short
+    """,
+    tags=("allocation", "agg", "r12"),
+)
+def q209_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional apportionment of {ALLOC_SLOTS} slots across sources by
+    the largest-remainder (Hamilton) method — the exact-integer allocator
+    behind sampling budgets and shard counts: floor seats from the exact
+    integer quota, the shortfall goes to the largest remainders
+    (deterministic source tiebreak). Sums to exactly {ALLOC_SLOTS} by
+    construction; everything is bigint arithmetic on a |sources|-row
+    frame after one census aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = c.agg(F.sum("n").alias("tot"))
+    base = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.expr(f"{ALLOC_SLOTS} * n div tot").alias("floor_seats"),
+        F.expr(f"{ALLOC_SLOTS} * n % tot").alias("rem"),
+    )
+    short = base.agg(
+        (F.lit(ALLOC_SLOTS) - F.sum("floor_seats")).alias("k")
+    )
+    ranked = base.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "n",
+        (
+            F.col("floor_seats")
+            + F.when(F.col("r") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )
+
+
+# --- q210: exact weighted median (duration-weighted) --------------------------
+
+
+@query(
+    "q210_weighted_median",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS w
+      FROM events
+    ),
+    v AS (SELECT user_id, value, w FROM seq WHERE w IS NOT NULL),
+    cum AS (
+      SELECT user_id, value, w,
+             sum(w) OVER (PARTITION BY user_id ORDER BY value, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY user_id) AS tw
+      FROM v
+    )
+    SELECT user_id, round(min(value), 4) AS weighted_median
+    FROM cum WHERE 2 * cw >= tw GROUP BY user_id
+    """,
+    tags=("percentile", "window", "timeseries", "r12"),
+)
+def q210_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted median of `value` per user (q177's TWA sibling:
+    the value the series spends half its TIME at or below): weights are
+    exact integer microsecond holding intervals, the selector is the
+    first value whose running weight reaches half the total (2*cw >= tw
+    in pure bigint — no float half). One user-keyed window over the
+    (value, w)-sorted frame; ties pinned by (value, w)."""
+    e = load_table(spark, sf_dir, "events")
+    w_seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = e.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w_seq)) - F.unix_micros("ts")).alias("w"),
+    ).filter(F.col("w").isNotNull())
+    w_cum = (
+        W.partitionBy("user_id").orderBy("value", "w")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("user_id")
+    cum = v.select(
+        "user_id",
+        "value",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("user_id")
+        .agg(F.round(F.min("value"), 4).alias("weighted_median"))
+    )

@@ -264,3 +264,38 @@ def test_max_concurrency_back_to_back_intervals(spark, tmp_path):
     got = {r["event_type"]: r["max_concurrent"] for r in q208_max_concurrency(spark, str(tmp_path)).collect()}
     assert got["a"] == 1  # back-to-back never overlaps
     assert got["b"] == 2
+
+
+def test_largest_remainder_sums_to_budget_and_is_fair(spark):
+    from csv_loader_spark.queries.analytics2 import (
+        ALLOC_SLOTS,
+        q209_largest_remainder,
+    )
+
+    rows = q209_largest_remainder(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["seats"] for r in rows) == ALLOC_SLOTS
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        exact = ALLOC_SLOTS * r["n"] / total
+        # Hamilton never deviates more than 1 seat from the exact quota
+        assert abs(r["seats"] - exact) < 1.0
+
+
+def test_weighted_median_hand_case(spark, tmp_path):
+    """value 10 held for 3h then 50 for 1h: half the time (2h) is
+    reached while still at 10 -> weighted median 10."""
+    import datetime as dt
+
+    from csv_loader_spark.queries.analytics2 import q210_weighted_median
+
+    rows = [
+        (1, EPOCH, 1, "a", 10.0),
+        (2, EPOCH + dt.timedelta(hours=3), 1, "a", 50.0),
+        (3, EPOCH + dt.timedelta(hours=4), 1, "a", 99.0),  # no duration
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    r = q210_weighted_median(spark, str(tmp_path)).collect()[0]
+    assert r["weighted_median"] == 10.0
