@@ -381,7 +381,22 @@ def _triangle_oracle() -> str:
     """
 
 
-def triangle_nodes(edges: DataFrame) -> DataFrame:
+#: In-memory estimate per broadcast edge row: two longs plus hash-relation
+#: overhead (unsafe row header + hash table load factor).
+_TRI_BYTES_PER_EDGE = 32
+#: Broadcast the closing edge list only when its estimated size is under
+#: this many bytes (env-tunable; default 512 MiB — far above Spark's 10 MB
+#: autoBroadcastJoinThreshold because this hint is load-bearing: a shuffled
+#: closing join moves the O(m^1.5) wedge stream, measured 21 s vs 4 s at
+#: sf0.1 — but bounded so a 100 TB-scale co-order edge list of O(100M+)
+#: rows never hard-ODEs the executors; above it the join shuffles and the
+#: m^1.5 wedge bound still holds).
+_TRI_BROADCAST_MAX_ENV = "SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES"
+
+
+def triangle_nodes(
+    edges: DataFrame, broadcast_max_bytes: int | None = None
+) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (columns ``a`` < ``b``, distinct), via the degree-ordered wedge
     join (Schank & Wagner 2005; Suri & Vassilvitskii, WWW 2011 for the
@@ -394,9 +409,23 @@ def triangle_nodes(edges: DataFrame) -> DataFrame:
     wedge count is at most m^1.5 — the known-optimal bound for exact
     enumeration — instead of sum(deg^2), which a hub node would blow up.
     Three shuffles total (degree, wedge-center self-join, pair-closing
-    join), all carrying int ids only.
+    join), all carrying int ids only. The closing-side broadcast is
+    SIZE-GATED: the edge frame is counted once (materializing the same
+    checkpoint every downstream branch reuses, so the action is free) and
+    the hint applies only while ``m * 32 B`` fits under
+    ``broadcast_max_bytes`` (default ``$SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES``
+    or 512 MiB); larger graphs fall back to the shuffled join.
     """
+    import os
+
+    if broadcast_max_bytes is None:
+        broadcast_max_bytes = int(
+            os.environ.get(_TRI_BROADCAST_MAX_ENV, str(512 << 20))
+        )
     e = edges.localCheckpoint(eager=False)
+    # one action: materializes the checkpoint (deg / wedges / closing all
+    # reuse it) and yields the edge count the broadcast gate needs
+    n_edges = e.count()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -424,14 +453,16 @@ def triangle_nodes(edges: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
-    # BROADCAST the closing side: the wedge stream is O(m^1.5) rows and a
-    # shuffled closing join would move ALL of it (measured 21 s for ~50M
-    # wedges at sf0.1 vs ~4 s broadcast — wedges then stay inside the
-    # generating stage and only triangle hits survive). The broadcast is
-    # the EDGE list (16 B/row), fine to executor-memory scale; for graphs
-    # whose edge list outgrows that, drop the hint and Spark falls back
-    # to the shuffled join — the m^1.5 wedge bound still holds.
-    tri = wedges.join(F.broadcast(closing), ["v1", "v2"]).select("u", "v1", "v2")
+    # BROADCAST the closing side when it fits: the wedge stream is
+    # O(m^1.5) rows and a shuffled closing join would move ALL of it
+    # (measured 21 s for ~50M wedges at sf0.1 vs ~4 s broadcast — wedges
+    # then stay inside the generating stage and only triangle hits
+    # survive). The broadcast is the EDGE list, and the gate above keeps
+    # the hint honest: past the size cap the join shuffles instead of
+    # ODE-ing executors, and the m^1.5 wedge bound still holds.
+    if n_edges * _TRI_BYTES_PER_EDGE <= broadcast_max_bytes:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     # ONE pass over the triangle stream: explode the 3 corners in-stage
     # (a 3-branch unionAll would re-run the wedge join once per branch —
     # measured 3x the whole enumeration at sf0.1)

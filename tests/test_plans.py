@@ -645,6 +645,40 @@ def test_q166_triangle_closing_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q166_broadcast_gate_shuffles_past_threshold(spark):
+    """The closing-side broadcast hint is SIZE-GATED (retrieval.py
+    triangle_nodes): below the byte cap the hint applies, above it the
+    join falls back to a shuffle — both branches plan-asserted here."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.retrieval import triangle_nodes
+
+    edges = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("a"), (F.col("id") + F.lit(1)).alias("b")
+        )
+    )
+    hinted = triangle_nodes(edges, broadcast_max_bytes=1 << 30)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [v1" in plan or (
+        "BroadcastHashJoin" in plan and "v1" in plan
+    )
+    # force the over-threshold branch; also pin autoBroadcastJoinThreshold
+    # off so Catalyst's own size estimate can't re-introduce the broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        gated = triangle_nodes(edges, broadcast_max_bytes=0)
+        plan2 = gated._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin [v1" in plan2 or "ShuffledHashJoin [v1" in plan2
+    # and the gated plan still computes the right answer (path graph: 0
+    # triangles)
+    assert gated.count() == 0
+
+
 def test_q171_gap_fill_grid_join_is_equi(spark):
     """The grid<->hourly join must be an equi-join on (event_type, hr) —
     never a nested loop — and the windows run AFTER the span-bounded grid,
