@@ -16,9 +16,15 @@ per-token lower bound ``c_lower`` with bounded error.
 Emission contract: every micro-batch appends a full snapshot of each
 UPDATED shard's candidate set, stamped with that shard's running token
 count ``n_shard`` and the micro-batch ordinal ``snap`` (monotone per
-shard) — consumers keep each shard's max-``snap`` rows. Downstream, an
-exact recount joins the candidate set against the landed corpus exactly
-as q169's phase 2 does.
+shard) — consumers keep each shard's max-``snap`` rows. That contract is
+EXECUTABLE, not prose: :func:`heavy_hitters_current` materializes the
+max-``snap`` view over a landed sink, and :func:`heavy_hitters_recount`
+runs the exact candidate recount against a landed corpus exactly as
+q169's phase 2 does (broadcast-semi-join, threshold on both sides).
+Coverage condition: with per-shard capacity ``k`` >= the recount's
+support divisor ``k_support``, every token with global count
+> N/k_support survives its shard summary (n_shard <= N, so the MG bound
+n_shard/k <= N/k_support), making stream-consumer == batch-q169 exact.
 
 Scale: state per shard is O(k) (two arrays + two longs); the token
 stream shuffles once on the shard key; nothing else leaves the
@@ -115,3 +121,63 @@ def heavy_hitter_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_current(spark, sink_path: str) -> DataFrame:
+    """The consumption contract as code: read an append-mode sink of
+    :func:`heavy_hitter_stream` snapshots and keep each shard's
+    max-``snap`` rows — the CURRENT per-shard summary (shard, w,
+    c_lower, n_shard, snap).
+
+    Scale: the sink holds O(triggers * shards * k) tiny rows; the window
+    max partitions on ``shard`` (bounded cardinality), nothing touches
+    the corpus."""
+    from pyspark.sql import Window
+
+    snaps = spark.read.parquet(sink_path)
+    top = F.max("snap").over(Window.partitionBy("shard"))
+    return (
+        snaps.withColumn("_top", top)
+        .filter(F.col("snap") == F.col("_top"))
+        .drop("_top")
+    )
+
+
+def heavy_hitters_recount(
+    spark,
+    sink_path: str,
+    tokens: DataFrame,
+    k_support: int = 4096,
+    topk: int | None = 25,
+) -> DataFrame:
+    """Exact heavy hitters from a landed stream sink + the landed corpus
+    — q169's phase 2 (llm13.py) packaged for the streaming store:
+    broadcast-semi-join the current candidate set against ``tokens``
+    (batch column ``w``), recount exactly, keep support
+    ``c * k_support > N`` and rank (c desc, w). Defaults mirror q169's
+    HH_K=4096 / top-25.
+
+    Exactness: the stream must have run with shard capacity
+    ``k >= k_support`` (module docstring) — then the candidate set is a
+    superset of every token that can pass the threshold, so the recount
+    is unconditionally exact, identical to the batch answer on the same
+    corpus. Scale: candidates are O(shards*k) rows (broadcast); the
+    corpus is scanned once for the join + once for N, both map-side."""
+    from pyspark.sql import Window
+
+    cand = heavy_hitters_current(spark, sink_path).select("w").distinct()
+    toks = tokens.filter(F.col("w").isNotNull())
+    counts = (
+        toks.join(F.broadcast(cand), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    hh = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("c") * F.lit(k_support) > F.col("n")
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("w"))
+    out = hh.withColumn("n_rank", F.row_number().over(w).cast("int"))
+    if topk is not None:
+        out = out.filter(F.col("n_rank") <= topk)
+    return out.select("w", "c", "n_rank")

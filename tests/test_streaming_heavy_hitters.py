@@ -145,3 +145,68 @@ def test_state_survives_checkpoint_restart(spark, tmp_path):
         )
     )
     assert n_total == len(words1) + len(words2)
+
+
+def test_consumer_api_recount_equals_batch_q169(spark, tmp_path):
+    """The packaged consumer (heavy_hitters_current + heavy_hitters_recount)
+    over a landed stream sink must reproduce the batch q169 answer exactly
+    on the same corpus: stream shard capacity k >= k_support makes the
+    candidate set a guaranteed superset, and the recount is exact."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.queries.llm13 import HH_K, HH_TOPK, q169_heavy_hitters
+    from csv_loader_spark.streaming.heavy_hitters import (
+        heavy_hitters_current,
+        heavy_hitters_recount,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    from csv_loader_spark.functions import text as TXT
+    from csv_loader_spark.io.tables import load_table
+
+    tokens = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(TXT.tokens("text")).alias("w"))
+    )
+    words = [r["w"] for r in tokens.collect()]
+    src = tmp_path / "toks"
+    src.mkdir()
+    third = len(words) // 3
+    for i, chunk in enumerate(
+        (words[:third], words[third : 2 * third], words[2 * third :])
+    ):
+        _write_batch(src / f"b{i}.json", chunk)
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        heavy_hitter_stream(stream, k=HH_K, shards=4)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # current view honors the max-snap contract: one snapshot per shard
+    cur = heavy_hitters_current(spark, sink)
+    per_shard = {
+        r["shard"]: r["snap"]
+        for r in cur.select("shard", "snap").distinct().collect()
+    }
+    raw = spark.read.parquet(sink)
+    for shard, snap in per_shard.items():
+        top = raw.filter(F.col("shard") == shard).agg(F.max("snap")).collect()[0][0]
+        assert snap == top
+
+    got = heavy_hitters_recount(
+        spark, sink, tokens, k_support=HH_K, topk=HH_TOPK
+    ).collect()
+    want = q169_heavy_hitters(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) > 0
