@@ -333,6 +333,75 @@ _BAND_SCHEMA = T.StructType(
 )
 
 
+# --- store layout metadata (r13) ------------------------------------------
+# The changelog store's `_store_meta.json` hardening (changelog.py) ported
+# to the four ingest-dedup index stores: the fingerprint/band/member/passage
+# tiers write INCOMPATIBLE index layouts (and the band tiers additionally
+# bake in the MinHash geometry + shingle rules), so a caller flipping
+# `verify_members` or probing a store built under different band parameters
+# was the same silent-mismatch class the changelog closed — e.g. a MEMBER
+# store read as a plain band index "works" (band/bkey project fine) but
+# silently loses the verify tier's precision-1.0 contract. Each store now
+# persists {kind, layout params} at seed/first-append; every open validates
+# and fails fast on mismatch. Legacy pre-r13 stores (data, no meta file)
+# adopt the running code's parameters on the next WRITE — reads stay
+# side-effect-free (a probe against a read-only path must not create files).
+
+_STORE_META_FILE = "_store_meta.json"
+
+
+def _store_layout(kind: str) -> dict:
+    """The running code's layout descriptor for a store kind — the values
+    that make an on-disk store un-probe-able when they drift."""
+    out: dict = {"kind": kind}
+    if kind in ("band", "band_member"):
+        from csv_loader_spark.queries import llm
+
+        out["n_hashes"] = llm._N_HASHES
+        out["band_size"] = llm._BAND_SIZE
+    elif kind == "passage":
+        from csv_loader_spark.queries import llm7
+
+        out["passage_words"] = llm7._PASSAGE
+    return out
+
+
+def read_store_meta(path: str) -> dict | None:
+    """The store's persisted layout metadata, or None for a legacy /
+    fresh store."""
+    p = os.path.join(path, _STORE_META_FILE)
+    if not os.path.exists(p):
+        return None
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
+def _validate_store_kind(path: str, kind: str, *, persist: bool) -> None:
+    """Fail fast when ``path`` holds a store of a different kind or
+    incompatible layout parameters. ``persist=True`` (write paths) stamps
+    fresh/legacy stores with the running layout; reads never write."""
+    want = _store_layout(kind)
+    meta = read_store_meta(path)
+    if meta is not None:
+        if meta != want:
+            raise ValueError(
+                f"store at {path} was built as {meta}, but this caller "
+                f"expects {want} — flipping the tier (verify_members) or "
+                "the MinHash/shingle geometry against an existing store "
+                "would probe it incorrectly; compact/rebuild the store or "
+                "fix the caller"
+            )
+        return
+    if persist:
+        import json
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, _STORE_META_FILE), "w") as f:
+            json.dump(want, f)
+
+
 def list_batch_partitions(spark: SparkSession, path: str) -> list[int]:
     """The ``batch=<id>`` partition ids under a store directory, listed
     through the JVM Hadoop FileSystem API — the scheme-aware listing
@@ -405,6 +474,7 @@ def read_band_index(
     """The current band-signature index: (band, bkey) over every committed
     ``batch=<id>`` partition, with the same bootstrap and
     ``exclude_batch`` crash-window semantics as ``read_index``."""
+    _validate_store_kind(band_index_path, "band", persist=False)
     if list_batch_partitions(spark, band_index_path):
         df = spark.read.parquet(band_index_path)
         if exclude_batch is not None:
@@ -416,6 +486,7 @@ def read_band_index(
 def seed_band_index(corpus: DataFrame, band_index_path: str) -> None:
     """Bootstrap the near-dup index from an already-accepted corpus
     (``batch=-1``, same convention as ``seed_index``)."""
+    _validate_store_kind(band_index_path, "band", persist=True)
     band_signature_index(corpus).write.mode("overwrite").parquet(
         os.path.join(band_index_path, "batch=-1")
     )
@@ -444,6 +515,7 @@ def read_band_member_index(
     store-wide window per probe; ``compact_member_index`` restores the
     GLOBAL cap on the compaction cadence (the same deterministic
     keep-first-by-doc_id window the batch build applies)."""
+    _validate_store_kind(path, "band_member", persist=False)
     if list_batch_partitions(spark, path):
         df = spark.read.parquet(path)
         if exclude_batch is not None:
@@ -457,6 +529,7 @@ def seed_band_member_index(
 ) -> None:
     """Bootstrap the verify-tier index from an accepted corpus
     (``batch=-1``)."""
+    _validate_store_kind(path, "band_member", persist=True)
     band_member_index(corpus, cap).write.mode("overwrite").parquet(
         os.path.join(path, "batch=-1")
     )
@@ -479,6 +552,7 @@ def read_index(
     accepted partition with an empty frame (silent loss). Excluding the
     batch's own partition makes the re-run reproduce the original result
     instead."""
+    _validate_store_kind(index_path, "fp", persist=False)
     if list_batch_partitions(spark, index_path):
         df = spark.read.parquet(index_path)
         if exclude_batch is not None:
@@ -491,6 +565,7 @@ def seed_index(corpus: DataFrame, index_path: str) -> None:
     """Bootstrap the index store from an already-accepted corpus (the
     one-time global-dedup output). Lands in ``batch=-1`` so stream batch
     ids (>= 0) never collide with the seed."""
+    _validate_store_kind(index_path, "fp", persist=True)
     fingerprint_index(corpus).write.mode("overwrite").parquet(
         os.path.join(index_path, "batch=-1")
     )
@@ -504,6 +579,7 @@ def append_to_index(novel_fps: DataFrame, index_path: str, batch_id: int) -> Non
     regardless of whether the ledger record landed."""
     if _already_applied(index_path, batch_id):
         return
+    _validate_store_kind(index_path, "fp", persist=True)
     novel_fps.select("fp").distinct().write.mode("overwrite").parquet(
         os.path.join(index_path, f"batch={batch_id}")
     )
@@ -533,6 +609,7 @@ def read_passage_index(
 ) -> DataFrame:
     """Current passage-fingerprint index (same bootstrap / exclude_batch
     semantics as ``read_index``)."""
+    _validate_store_kind(passage_index_path, "passage", persist=False)
     if list_batch_partitions(spark, passage_index_path):
         df = spark.read.parquet(passage_index_path)
         if exclude_batch is not None:
@@ -543,6 +620,7 @@ def read_passage_index(
 
 def seed_passage_index(corpus: DataFrame, passage_index_path: str) -> None:
     """Bootstrap the passage index from an accepted corpus (``batch=-1``)."""
+    _validate_store_kind(passage_index_path, "passage", persist=True)
     passage_index(corpus).write.mode("overwrite").parquet(
         os.path.join(passage_index_path, "batch=-1")
     )
@@ -931,6 +1009,11 @@ def start_ingest_pipeline(
             os.path.join(accepted_path, f"batch={batch_id}")
         )
         if band_index_path is not None:
+            _validate_store_kind(
+                band_index_path,
+                "band_member" if verify_members else "band",
+                persist=True,
+            )
             grown = (
                 band_member_index(novel)
                 if verify_members
@@ -940,6 +1023,7 @@ def start_ingest_pipeline(
                 os.path.join(band_index_path, f"batch={batch_id}")
             )
         if passage_index_path is not None:
+            _validate_store_kind(passage_index_path, "passage", persist=True)
             passage_index(novel).write.mode("overwrite").parquet(
                 os.path.join(passage_index_path, f"batch={batch_id}")
             )

@@ -979,3 +979,107 @@ def test_compact_member_index_recovers_mid_swap_crash(spark, tmp_path):
     files_before = sorted(os.listdir(seed))
     assert compact_member_index(spark, path, ledger_path=path, cap=2) == 0
     assert sorted(os.listdir(seed)) == files_before
+
+
+# --- r13: store layout metadata (the changelog _store_meta hardening) -------
+
+
+def test_store_meta_written_and_tier_flip_fails_fast(spark, tmp_path):
+    """Each index store persists {kind, layout params} at seed; opening a
+    BAND store as the verify (member) tier — or vice versa — fails fast
+    instead of silently probing the wrong layout."""
+    import json
+
+    import pytest
+
+    from csv_loader_spark.streaming.ingest_dedup import (
+        _STORE_META_FILE,
+        read_band_index,
+        read_band_member_index,
+        seed_band_index,
+        seed_band_member_index,
+        seed_index,
+        seed_passage_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    bidx = str(tmp_path / "band_index")
+    seed_band_index(corpus, bidx)
+    meta = json.load(open(f"{bidx}/{_STORE_META_FILE}"))
+    assert meta["kind"] == "band" and meta["n_hashes"] >= 1
+
+    # tier flip: probe the band store as a member store -> fail fast
+    with pytest.raises(ValueError, match="verify_members|built as"):
+        read_band_member_index(spark, bidx)
+    # and seeding the other tier over it fails too
+    with pytest.raises(ValueError, match="built as"):
+        seed_band_member_index(corpus, bidx)
+    # the matching tier still opens fine
+    assert read_band_index(spark, bidx).count() >= 1
+
+    midx = str(tmp_path / "member_index")
+    seed_band_member_index(corpus, midx)
+    assert json.load(open(f"{midx}/{_STORE_META_FILE}"))["kind"] == "band_member"
+    with pytest.raises(ValueError, match="built as"):
+        read_band_index(spark, midx)
+
+    # fp / passage kinds are disjoint as well
+    fpi = str(tmp_path / "fp_index")
+    seed_index(corpus, fpi)
+    with pytest.raises(ValueError, match="built as"):
+        seed_passage_index(corpus, fpi)
+
+
+def test_store_meta_geometry_drift_fails_fast(spark, tmp_path):
+    """A store seeded under a DIFFERENT MinHash geometry (e.g. an older
+    build with other band parameters) is rejected on open — the silent
+    wrong-candidate class the metadata exists to close."""
+    import json
+
+    import pytest
+
+    from csv_loader_spark.streaming.ingest_dedup import (
+        _STORE_META_FILE,
+        read_band_index,
+        seed_band_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    bidx = str(tmp_path / "band_index")
+    seed_band_index(corpus, bidx)
+    # simulate a store written by a build with different geometry
+    p = f"{bidx}/{_STORE_META_FILE}"
+    meta = json.load(open(p))
+    meta["n_hashes"] = meta["n_hashes"] + 2
+    json.dump(meta, open(p, "w"))
+    with pytest.raises(ValueError, match="built as"):
+        read_band_index(spark, bidx)
+
+
+def test_store_meta_legacy_store_reads_then_adopts_on_write(spark, tmp_path):
+    """Pre-r13 stores (data, no meta file): reads stay side-effect-free
+    and permissive; the next WRITE stamps the running layout."""
+    import os
+
+    from csv_loader_spark.streaming.ingest_dedup import (
+        _STORE_META_FILE,
+        append_to_index,
+        fingerprint_index,
+        read_index,
+        seed_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, _CORPUS_DOC)], "doc_id long, text string"
+    )
+    fpi = str(tmp_path / "fp_index")
+    seed_index(corpus, fpi)
+    os.remove(f"{fpi}/{_STORE_META_FILE}")  # make it a legacy store
+    assert read_index(spark, fpi).count() >= 1  # permissive read
+    assert not os.path.exists(f"{fpi}/{_STORE_META_FILE}")  # no side effect
+    append_to_index(fingerprint_index(corpus), fpi, 0)  # write adopts
+    assert os.path.exists(f"{fpi}/{_STORE_META_FILE}")
