@@ -28,7 +28,12 @@ import os
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 WAV_ROW_SCHEMA = T.StructType(
@@ -48,7 +53,9 @@ class WavFilePartition(InputPartition):
     path: str
 
 
-def _list_wavs(path: str) -> list[str]:
+def _list_wavs(path: str, allow_empty: bool = False) -> list[str]:
+    """``allow_empty`` is the STREAMING contract: an empty (or not yet
+    created) directory is a stream with no data yet, not an error."""
     if os.path.isdir(path):
         files = sorted(
             os.path.join(path, f)
@@ -63,10 +70,12 @@ def _list_wavs(path: str) -> list[str]:
         )
     else:
         if not os.path.isfile(path):
+            if allow_empty:
+                return []
             # fail DRIVER-side at load time, not executor-side mid-job
             raise FileNotFoundError(f"wavdir source: no such file {path!r}")
         files = [path]
-    if not files:
+    if not files and not allow_empty:
         raise FileNotFoundError(f"wavdir source: no .wav files at {path!r}")
     return files
 
@@ -100,8 +109,59 @@ class WavDirReader(DataSourceReader):
         yield from _read_wav_file(partition.path)
 
 
+class WavDirStreamReader(DataSourceStreamReader):
+    """File-discovery micro-batching over the audio lake: the streaming
+    twin of ``WavDirReader`` (Structured Streaming's FileStreamSource
+    pattern, expressed through the Spark 4 Python streaming source API).
+
+    Offsets are the sorted listing of files seen so far — an explicit,
+    replayable watermark over the directory: ``latestOffset`` re-lists
+    the directory each trigger (one driver-side LIST, same cost as the
+    batch load), ``partitions(start, end)`` plans exactly the files in
+    ``end`` minus ``start`` (one unsplittable file per partition, parsed
+    executor-side), and the checkpointed offset makes restarts resume at
+    the first unprocessed file. Two triggers with no new files produce
+    equal offsets, so Spark plans no batch. The offset grows with the
+    lifetime file count — the same bound as Spark's own file-source
+    seen-map; compact upstream for million-file lakes (module docstring).
+    Late/duplicate delivery: a file REPLACED in place after its batch
+    committed is not re-read (listing is by name, not mtime) — the lake
+    convention is immutable, uniquely-named drops, exactly like a landed
+    parquet directory."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("wavdir source requires a path: .load(<path>)")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_wavs(self._path, allow_empty=True)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        seen = set(start.get("files", []))
+        return [
+            WavFilePartition(p)
+            for p in end.get("files", [])
+            if p not in seen
+        ]
+
+    def read(self, partition: WavFilePartition) -> Iterator[tuple]:
+        yield from _read_wav_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        # the checkpoint's offset log is the durability mechanism; files
+        # are immutable in the lake, so nothing to clean up per-batch
+        pass
+
+
 class WavDirDataSource(DataSource):
-    """spark.read.format("wavdir").load(dir_or_glob) after register()."""
+    """spark.read.format("wavdir").load(dir_or_glob) after register();
+    spark.readStream.format("wavdir").load(dir) for the streaming first
+    mile (file-discovery triggers, checkpointed resume)."""
 
     @classmethod
     def name(cls) -> str:
@@ -112,6 +172,9 @@ class WavDirDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return WavDirReader(dict(self.options))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return WavDirStreamReader(dict(self.options))
 
 
 def register(spark) -> None:

@@ -335,3 +335,67 @@ def test_wavdir_source_rejects_missing_literal_path_driver_side(spark, tmp_path)
     with _pytest.raises(Exception) as ei:
         spark.read.format("wavdir").load(str(tmp_path / "missing.wav")).collect()
     assert "no such file" in str(ei.value)
+
+
+def test_wavdir_stream_growing_dir_matches_batch_features(spark, tmp_path):
+    """The streaming first mile (wav_source.WavDirStreamReader): a
+    growing audio lake consumed across two runs sharing one checkpoint —
+    run 2 resumes at the committed offset (only new files planned) — and
+    the landed feature rows equal the batch path over the same directory
+    (stream==batch parity, the pings-chain convention)."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.io import wav_source
+    from csv_loader_spark.ops.multimodal import _synth_wav_bytes, audio_features
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for doc_id in (1, 2, 3):
+        (lake / f"{doc_id}.wav").write_bytes(_synth_wav_bytes(doc_id))
+    (lake / "bad.wav").write_bytes(b"RIFFxxxxWAVEgarbage")
+    wav_source.register(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = spark.readStream.format("wavdir").load(str(lake))
+        feats = audio_features(
+            stream.filter("parse_ok").select("doc_id", "payload")
+        )
+        q = (
+            feats.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _run()
+    first = spark.read.parquet(sink)
+    assert sorted(r["doc_id"] for r in first.select("doc_id").collect()) == [1, 2, 3]
+
+    # lake grows; a second run on the same checkpoint plans ONLY new files
+    for doc_id in (4, 5):
+        (lake / f"{doc_id}.wav").write_bytes(_synth_wav_bytes(doc_id))
+    _run()
+
+    got = (
+        spark.read.parquet(sink)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # exactly-once over the growing dir: no re-read of run-1 files
+    assert [r["doc_id"] for r in got] == [1, 2, 3, 4, 5]
+    batch = (
+        audio_features(
+            spark.read.format("wavdir")
+            .load(str(lake))
+            .filter("parse_ok")
+            .select("doc_id", "payload")
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in batch]
