@@ -1710,26 +1710,38 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_precision_meter(spark, sf_dir, nc)
 
 
-def _probe_precision_meter(
-    spark: SparkSession, sf_dir: str, nc: DataFrame
-) -> DataFrame:
-    """Shared body of q144/q146: given the (lazily checkpointed) rejected
-    doc_id frame, independently verify each rejection against the FULL
-    corpus by exact Jaccard >= _PROBE_TAU and fold (n_rejected, n_true,
-    precision_bp) into one single-action 1-row aggregate. One shingle
-    materialization serves sizes and both join sides; the posting-list
-    join explodes only the rejected docs against the corpus, and the
-    corpus side is df-stop-listed (_PROBE_VERIFY_MAX_DF) so a
-    boilerplate flood cannot make the per-rejection candidate cost
-    linear in corpus size (SCALING.json `probe_verify_guard`)."""
+# One lazily-materialized shingle checkpoint + stop-listed corpus posting
+# frame per (session, corpus file state), shared by q144 AND q146 (r13:
+# the two meters were the bench's slowest idle entries at ~5 s each, and
+# their verify-side DAG below `nc` is IDENTICAL — corpus shingles, df
+# stop-list, posting explode — so the second meter in a session was
+# re-materializing work the first had already done). Keyed and
+# invalidated exactly like io/tables._TABLE_CACHE: live session object +
+# file fingerprint, so a regenerated corpus under the same path misses.
+# Cost of the pin: the shingle arrays + corpus posting rows stay in
+# executor block storage for the session (MBs at gate scale) — the
+# bounded, acceptable trade the table cache already made.
+_PROBE_FRAME_CACHE: dict[tuple, tuple] = {}
+
+
+def _probe_verify_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shingled docs, stop-listed corpus postings) — both lazily
+    checkpointed once per (session, corpus state) and shared across the
+    q144/q146 meters."""
+    from csv_loader_spark.io.tables import file_fingerprint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (spark, path, _PROBE_VERIFY_MAX_DF)
+    fp = file_fingerprint(path)
+    hit = _PROBE_FRAME_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1], hit[2]
     from csv_loader_spark.queries.llm import _shingled
 
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    ex_a = ex.join(nc, "doc_id", "left_semi").select(
-        F.col("doc_id").alias("doc_a"), "s"
-    )
     # MOSS stop-list on the corpus posting side (r12): drop shingles
     # whose corpus df exceeds _PROBE_VERIFY_MAX_DF before the join. The
     # hot set is an AGGREGATE + broadcast anti-join, not q96's window —
@@ -1747,7 +1759,34 @@ def _probe_precision_meter(
         .filter(F.col("df") > _PROBE_VERIFY_MAX_DF)
         .select("s")
     )
-    ex_c = ex_c_all.join(F.broadcast(hot), "s", "left_anti")
+    ex_c = ex_c_all.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
+        eager=False
+    )
+    _PROBE_FRAME_CACHE[key] = (fp, sh, ex_c)
+    return sh, ex_c
+
+
+def _probe_precision_meter(
+    spark: SparkSession, sf_dir: str, nc: DataFrame
+) -> DataFrame:
+    """Shared body of q144/q146: given the (lazily checkpointed) rejected
+    doc_id frame, independently verify each rejection against the FULL
+    corpus by exact Jaccard >= _PROBE_TAU and fold (n_rejected, n_true,
+    precision_bp) into one single-action 1-row aggregate. One shingle
+    materialization serves sizes and both join sides; the posting-list
+    join explodes only the rejected docs against the corpus, and the
+    corpus side is df-stop-listed (_PROBE_VERIFY_MAX_DF) so a
+    boilerplate flood cannot make the per-rejection candidate cost
+    linear in corpus size (SCALING.json `probe_verify_guard`). The
+    shingle frame and the stop-listed posting frame come from the
+    session-scoped `_probe_verify_frames` cache, so whichever of
+    q144/q146 runs second reuses the first's materialized blocks."""
+    sh, ex_c = _probe_verify_frames(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex_a = ex.join(nc, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("doc_a"), "s"
+    )
     inter = (
         ex_a.join(ex_c, "s")
         .groupBy("doc_a", "doc_c")
