@@ -170,7 +170,21 @@ R12C_OPS = (
     "q210_weighted_median",
 )
 
-_ALL = HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS
+# The r13 batch: funnel, HITS, TextRank, decayed demand, SAX motifs,
+# behavioral entropy.
+R13_OPS = (
+    "q211_funnel_conversion",
+    "q212_hits_authority",
+    "q213_textrank_keywords",
+    "q214_decayed_demand",
+    "q215_sax_motifs",
+    "q216_user_entropy",
+)
+
+_ALL = (
+    HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS
+    + R13_OPS
+)
 
 
 #: a 1-min load average above this at bench start means some other work is
@@ -294,20 +308,35 @@ def main() -> None:
     ):
         kept = kept[1:]
         kept_totals = kept_totals[1:]
-    # single-outlier trim (r12c): a mid-run JVM full-GC pause (or a brief
-    # host blip) inflates exactly ONE timed run — observed twice on a
-    # start-idle host as totals like [4.12, 3.93, 6.23, 4.27]. The leading-
-    # maximum discard above cannot remove a MIDDLE spike, so: if the kept
-    # runs disagree but dropping the single largest total brings the rest
-    # within tolerance, drop it and say so in the artifact
-    # (outlier_runs_discarded). Two disagreeing runs still stamp
-    # non-canonical — agreement of the remaining majority is required.
+    # single-outlier trim (r12c, symmetrized r13): a mid-run JVM full-GC
+    # pause (or a brief host blip) inflates exactly ONE timed run —
+    # observed twice on a start-idle host as totals like
+    # [4.12, 3.93, 6.23, 4.27]. The leading-maximum discard above cannot
+    # remove a MIDDLE spike. The r12 advice flagged the original rule as
+    # one-sided (it only ever questioned the largest run, so recurring
+    # blips get trimmed run after run and the headline biases downward);
+    # the trim now fires only when the MAX deviates from the median
+    # beyond tolerance while the MIN does not — a genuinely asymmetric
+    # spike, not ordinary dispersion — and the UNTRIMMED median is
+    # always kept in the artifact (headline_untrimmed_median) so
+    # round-over-round tooling can see what the trim did. Two
+    # disagreeing runs still stamp non-canonical — agreement of the
+    # remaining majority is required.
+    untrimmed_median = sorted(kept_totals)[len(kept_totals) // 2]
     outlier_discarded = 0
     spread = max(kept_totals) / max(min(kept_totals), 1e-9)
     if spread > SPREAD_TOLERANCE and len(kept) >= 3:
+        med = untrimmed_median
+        max_dev = max(kept_totals) / max(med, 1e-9)
+        min_dev = med / max(min(kept_totals), 1e-9)
         i_max = kept_totals.index(max(kept_totals))
         trial_totals = kept_totals[:i_max] + kept_totals[i_max + 1:]
-        if max(trial_totals) / max(min(trial_totals), 1e-9) <= SPREAD_TOLERANCE:
+        if (
+            max_dev > SPREAD_TOLERANCE
+            and min_dev <= SPREAD_TOLERANCE
+            and max(trial_totals) / max(min(trial_totals), 1e-9)
+            <= SPREAD_TOLERANCE
+        ):
             kept = kept[:i_max] + kept[i_max + 1:]
             kept_totals = trial_totals
             outlier_discarded = 1
@@ -333,6 +362,7 @@ def main() -> None:
                     "r12c_ops": round(
                         sum(times[n] for n in R12C_OPS), 4
                     ),
+                    "r13_ops": round(sum(times[n] for n in R13_OPS), 4),
                 },
                 "sf": sf,
                 # host-noise provenance (r9-r11 verdicts): canonical means
@@ -348,6 +378,7 @@ def main() -> None:
                 "load_avg_start": round(load_avg_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
                 "run_headline_totals": run_totals,
+                "headline_untrimmed_median": round(untrimmed_median, 4),
                 "run_spread": round(spread, 3),
                 "load_avg_after_each_run": run_loads,
                 "warmup_runs": 2,

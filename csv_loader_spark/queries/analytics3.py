@@ -1,0 +1,622 @@
+"""Product-analytics / graph-authority / sequence operators, batch r13.
+
+Public-literature basis:
+- q211: ordered funnel analysis — the standard AARRR conversion funnel
+  (e.g. Croll & Yoskovitz, "Lean Analytics"): first qualifying event per
+  stage, each stage's timestamp strictly after the previous stage's.
+- q212: Kleinberg 1999, "Authoritative sources in a hyperlinked
+  environment" — HITS hubs/authorities, re-expressed in exact integer
+  fixed point with per-round max-normalization (integer divide) so the
+  iterative result is bit-identical across engines.
+- q213: Mihalcea & Tarau 2004, "TextRank: Bringing Order into Text" —
+  keyword extraction as PageRank over the word co-occurrence (adjacency)
+  graph; rides ops/graph.pagerank_fixed_point, the q160 machinery.
+- q214: exponentially-decayed (half-life) recency scoring — the standard
+  recency-weighted popularity statistic; expressed in exact DYADIC fixed
+  point (weight = SCALE >> (age/halflife)) so the decay sum is integer
+  arithmetic end-to-end, no float pow().
+- q215: Lin, Keogh, Lonardi & Chiu 2003, "A Symbolic Representation of
+  Time Series" (SAX) — symbolic motif census; binning here is min-max
+  integer quantization (not z-normalized PAA) so symbols are exact
+  cross-engine integers rather than float-breakpoint comparisons.
+- q216: Shannon 1948 — behavioral diversity as the entropy of each
+  user's event-type mix.
+
+The reference (CsvLoader.java, 274 lines) has no analytics surface;
+these extend the beyond-reference operator families (SURVEY.md §2.3).
+Everything derives from the cited public papers and the public
+Spark / DuckDB APIs.
+
+Scale notes (100 TB):
+- q211 is one user-keyed shuffle per funnel stage (3 stages): each stage
+  is a map-side-combinable min over the stage's filtered events joined
+  to the previous stage's per-user frame on the user key; no window over
+  raw events, no ordering of a user's full history.
+- q212/q213 per round: one node-keyed equi-join of the edge list against
+  the score table + one map-side combined sum; edge frames are
+  checkpointed once, per-round frames lazily checkpointed (lineage
+  stays O(1)). The max-normalization is a 1-row broadcast. Overflow
+  head-room: normalized scores are <= SCALE (1e6), so the next round's
+  raw sums stay < SCALE * max-degree — safe in 64-bit to degrees ~9e12.
+- q214 is map-only per row (shift + clamp) into one partkey-keyed sum;
+  the anchor date is a 1-row broadcast.
+- q215's windows run over the per-(type, hour) AGGREGATE (census-bounded
+  — at most |types| * hours rows), never over raw events.
+- q216 pivots the per-user counts to a FIXED event-type taxonomy (the
+  q178 |states| convention) so the entropy sum is a fixed-order
+  expression tree — identical float summation order on both engines —
+  rather than an order-nondeterministic double aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_loader_spark.functions import text as TXT
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.ops.graph import pagerank_fixed_point
+from csv_loader_spark.queries.registry import query
+
+# --- q211: ordered conversion funnel ----------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "q211_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_users,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase,
+           CAST(CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+                ELSE (SELECT count(*) FROM s3) * 10000
+                     // (SELECT count(*) FROM s1) END AS BIGINT)
+             AS conv_bp
+    """,
+    tags=("analytics", "funnel", "r13"),
+)
+def q211_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: per user, the first view,
+    the first click strictly AFTER that view, the first purchase strictly
+    after that click; one row of stage counts + end-to-end conversion in
+    integer basis points. Each stage is a user-keyed min — never a sort
+    of a user's history — so funnel depth k costs k map-side-combinable
+    aggregates."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    c1 = s1.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("long").alias("n_click"))
+    c3 = s3.agg(F.count(F.lit(1)).cast("long").alias("n_purchase"))
+    return (
+        n_users.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_users",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr(
+                "CAST(CASE WHEN n_view = 0 THEN 0 "
+                "ELSE n_purchase * 10000 DIV n_view END AS BIGINT)"
+            ).alias("conv_bp"),
+        )
+    )
+
+
+# --- q212: HITS hubs/authorities (integer fixed point) ----------------------
+
+HITS_ITERS = 2
+HITS_SCALE = 1_000_000
+HITS_TOPK = 15
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT o_custkey AS cu, l_suppkey AS su
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS (SELECT DISTINCT cu, CAST({s} AS BIGINT) AS h FROM pairs)""".format(
+            s=HITS_SCALE
+        )
+    ]
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""a{i}r AS (
+      SELECT su, CAST(sum(h) AS BIGINT) AS s
+      FROM pairs JOIN {prev_h} USING (cu) GROUP BY su
+    ),
+    a{i} AS (
+      SELECT su, CAST(s * {HITS_SCALE} // (SELECT max(s) FROM a{i}r)
+                 AS BIGINT) AS a
+      FROM a{i}r
+    ),
+    h{i}r AS (
+      SELECT cu, CAST(sum(a) AS BIGINT) AS s
+      FROM pairs JOIN a{i} USING (su) GROUP BY cu
+    ),
+    h{i} AS (
+      SELECT cu, CAST(s * {HITS_SCALE} // (SELECT max(s) FROM h{i}r)
+                 AS BIGINT) AS h
+      FROM h{i}r
+    )"""
+        )
+        prev_h = f"h{i}"
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT su AS supp_id, a AS auth_e6, n_rank FROM (
+      SELECT su, a,
+             CAST(row_number() OVER (ORDER BY a DESC, su) AS INTEGER)
+               AS n_rank
+      FROM a{HITS_ITERS}
+    ) WHERE n_rank <= {HITS_TOPK}
+    """
+
+
+@query(
+    "q212_hits_authority",
+    oracle=_hits_oracle(),
+    tags=("graph", "analytics", "r13"),
+)
+def q212_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HITS_TOPK} suppliers by {HITS_ITERS}-round HITS authority over
+    the bipartite customer->supplier trade graph (Kleinberg 1999).
+    Mutual reinforcement in exact integer fixed point: authority(s) =
+    sum of its customers' hub scores, hub(c) = sum of its suppliers'
+    authorities, each round renormalized by `score * SCALE DIV max` —
+    floored integer division, so the unrolled-CTE oracle reproduces the
+    iteration bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cu"), F.col("l_suppkey").alias("su"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = pairs.select("cu").distinct().select(
+        "cu", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ITERS):
+        ar = pairs.join(h, "cu").groupBy("su").agg(F.sum("h").alias("s"))
+        ma = ar.agg(F.max("s").alias("m"))
+        a = (
+            ar.crossJoin(F.broadcast(ma))
+            .select(
+                "su",
+                F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        hr = pairs.join(a, "su").groupBy("cu").agg(F.sum("a").alias("s"))
+        mh = hr.agg(F.max("s").alias("m"))
+        h = (
+            hr.crossJoin(F.broadcast(mh))
+            .select(
+                "cu",
+                F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("h"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    w = Window.orderBy(F.col("a").desc(), F.col("su"))
+    return (
+        a.withColumn("n_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("n_rank") <= HITS_TOPK)
+        .select(F.col("su").alias("supp_id"), F.col("a").alias("auth_e6"), "n_rank")
+    )
+
+
+# --- q213: TextRank keywords ------------------------------------------------
+
+TR_ITERS = 2
+TR_SCALE = 1_000_000
+TR_TOPK = 20
+TR_MINLEN = 4
+
+
+def _textrank_oracle() -> str:
+    base = TR_SCALE * 15 // 100
+    rounds = []
+    prev = "r0"
+    for i in range(1, TR_ITERS + 1):
+        rounds.append(
+            f"""
+    s{i} AS (
+      SELECT e.dst AS node, CAST(sum({prev}.pr // d.deg) AS BIGINT) AS s
+      FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS pr
+      FROM n LEFT JOIN s{i} USING (node)
+    )"""
+        )
+        prev = f"r{i}"
+    return rf"""
+    WITH toks AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+    ),
+    bg AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    pairs AS (
+      SELECT DISTINCT least(a, b) AS pa, greatest(a, b) AS pb
+      FROM bg
+      WHERE length(a) >= {TR_MINLEN} AND length(b) >= {TR_MINLEN} AND a <> b
+    ),
+    e AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST({TR_SCALE} AS BIGINT) AS pr FROM n),
+    {",".join(rounds)}
+    SELECT node AS word, pr AS pr_e6, n_rank FROM (
+      SELECT node, pr,
+             CAST(row_number() OVER (ORDER BY pr DESC, node) AS INTEGER)
+               AS n_rank
+      FROM {prev}
+    ) WHERE n_rank <= {TR_TOPK}
+    """
+
+
+@query(
+    "q213_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("text", "graph", "llm", "r13"),
+)
+def q213_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TR_TOPK} corpus keywords by {TR_ITERS}-round TextRank
+    (Mihalcea & Tarau 2004): PageRank over the undirected word
+    co-occurrence graph (adjacent-token pairs, tokens >= {TR_MINLEN}
+    chars), in the q160 exact integer fixed point. The bigram stream
+    comes from the zip-of-shifted-slices n-gram kernel (word_ngrams —
+    no per-element re-evaluation), pairs dedup once corpus-wide, and
+    the rank iteration is ops/graph.pagerank_fixed_point."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    g = F.split(F.col("g"), " ")
+    bg = d.select(F.explode(TXT.word_ngrams("text", 2)).alias("g")).select(
+        g.getItem(0).alias("a"), g.getItem(1).alias("b")
+    )
+    pairs = (
+        bg.filter(
+            (F.length("a") >= TR_MINLEN)
+            & (F.length("b") >= TR_MINLEN)
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("pa"), F.greatest("a", "b").alias("pb")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    pr = pagerank_fixed_point(
+        edges, "src", "dst", iterations=TR_ITERS, scale=TR_SCALE
+    )
+    w = Window.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        pr.withColumn("n_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("n_rank") <= TR_TOPK)
+        .select(F.col("node").alias("word"), F.col("pr").alias("pr_e6"), "n_rank")
+    )
+
+
+# --- q214: half-life decayed demand (exact dyadic fixed point) --------------
+
+DK_SCALE = 1 << 20
+DK_HALF_DAYS = 7
+DK_TOPK = 20
+
+
+@query(
+    "q214_decayed_demand",
+    oracle=f"""
+    WITH a AS (SELECT max(CAST(l_shipdate AS DATE)) AS anchor FROM lineitem),
+    w AS (
+      SELECT l_partkey,
+             CAST({DK_SCALE} AS BIGINT) >> CAST(least(
+               date_diff('day', CAST(l_shipdate AS DATE), a.anchor)
+                 // {DK_HALF_DAYS}, 63) AS INTEGER) AS wgt
+      FROM lineitem, a
+    ),
+    s AS (
+      SELECT l_partkey,
+             CAST(sum(wgt) AS BIGINT) AS decay_score,
+             CAST(count(*) AS BIGINT) AS n_ship
+      FROM w GROUP BY l_partkey
+    )
+    SELECT l_partkey AS part_id, decay_score, n_ship, n_rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY decay_score DESC, l_partkey) AS INTEGER) AS n_rank
+      FROM s
+    ) WHERE n_rank <= {DK_TOPK}
+    """,
+    tags=("analytics", "timeseries", "r13"),
+)
+def q214_decayed_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DK_TOPK} parts by recency-weighted demand with a
+    {DK_HALF_DAYS}-day half-life — each shipment contributes
+    ``SCALE >> (age_days div {DK_HALF_DAYS})``, i.e. exponential decay
+    in exact DYADIC fixed point (integer shift, no float pow, shift
+    clamped at 63 so Java's mod-64 shift semantics never wrap). Map-only
+    per row into one partkey-keyed map-side-combinable sum; the anchor
+    date is a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("anchor"))
+    scored = (
+        li.crossJoin(F.broadcast(anchor))
+        .select(
+            "l_partkey",
+            # the shift MUST run in 64-bit: Spark's shiftright on an INT
+            # base masks the shift mod 32 (Java semantics), so a clamp at
+            # 63 would alias shifts 32-62 back onto 0-30 and resurrect
+            # full-scale weights for years-old rows (caught by the oracle
+            # at sf0.001); on a BIGINT base the mask is mod 64 and the
+            # 63-clamp is exact (2^20 >> 63 = 0)
+            F.expr(
+                f"shiftright(CAST({DK_SCALE} AS BIGINT), CAST(least("
+                f"datediff(anchor, to_date(l_shipdate)) div {DK_HALF_DAYS},"
+                " 63) AS INT))"
+            ).alias("wgt"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("wgt").cast("long").alias("decay_score"),
+            F.count(F.lit(1)).cast("long").alias("n_ship"),
+        )
+    )
+    w = Window.orderBy(F.col("decay_score").desc(), F.col("l_partkey"))
+    return (
+        scored.withColumn("n_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("n_rank") <= DK_TOPK)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            "decay_score",
+            "n_ship",
+            "n_rank",
+        )
+    )
+
+
+# --- q215: SAX-style symbolic motif census ----------------------------------
+
+SAX_SYMS = 4
+SAX_MOTIF = 3
+
+
+@query(
+    "q215_sax_motifs",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    rng AS (
+      SELECT event_type, min(v) AS mn, max(v) AS mx
+      FROM hourly GROUP BY event_type
+    ),
+    sym AS (
+      SELECT h.event_type, hr,
+             CAST(((v - mn) * {SAX_SYMS}) // (mx - mn + 1) AS BIGINT) AS s
+      FROM hourly h JOIN rng USING (event_type)
+    ),
+    seq AS (
+      SELECT event_type, s,
+             lead(s, 1) OVER w AS s2, lead(s, 2) OVER w AS s3
+      FROM sym WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    ),
+    motifs AS (
+      SELECT event_type,
+             chr(97 + CAST(s AS INTEGER)) || chr(97 + CAST(s2 AS INTEGER))
+               || chr(97 + CAST(s3 AS INTEGER)) AS motif
+      FROM seq WHERE s3 IS NOT NULL
+    ),
+    counts AS (
+      SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_occ
+      FROM motifs GROUP BY event_type, motif
+    ),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_motifs,
+             CAST(sum(n_occ) AS BIGINT) AS n_windows
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, motif AS top_motif, n_occ, n_windows, n_motifs
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY n_occ DESC, motif) AS rn
+      FROM counts
+    ) c JOIN stats USING (event_type)
+    WHERE rn = 1
+    """,
+    tags=("analytics", "timeseries", "r13"),
+)
+def q215_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic motif census per event type (Lin et al. 2003):
+    the hourly value series (exact integer cents) is quantized to
+    {SAX_SYMS} symbols by per-series min-max INTEGER binning (no float
+    breakpoints), {SAX_MOTIF}-symbol sliding windows become motifs, and
+    each series reports its modal motif plus window/motif counts. Every
+    window runs over the per-(type, hour) aggregate — census-bounded at
+    |types| x hours rows — never over raw events."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("cents").alias("v"))
+    )
+    rng = hourly.groupBy("event_type").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    sym = hourly.join(rng, "event_type").select(
+        "event_type",
+        "hr",
+        F.expr(f"CAST((v - mn) * {SAX_SYMS} DIV (mx - mn + 1) AS BIGINT)").alias(
+            "s"
+        ),
+    )
+    ws = Window.partitionBy("event_type").orderBy("hr")
+    seq = sym.select(
+        "event_type",
+        "s",
+        F.lead("s", 1).over(ws).alias("s2"),
+        F.lead("s", 2).over(ws).alias("s3"),
+    ).filter(F.col("s3").isNotNull())
+    motifs = seq.select(
+        "event_type",
+        F.expr(
+            "concat(chr(97 + CAST(s AS INT)), chr(97 + CAST(s2 AS INT)),"
+            " chr(97 + CAST(s3 AS INT)))"
+        ).alias("motif"),
+    )
+    counts = motifs.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_motifs"),
+        F.sum("n_occ").cast("long").alias("n_windows"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.col("n_occ").desc(), F.col("motif")
+    )
+    top = counts.withColumn("rn", F.row_number().over(wr)).filter(
+        F.col("rn") == 1
+    )
+    return top.join(stats, "event_type").select(
+        "event_type",
+        F.col("motif").alias("top_motif"),
+        "n_occ",
+        "n_windows",
+        "n_motifs",
+    )
+
+
+# --- q216: behavioral entropy per user --------------------------------------
+
+#: the generator's event taxonomy (alphabetical — the FIXED summation
+#: order both engines' entropy expressions share; q178's |states|
+#: fixed-taxonomy convention).
+ENTROPY_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _entropy_oracle() -> str:
+    cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{i}"
+        for i, t in enumerate(ENTROPY_TYPES)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c{i} = 0 THEN 0.0 ELSE c{i} * ln(c{i}) END)"
+        for i in range(len(ENTROPY_TYPES))
+    )
+    return f"""
+    WITH c AS (
+      SELECT user_id,
+             {cols},
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+      WHERE event_type IN {ENTROPY_TYPES!r}
+      GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST({' + '.join(f'CASE WHEN c{i} > 0 THEN 1 ELSE 0 END'
+                            for i in range(len(ENTROPY_TYPES)))} AS BIGINT)
+             AS n_types,
+           round(ln(n_events) - ({terms}) / n_events, 4) AS entropy
+    FROM c
+    """
+
+
+@query(
+    "q216_user_entropy",
+    oracle=_entropy_oracle(),
+    tags=("analytics", "profiling", "r13"),
+)
+def q216_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user: Shannon entropy (nats, 4dp) of the
+    user's event-type mix, H = ln(n) - (sum c_i ln c_i)/n. The counts
+    pivot to the FIXED taxonomy so the float sum is one fixed-order
+    expression tree on both engines — a groupBy double-sum would be
+    summation-order nondeterministic (the q159 BM25 determinism rule).
+    One user-keyed map-side-combinable aggregate; everything after is
+    per-row arithmetic."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*ENTROPY_TYPES)
+    )
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, t in enumerate(ENTROPY_TYPES)
+    ]
+    c = e.groupBy("user_id").agg(
+        *aggs, F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    terms = " + ".join(
+        f"(CASE WHEN c{i} = 0 THEN 0.0 ELSE c{i} * ln(c{i}) END)"
+        for i in range(len(ENTROPY_TYPES))
+    )
+    n_types = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN 1 ELSE 0 END"
+        for i in range(len(ENTROPY_TYPES))
+    )
+    return c.select(
+        "user_id",
+        "n_events",
+        F.expr(f"CAST({n_types} AS BIGINT)").alias("n_types"),
+        F.expr(f"round(ln(n_events) - ({terms}) / n_events, 4)").alias(
+            "entropy"
+        ),
+    )
