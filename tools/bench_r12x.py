@@ -1,0 +1,251 @@
+"""x30/x100 scaling evidence for the heaviest r12 operators.
+
+SCALING.json's `r12c_ops_scaling` measured sf0.01 -> sf0.1 (x10) growth and
+CLAIMED the Spark/DuckDB crossover lands "between x10 and x100" by
+extrapolation. This tool MEASURES the x30 and x100 points for the five
+heaviest r12 entries — q155 (PASS-JOIN edit-distance join), q156
+(ExactSubstr dup spans), q166 (triangle counting), q176 (basket lift),
+q181 (k-core peel) — on the same corpus-growth shape the other sections
+use: the sf0.01 base tables multiplied xM as DISJOINT key-remapped copies
+(UNION ALL of the same parquet with per-copy key offsets — same value
+distribution, no synthesized data):
+
+- lineitem:  l_orderkey/l_partkey + k*1_000_000 per copy k — the co-order
+  graph (q166/q181) and basket set (q176) grow as M disjoint components,
+  the natural "corpus grows" shape (a shared-partkey union would instead
+  densify a fixed-size graph xM).
+- part:      p_partkey + k*1_000_000; copies k>=1 get a ' cNN' name suffix
+  so the distinct-name set grows ~xM (the PASS-JOIN folds duplicate
+  strings arithmetically, so un-suffixed copies would measure nothing).
+- documents: doc_id + k*1_000_000, text unchanged — duplicated text is
+  exactly ExactSubstr's workload and its gram->count>=2 pipeline is linear
+  in occurrences, not pairs.
+
+Max key after 100 copies is ~1.0e8 < 2^31, so q166's (deg<<32)+id long
+packing stays overflow-free.
+
+Each (engine, multiplier) cell runs in its OWN subprocess with a hard
+timeout, so a brute-force DuckDB oracle that goes quadratic (q155 was
+already 84.7 s at x10 in r12b) records DNF instead of wedging the sweep.
+Spark cells: 1 prime + 2 timed runs per query, min reported (both kept);
+DuckDB cells: 1 prime + 1 timed run. Orchestrate with an idle host.
+
+Usage:
+  python tools/bench_r12x.py                 # full sweep, one JSON line
+  python tools/bench_r12x.py --mults 1,30    # subset of multipliers
+  python tools/bench_r12x.py --spark-cell 30 # internal (subprocess entry)
+  python tools/bench_r12x.py --duck-cell 30 q155_editdist_join
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_R12X_BASE", "/root/testdata/sf0.01")
+WORK = os.environ.get("SPARK_GRAFT_R12X_WORK", "/tmp/r12x")
+MULTS = (1, 10, 30, 100)
+QUERIES = (
+    "q155_editdist_join",
+    "q156_dup_spans",
+    "q166_triangle_nodes",
+    "q176_basket_lift",
+    "q181_kcore_peel",
+)
+SPARK_CELL_TIMEOUT = 3600
+DUCK_CELL_TIMEOUT = 900
+OFFSET = 1_000_000
+
+
+def _mult_dir(m: int) -> str:
+    return os.path.join(WORK, f"m{m}")
+
+
+def materialize(m: int) -> str:
+    """Write the xM key-remapped tables (idempotent per multiplier)."""
+    import duckdb
+
+    out = _mult_dir(m)
+    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+
+    def copy(union_sql: str, name: str) -> None:
+        con.execute(
+            f"COPY ({union_sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
+        )
+
+    li = f"{BASE_SF}/lineitem.parquet"
+    copy(
+        " UNION ALL ".join(
+            f"SELECT CAST(l_orderkey + {k * OFFSET} AS BIGINT) AS l_orderkey,"
+            f" CAST(l_partkey + {k * OFFSET} AS BIGINT) AS l_partkey"
+            f" FROM '{li}'"
+            for k in range(m)
+        ),
+        "lineitem",
+    )
+    pt = f"{BASE_SF}/part.parquet"
+    copy(
+        " UNION ALL ".join(
+            f"SELECT CAST(p_partkey + {k * OFFSET} AS BIGINT) AS p_partkey,"
+            + (
+                " p_name"
+                if k == 0
+                else f" p_name || ' c{k:02d}' AS p_name"
+            )
+            + f" FROM '{pt}'"
+            for k in range(m)
+        ),
+        "part",
+    )
+    dc = f"{BASE_SF}/documents.parquet"
+    copy(
+        " UNION ALL ".join(
+            f"SELECT CAST(doc_id + {k * OFFSET} AS BIGINT) AS doc_id, text"
+            f" FROM '{dc}'"
+            for k in range(m)
+        ),
+        "documents",
+    )
+    con.close()
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write(str(m))
+    return out
+
+
+def spark_cell(m: int) -> None:
+    """Run all five Spark queries on the xM dir; one JSON line per query
+    (flushed immediately, so a timeout keeps the completed rows)."""
+    from csv_loader_spark.queries.registry import all_specs
+    from csv_loader_spark.session import get_spark
+
+    d = _mult_dir(m)
+    spark = get_spark("bench_r12x")
+    specs = all_specs()
+    for name in QUERIES:
+        fn = specs[name].fn
+        fn(spark, d).count()  # prime (codegen/broadcast/JIT warm)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, d).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        print(
+            json.dumps({"query": name, "mult": m, "runs": runs}), flush=True
+        )
+    spark.stop()
+
+
+def duck_cell(m: int, qname: str) -> None:
+    import duckdb
+
+    from csv_loader_spark.queries.registry import all_specs
+
+    d = _mult_dir(m)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in ("lineitem", "part", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
+        )
+    sql = all_specs()[qname].oracle
+    con.execute(sql).fetchall()  # prime
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    print(
+        json.dumps(
+            {"query": qname, "mult": m, "sec": round(time.perf_counter() - t0, 3)}
+        ),
+        flush=True,
+    )
+
+
+def orchestrate(mults: tuple[int, ...]) -> None:
+    results: dict[str, dict[str, dict[str, object]]] = {
+        q: {} for q in QUERIES
+    }
+    for m in mults:
+        print(f"materialize x{m} ...", file=sys.stderr, flush=True)
+        materialize(m)
+        # Spark: one session per multiplier (per-query rows stream out)
+        proc = subprocess.run(
+            [sys.executable, __file__, "--spark-cell", str(m)],
+            capture_output=True,
+            text=True,
+            timeout=SPARK_CELL_TIMEOUT + 60,
+        )
+        got = set()
+        for line in proc.stdout.splitlines():
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            results[row["query"]][f"x{m}"] = {"spark": min(row["runs"]),
+                                              "spark_runs": row["runs"]}
+            got.add(row["query"])
+            print(f"  spark x{m} {row['query']}: {row['runs']}",
+                  file=sys.stderr, flush=True)
+        for q in QUERIES:
+            if q not in got:
+                results[q].setdefault(f"x{m}", {})["spark"] = "DNF"
+        # DuckDB: one subprocess per query so a quadratic oracle DNFs alone
+        for q in QUERIES:
+            try:
+                p = subprocess.run(
+                    [sys.executable, __file__, "--duck-cell", str(m), q],
+                    capture_output=True,
+                    text=True,
+                    timeout=DUCK_CELL_TIMEOUT,
+                )
+                row = json.loads(p.stdout.strip().splitlines()[-1])
+                results[q].setdefault(f"x{m}", {})["duckdb"] = row["sec"]
+                print(f"  duck  x{m} {q}: {row['sec']}", file=sys.stderr,
+                      flush=True)
+            except (subprocess.TimeoutExpired, ValueError, IndexError):
+                results[q].setdefault(f"x{m}", {})["duckdb"] = (
+                    f"DNF>{DUCK_CELL_TIMEOUT}s"
+                )
+                print(f"  duck  x{m} {q}: DNF", file=sys.stderr, flush=True)
+    out = {
+        "metric": "r12_x100_scaling",
+        "base_sf_dir": BASE_SF,
+        "tool": "tools/bench_r12x.py",
+        "method": (
+            "five heaviest r12 operators on sf0.01 tables multiplied xM as "
+            "DISJOINT key-remapped copies (keys + k*1e6; part names "
+            "suffixed ' cNN' per copy so distinct-name count grows xM); "
+            "Spark local[32] 1 prime + min of 2 timed, DuckDB 32 threads "
+            "1 prime + 1 timed; each (engine,mult) cell its own subprocess "
+            f"with hard timeout (duck {DUCK_CELL_TIMEOUT}s -> DNF)."
+        ),
+        "multipliers": list(mults),
+        "results": results,
+    }
+    print(json.dumps(out))
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    if argv[:1] == ["--spark-cell"]:
+        spark_cell(int(argv[1]))
+    elif argv[:1] == ["--duck-cell"]:
+        duck_cell(int(argv[1]), argv[2])
+    else:
+        mults = MULTS
+        if argv[:1] == ["--mults"]:
+            mults = tuple(int(x) for x in argv[1].split(","))
+        orchestrate(mults)
+
+
+if __name__ == "__main__":
+    main()
