@@ -179,6 +179,10 @@ R13_OPS = (
     "q214_decayed_demand",
     "q215_sax_motifs",
     "q216_user_entropy",
+    "q217_incremental_view_merge",
+    "q218_bloom_join_prune",
+    "q219_cohort_retention",
+    "q220_window_funnel",
 )
 
 _ALL = (

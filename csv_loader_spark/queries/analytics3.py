@@ -21,6 +21,16 @@ Public-literature basis:
   cross-engine integers rather than float-breakpoint comparisons.
 - q216: Shannon 1948 — behavioral diversity as the entropy of each
   user's event-type mix.
+- q217: incremental materialized-view maintenance as mergeable partial
+  aggregates (the self-maintainable distributive/algebraic aggregate
+  class — Gray et al. 1997's data-cube taxonomy); merge proven equal to
+  full recompute by the oracle.
+- q218: Bloom 1970 — runtime Bloom-filter join pruning (the distributed
+  runtime-filter / sideways-information-passing pattern), with the
+  filter materialized as data so admission is oracle-checkable.
+- q219: classic cohort retention analysis (product-analytics standard).
+- q220: gap-bounded funnel by chain existence — the windowFunnel family
+  of sequence matches, exact reachability semantics.
 
 The reference (CsvLoader.java, 274 lines) has no analytics surface;
 these extend the beyond-reference operator families (SURVEY.md §2.3).
@@ -620,3 +630,344 @@ def q216_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# --- q217: incremental materialized-view merge ------------------------------
+
+IVM_SPLIT = "2000-01-01"
+
+
+@query(
+    "q217_incremental_view_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "incremental", "r13"),
+)
+def q217_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-priority
+    (count, sum, min, max) view is built as BASE-snapshot partial states
+    (orders before {IVM_SPLIT}) merged with a DELTA batch's partial
+    states (orders on/after) — the mergeable-aggregate contract every
+    streaming/warehouse IVM rests on — while the oracle recomputes from
+    scratch, proving merge == full recompute exactly. Exact integer
+    cents throughout. Scale: each side is one map-side-combinable
+    aggregate over its partition-prunable date slice; the merge touches
+    only |groups| rows — the delta never rescans the base."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+
+    split = F.lit(IVM_SPLIT).cast("timestamp")
+    base = _partial(o.filter(F.col("o_orderdate") < split))
+    delta = _partial(o.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+# --- q218: portable Bloom-filter join pruning -------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_PRICE = 400_000  # build side: customers with an order above this
+
+
+def _bloom_oracle() -> str:
+    from csv_loader_spark.queries.llm3 import _hash32_sql
+
+    h1 = _hash32_sql("'k1:' || CAST(k AS VARCHAR)")
+    h2 = _hash32_sql("'k2:' || CAST(k AS VARCHAR)")
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > {BLOOM_PRICE}
+    ),
+    pos AS (
+      SELECT ({h1}) % {BLOOM_BITS} AS p FROM keys
+      UNION ALL SELECT ({h2}) % {BLOOM_BITS} FROM keys
+    ),
+    filt AS (
+      -- 32-bit words: DuckDB range-checks << and 1<<63 overflows BIGINT,
+      -- so the word width stays at 32 usable bits on both engines
+      SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS m
+      FROM pos GROUP BY p // 32
+    ),
+    probe AS (
+      SELECT k,
+             ({h1}) % {BLOOM_BITS} AS p1,
+             ({h2}) % {BLOOM_BITS} AS p2
+      FROM (SELECT c_custkey AS k FROM customer)
+    ),
+    adm AS (
+      SELECT pr.k,
+             CASE WHEN ((coalesce(f1.m, 0) >> CAST(pr.p1 % 32 AS INTEGER)) & 1) = 1
+                   AND ((coalesce(f2.m, 0) >> CAST(pr.p2 % 32 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END AS admitted,
+             CASE WHEN pr.k IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS hit
+      FROM probe pr
+      LEFT JOIN filt f1 ON f1.w = pr.p1 // 32
+      LEFT JOIN filt f2 ON f2.w = pr.p2 // 32
+    )
+    SELECT CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(admitted) AS BIGINT) AS n_admitted,
+           CAST(sum(hit) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN admitted = 1 AND hit = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN admitted = 1 AND hit = 0 THEN 1 ELSE 0 END)
+                * 10000
+                // greatest(count(*) - sum(hit), 1) AS BIGINT) AS fpp_bp
+    FROM adm
+    """
+
+
+@query(
+    "q218_bloom_join_prune",
+    oracle=_bloom_oracle(),
+    tags=("warehouse", "join", "r13"),
+)
+def q218_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, engine-portable and EXACT: the
+    build side's keys (customers with an order > {BLOOM_PRICE/100:.0f})
+    hash twice (md5-derived 32-bit, the llm3 portable hash) into a
+    {BLOOM_BITS}-bit filter materialized as 64-bit words via bit_or;
+    the probe side (all customers) is admitted iff both bits are set,
+    and the report measures the filter's exact false-positive rate
+    against the true key set. This is the distributed runtime-filter
+    pattern (Spark's own InBloomFilter pushdown, Bloom 1970) with the
+    filter as DATA — {BLOOM_BITS // 32} 32-bit words broadcast to the probe —
+    so the pruning decision is oracle-checkable bit-for-bit. Scale: the
+    filter build is one aggregate to 16 rows; the probe pays two
+    broadcast equi-joins and map-side bit tests, never a shuffle."""
+    from csv_loader_spark.queries.llm3 import _hash32_spark_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        o.filter(F.col("o_totalprice") > BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h1 = _hash32_spark_sql("'k1:' || CAST(k AS STRING)")
+    h2 = _hash32_spark_sql("'k2:' || CAST(k AS STRING)")
+    pos = keys.select(F.expr(f"({h1}) % {BLOOM_BITS}").alias("p")).unionAll(
+        keys.select(F.expr(f"({h2}) % {BLOOM_BITS}").alias("p"))
+    )
+    filt = pos.groupBy(F.expr("p div 32").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT)))").alias(
+            "m"
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    ph1 = _hash32_spark_sql("'k1:' || CAST(k AS STRING)")
+    ph2 = _hash32_spark_sql("'k2:' || CAST(k AS STRING)")
+    probe = c.select(
+        "k",
+        F.expr(f"({ph1}) % {BLOOM_BITS}").alias("p1"),
+        F.expr(f"({ph2}) % {BLOOM_BITS}").alias("p2"),
+    )
+    f1 = filt.select(F.col("w").alias("w1"), F.col("m").alias("m1"))
+    f2 = filt.select(F.col("w").alias("w2"), F.col("m").alias("m2"))
+    adm = (
+        probe.join(F.broadcast(f1), F.expr("w1 = p1 div 32"), "left")
+        .join(F.broadcast(f2), F.expr("w2 = p2 div 32"), "left")
+        .join(
+            F.broadcast(keys.withColumn("_hit", F.lit(1))), "k", "left"
+        )
+        .select(
+            F.expr(
+                "CASE WHEN ((coalesce(m1, 0) >> CAST(p1 % 32 AS INT)) & 1) = 1"
+                " AND ((coalesce(m2, 0) >> CAST(p2 % 32 AS INT)) & 1) = 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("admitted"),
+            F.coalesce(F.col("_hit"), F.lit(0)).alias("hit"),
+        )
+    )
+    nk = keys.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return (
+        adm.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.sum("hit").cast("long").alias("n_true"),
+            F.sum(
+                F.when((F.col("admitted") == 1) & (F.col("hit") == 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "n_keys",
+            "n_probe",
+            "n_admitted",
+            "n_true",
+            "n_false_pos",
+            F.expr(
+                "CAST(n_false_pos * 10000 DIV greatest(n_probe - n_true, 1)"
+                " AS BIGINT)"
+            ).alias("fpp_bp"),
+        )
+    )
+
+
+# --- q219: cohort retention matrix ------------------------------------------
+
+
+@query(
+    "q219_cohort_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    coh AS (SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id),
+    size_ AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+      FROM coh GROUP BY cohort
+    ),
+    cell AS (
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cohort, a.wk) // 7 AS BIGINT) AS offs,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY c.cohort, date_diff('day', c.cohort, a.wk) // 7
+    )
+    SELECT strftime(cell.cohort, '%Y-%m-%d') AS cohort_week, offs, n_active,
+           n_cohort,
+           CAST(n_active * 10000 // n_cohort AS BIGINT) AS retention_bp
+    FROM cell JOIN size_ USING (cohort)
+    """,
+    tags=("analytics", "cohort", "r13"),
+)
+def q219_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention matrix: users grouped by first-activity
+    ISO week, each later week's active share in integer basis points.
+    Scale: one user-keyed distinct to (user, week), one user-keyed min
+    for the cohort, one (cohort, offset) aggregate — all map-side
+    combinable; cohort sizes re-attach by broadcast. The offset is exact
+    integer weeks: both engines truncate to the same ISO Monday, so
+    day-difference div 7 agrees by construction."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    act = e.distinct()
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    size = coh.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    cell = (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort",
+            F.expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").alias("offs"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cell.join(F.broadcast(size), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "offs",
+        "n_active",
+        "n_cohort",
+        F.expr("CAST(n_active * 10000 DIV n_cohort AS BIGINT)").alias(
+            "retention_bp"
+        ),
+    )
+
+
+# --- q220: gap-bounded window funnel (chain existence) ----------------------
+
+WF_GAP_HOURS = 24
+
+
+@query(
+    "q220_window_funnel",
+    oracle=f"""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    r2 AS (
+      SELECT DISTINCT c.user_id, c.ts
+      FROM c JOIN v ON c.user_id = v.user_id
+       AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL {WF_GAP_HOURS} HOUR
+    ),
+    r3 AS (
+      SELECT DISTINCT p.user_id
+      FROM p JOIN r2 ON p.user_id = r2.user_id
+       AND p.ts > r2.ts
+       AND p.ts <= r2.ts + INTERVAL {WF_GAP_HOURS} HOUR
+    )
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM v) AS BIGINT) AS n_s1,
+           CAST((SELECT count(DISTINCT user_id) FROM r2) AS BIGINT) AS n_s2,
+           CAST((SELECT count(*) FROM r3) AS BIGINT) AS n_s3
+    """,
+    tags=("analytics", "funnel", "r13"),
+)
+def q220_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-bounded funnel by CHAIN EXISTENCE (the windowFunnel family):
+    a user converts iff SOME view -> click -> purchase chain exists with
+    each step within {WF_GAP_HOURS}h of the previous — not merely the
+    first-touch chain q211 measures (greedy first-event funnels miss
+    chains that start later; this is the exact reachability semantics).
+    Stage k's reachable set comes from a user-keyed interval join of
+    stage-k events against stage-(k-1)'s reachable events — the q199
+    band-join shape: equi on user, range on time, fan-out bounded by
+    per-user-per-window activity, never all-pairs."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("tv")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("tc")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    gap = F.expr(f"INTERVAL {WF_GAP_HOURS} HOUR")
+    r2 = (
+        c.join(v, "user_id")
+        .filter((F.col("tc") > F.col("tv")) & (F.col("tc") <= F.col("tv") + gap))
+        .select("user_id", "tc")
+        .distinct()
+    )
+    r3 = (
+        p.join(r2, "user_id")
+        .filter((F.col("tp") > F.col("tc")) & (F.col("tp") <= F.col("tc") + gap))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = v.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_s1")
+    )
+    n2 = r2.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_s2")
+    )
+    n3 = r3.agg(F.count(F.lit(1)).cast("long").alias("n_s3"))
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))

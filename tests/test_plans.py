@@ -767,3 +767,110 @@ def test_q203_span_corruption_is_map_only(spark):
     plan = _plan(spark, "q203_span_corruption")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_q211_funnel_is_user_keyed_no_window(spark):
+    """Each funnel stage is a user-keyed min + equi-join — never a
+    window over a user's raw history, never a nested loop beyond the
+    1-row count broadcasts."""
+    plan = _plan(spark, "q211_funnel_conversion")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q212_hits_joins_are_equi_and_max_broadcasts(spark):
+    """The registered query's final plan reads the checkpointed last
+    round (lineage intentionally O(1)), so the per-round shape is
+    asserted on an UNcheckpointed round built from the same pieces: the
+    edge-score join must be an equi-join on the node key and the
+    normalization max a 1-row broadcast, never a cartesian product."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.io.tables import load_table
+    from csv_loader_spark.queries.analytics3 import HITS_SCALE
+
+    plan = _plan(spark, "q212_hits_authority")
+    assert "CartesianProduct" not in plan
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("cu"), F.col("l_suppkey").alias("su"))
+        .distinct()
+    )
+    h = pairs.select("cu").distinct().select(
+        "cu", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    ar = pairs.join(h, "cu").groupBy("su").agg(F.sum("h").alias("s"))
+    ma = ar.agg(F.max("s").alias("m"))
+    rnd = ar.crossJoin(F.broadcast(ma)).select(
+        "su", F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("a")
+    )
+    rplan = rnd._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rplan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[cu", rplan
+    )
+    assert "BroadcastNestedLoopJoin" in rplan  # the 1-row max attach
+
+
+def test_q214_decay_is_map_only_into_one_agg(spark):
+    """The decay weight is per-row arithmetic (no explode, no join but
+    the 1-row anchor broadcast) folded map-side into the partkey sum."""
+    plan = _plan(spark, "q214_decayed_demand")
+    assert "Generate explode" not in plan
+    assert "CartesianProduct" not in plan
+    # partial->final agg + rank window exchange; anchor is broadcast
+    assert plan.count("Exchange") <= 4
+
+
+def test_q215_windows_run_over_hourly_aggregate(spark):
+    """The lead() windows must consume the per-(type,hour) aggregate —
+    the census-bounded frame — so a HashAggregate appears below the
+    Window in the plan, and nothing explodes raw events."""
+    plan = _plan(spark, "q215_sax_motifs")
+    assert "CartesianProduct" not in plan
+    w = plan.find("Window")
+    assert w != -1 and "HashAggregate" in plan[w:]
+
+
+def test_q216_entropy_single_user_shuffle_no_join(spark):
+    plan = _plan(spark, "q216_user_entropy")
+    assert "Join" not in plan
+    # one user-keyed aggregate: partial -> final
+    assert plan.count("Exchange") <= 1
+
+
+def test_q217_merge_touches_only_partials(spark):
+    """The IVM merge aggregates the UNION of two partial-state frames —
+    the final exchange carries |groups| rows, and there is no join back
+    to raw orders."""
+    plan = _plan(spark, "q217_incremental_view_merge")
+    assert "Join" not in plan
+    # two pruned scans (base/delta slices), partial->final aggs
+    assert plan.count("Scan parquet") == 2
+
+
+def test_q218_bloom_probe_is_broadcast_only(spark):
+    """The probe side must never shuffle: the 32-word filter and the
+    true-key set attach as broadcast joins."""
+    plan = _plan(spark, "q218_bloom_join_prune")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q220_chain_joins_are_user_keyed(spark):
+    """Both reachability joins must be equi-joins on user_id with the
+    time band riding as a post-join filter — never a nested loop over
+    events x events."""
+    import re
+
+    plan = _plan(spark, "q220_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id", plan
+    )
