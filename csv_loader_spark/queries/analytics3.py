@@ -44,8 +44,10 @@ Scale notes (100 TB):
   raw events, no ordering of a user's full history.
 - q212/q213 per round: one node-keyed equi-join of the edge list against
   the score table + one map-side combined sum; edge frames are
-  checkpointed once, per-round frames lazily checkpointed (lineage
-  stays O(1)). The max-normalization is a 1-row broadcast. Overflow
+  checkpointed once. q213's ranks are lazily checkpointed per round
+  (pagerank_fixed_point); q212's fixed 2-round loop skips per-round
+  checkpoints — lineage stays shallow and the barriers measured net
+  negative. The max-normalization is a 1-row broadcast. Overflow
   head-room: normalized scores are <= SCALE (1e6), so the next round's
   raw sums stay < SCALE * max-degree — safe in 64-bit to degrees ~9e12.
 - q214 is map-only per row (shift + clamp) into one partkey-keyed sum;
@@ -228,26 +230,23 @@ def q212_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cu", F.lit(HITS_SCALE).cast("long").alias("h")
     )
     a = None
+    # NO per-round checkpoints at the fixed 2-round depth: lineage stays
+    # shallow and the materialization barriers cost more than the reuse
+    # saves (measured 3.4-3.9 -> 2.8-3.6 s at sf0.1 without them); a
+    # deeper-iteration variant should adopt pagerank_fixed_point's
+    # lazy-checkpoint-per-round convention instead
     for _ in range(HITS_ITERS):
         ar = pairs.join(h, "cu").groupBy("su").agg(F.sum("h").alias("s"))
         ma = ar.agg(F.max("s").alias("m"))
-        a = (
-            ar.crossJoin(F.broadcast(ma))
-            .select(
-                "su",
-                F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("a"),
-            )
-            .localCheckpoint(eager=False)
+        a = ar.crossJoin(F.broadcast(ma)).select(
+            "su",
+            F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("a"),
         )
         hr = pairs.join(a, "su").groupBy("cu").agg(F.sum("a").alias("s"))
         mh = hr.agg(F.max("s").alias("m"))
-        h = (
-            hr.crossJoin(F.broadcast(mh))
-            .select(
-                "cu",
-                F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("h"),
-            )
-            .localCheckpoint(eager=False)
+        h = hr.crossJoin(F.broadcast(mh)).select(
+            "cu",
+            F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("h"),
         )
     w = Window.orderBy(F.col("a").desc(), F.col("su"))
     return (
