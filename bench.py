@@ -183,6 +183,8 @@ R13_OPS = (
     "q218_bloom_join_prune",
     "q219_cohort_retention",
     "q220_window_funnel",
+    "q221_event_runs",
+    "q222_status_pivot",
 )
 
 _ALL = (

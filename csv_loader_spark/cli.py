@@ -192,12 +192,91 @@ def monitor_main(argv: list[str]) -> int:
     return 0
 
 
+def build_audio_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv_loader_spark audio",
+        description=(
+            "Ingest an audio lake (directory of WAV files) through the "
+            "`wavdir` source and land per-asset features (duration / RMS "
+            "/ zero-crossings / peak, parsed FROM THE BYTES — the q206 "
+            "stage) as parquet. --stream consumes the directory "
+            "incrementally with a checkpoint (availableNow): re-running "
+            "picks up only files added since the last run."
+        ),
+    )
+    p.add_argument("--in", dest="in_dir", required=True, help="WAV directory")
+    p.add_argument("--out", required=True, help="output parquet path")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="incremental file-discovery mode (checkpointed, availableNow)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        help="stream checkpoint dir (default: <out>_checkpoint)",
+    )
+    p.add_argument(
+        "--rejects",
+        help="also write malformed files (parse_ok=false rows) here",
+    )
+    return p
+
+
+def audio_main(argv: list[str]) -> int:
+    args = build_audio_parser().parse_args(argv)
+    if not args.stream and not os.path.isdir(args.in_dir):
+        print(f"audio lake not found: {args.in_dir}", file=sys.stderr)
+        return 1
+    from csv_loader_spark.io import wav_source
+    from csv_loader_spark.ops.multimodal import audio_features
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("csv_loader_audio")
+    wav_source.register(spark)
+    if args.stream:
+        ckpt = args.checkpoint or args.out.rstrip("/") + "_checkpoint"
+        stream = spark.readStream.format("wavdir").load(args.in_dir)
+        feats = audio_features(
+            stream.filter("parse_ok").select("doc_id", "payload")
+        )
+        q = (
+            feats.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", args.out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(args.out).count()
+        print(f"audio features landed (stream): {args.out} ({n} assets total)")
+        return 0
+    df = spark.read.format("wavdir").load(args.in_dir)
+    ok = df.filter("parse_ok")
+    audio_features(ok.select("doc_id", "payload")).write.mode(
+        "overwrite"
+    ).parquet(args.out)
+    n_ok = spark.read.parquet(args.out).count()
+    n_bad = df.filter("NOT parse_ok").count()
+    if args.rejects:
+        df.filter("NOT parse_ok").select(
+            "path", "doc_id", "parse_ok"
+        ).write.mode("overwrite").parquet(args.rejects)
+    print(
+        f"audio features landed: {args.out} ({n_ok} assets, "
+        f"{n_bad} rejected)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["curate"]:
         return curate_main(argv[1:])
     if argv[:1] == ["monitor"]:
         return monitor_main(argv[1:])
+    if argv[:1] == ["audio"]:
+        return audio_main(argv[1:])
     args = build_parser().parse_args(argv)
     if not os.path.exists(args.file):
         # reference behavior: message + return, no stack trace (:59-61)

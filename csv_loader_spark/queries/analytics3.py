@@ -970,3 +970,119 @@ def q220_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n3 = r3.agg(F.count(F.lit(1)).cast("long").alias("n_s3"))
     return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+
+# --- q221: longest same-type run per user (gaps and islands) -----------------
+
+
+@query(
+    "q221_event_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS run_len,
+             CAST(min(event_id) AS BIGINT) AS first_event
+      FROM seq GROUP BY user_id, event_type, rn_all - rn_type
+    )
+    SELECT user_id, event_type AS run_type, run_len, first_event FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY run_len DESC, event_type, first_event) AS pick
+      FROM runs
+    ) WHERE pick = 1
+    """,
+    tags=("analytics", "window", "r13"),
+)
+def q221_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type run per user — the classic
+    gaps-and-islands formulation (rn_overall - rn_within_type is
+    constant inside a run), then one keep-max pick per user with full
+    deterministic tie-breaks. Streak detection is the sequence-quality
+    primitive behind bot/burst screens. Scale: both row_numbers and the
+    pick window partition on user_id (bounded by one user's history);
+    the island aggregate is map-side combinable after the user shuffle —
+    one exchange total, asserted in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(wa) - F.row_number().over(wt)).alias("isl"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.col("run_len").desc(), F.col("event_type"), F.col("first_event")
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("run_type"),
+            "run_len",
+            "first_event",
+        )
+    )
+
+
+# --- q222: native pivot (status matrix per priority) --------------------------
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "q222_status_pivot",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {", ".join(
+               f"CAST(sum(CASE WHEN o_orderstatus = '{s}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS n_{s.lower()}"
+               for s in PIVOT_STATUSES
+           )},
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("relational", "pivot", "r13"),
+)
+def q222_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status matrix per priority through Spark's NATIVE pivot
+    operator (`groupBy().pivot(col, values)`) — the long-to-wide twin of
+    q191's unpivot, completing the reshape pair. The value list is
+    pinned (the fixed-taxonomy convention), so the pivot plans as one
+    aggregate with no distinct-values discovery job; the oracle is the
+    equivalent conditional aggregation. Scale: a single
+    map-side-combinable aggregate; |statuses| columns, not rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"n_{s.lower()}")
+        for s in PIVOT_STATUSES
+    ]
+    total = sum(
+        (F.coalesce(F.col(s), F.lit(0)) for s in PIVOT_STATUSES), F.lit(0)
+    )
+    return wide.select(
+        "o_orderpriority", *cols, total.cast("long").alias("n_total")
+    )

@@ -289,3 +289,42 @@ def test_monitor_subcommand_missing_events_dir(tmp_path, capsys):
     rc = main(["monitor", "--sf-dir", str(tmp_path)])
     assert rc == 1
     assert "events.parquet not found" in capsys.readouterr().err
+
+
+def test_audio_subcommand_batch_and_stream(tmp_path, spark):
+    """`python -m csv_loader_spark audio`: batch mode lands the q206
+    feature columns with rejects captured; --stream mode over the same
+    checkpoint processes only newly-added files on the second run and
+    the final streamed features equal the batch answer."""
+    from csv_loader_spark.cli import main
+    from csv_loader_spark.ops.multimodal import _synth_wav_bytes
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for doc_id in (1, 2):
+        (lake / f"{doc_id}.wav").write_bytes(_synth_wav_bytes(doc_id))
+    (lake / "bad.wav").write_bytes(b"RIFFxxxxWAVEgarbage")
+
+    out = str(tmp_path / "feats")
+    rej = str(tmp_path / "rejects")
+    assert main(["audio", "--in", str(lake), "--out", out, "--rejects", rej]) == 0
+    feats = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in feats.select("doc_id").collect()) == [1, 2]
+    assert set(feats.columns) >= {
+        "doc_id", "sr", "n_samples", "duration_ms", "rms", "zero_crossings",
+        "peak",
+    }
+    assert spark.read.parquet(rej).count() == 1
+
+    sout = str(tmp_path / "sfeats")
+    assert main(["audio", "--in", str(lake), "--out", sout, "--stream"]) == 0
+    (lake / "3.wav").write_bytes(_synth_wav_bytes(3))
+    assert main(["audio", "--in", str(lake), "--out", sout, "--stream"]) == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(sout).select("doc_id").collect())
+    assert got == [1, 2, 3]  # exactly-once across the two runs
+
+
+def test_audio_subcommand_missing_dir(tmp_path):
+    from csv_loader_spark.cli import main
+
+    assert main(["audio", "--in", str(tmp_path / "nope"), "--out", "x"]) == 1

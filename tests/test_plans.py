@@ -874,3 +874,22 @@ def test_q220_chain_joins_are_user_keyed(spark):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id", plan
     )
+
+
+def test_q221_runs_single_user_exchange(spark):
+    """Both island row_numbers, the run aggregate, and the keep-max pick
+    all partition on user_id — one hash exchange total."""
+    plan = _plan(spark, "q221_event_runs")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_q222_pivot_is_one_aggregate_no_discovery(spark):
+    """The pinned value list means NO distinct-values discovery JOB: the
+    pivot plans as the (group,status)-count aggregate feeding pivotfirst
+    — two exchanges, both map-side combined, the second carrying only
+    |groups x statuses| rows."""
+    plan = _plan(spark, "q222_status_pivot")
+    assert "Join" not in plan
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange") <= 2
