@@ -31,7 +31,8 @@ Spark cells: 1 prime + 2 timed runs per query, min reported (both kept);
 DuckDB cells: 1 prime + 1 timed run. Orchestrate with an idle host.
 
 Usage:
-  python tools/bench_r12x.py                 # full sweep, one JSON line
+  python tools/bench_r12x.py                 # r12 sweep, one JSON line
+  python tools/bench_r12x.py --r13           # r13 sweep (QUERIES_R13)
   python tools/bench_r12x.py --mults 1,30    # subset of multipliers
   python tools/bench_r12x.py --spark-cell 30 # internal (subprocess entry)
   python tools/bench_r12x.py --duck-cell 30 q155_editdist_join
@@ -50,6 +51,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_R12X_BASE", "/root/testdata/sf0.01")
 WORK = os.environ.get("SPARK_GRAFT_R12X_WORK", "/tmp/r12x")
+# NOTE: --r13 switches SPARK_GRAFT_R12X_SET/_WORK via env before spawning
+# cells, so subprocesses resolve the same mode and directory.
 MULTS = (1, 10, 30, 100)
 QUERIES = (
     "q155_editdist_join",
@@ -57,6 +60,18 @@ QUERIES = (
     "q166_triangle_nodes",
     "q176_basket_lift",
     "q181_kcore_peel",
+)
+#: --r13 mode: the heaviest r13 entries. events multiplies as disjoint
+#: user/id-remapped copies with the timestamps shifted +k*90 days per
+#: copy, so per-user histories stay constant-size while users, the
+#: co-order graph (q212 also reads lineitem/orders) and the time span
+#: all grow xM — the corpus-growth shape for product analytics.
+QUERIES_R13 = (
+    "q212_hits_authority",
+    "q213_textrank_keywords",
+    "q215_sax_motifs",
+    "q220_window_funnel",
+    "q221_event_runs",
 )
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
@@ -88,7 +103,8 @@ def materialize(m: int) -> str:
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(l_orderkey + {k * OFFSET} AS BIGINT) AS l_orderkey,"
-            f" CAST(l_partkey + {k * OFFSET} AS BIGINT) AS l_partkey"
+            f" CAST(l_partkey + {k * OFFSET} AS BIGINT) AS l_partkey,"
+            f" CAST(l_suppkey + {k * OFFSET} AS BIGINT) AS l_suppkey"
             f" FROM '{li}'"
             for k in range(m)
         ),
@@ -117,14 +133,42 @@ def materialize(m: int) -> str:
         ),
         "documents",
     )
+    ev = f"{BASE_SF}/events.parquet"
+    copy(
+        " UNION ALL ".join(
+            f"SELECT CAST(event_id + {k * 10 * OFFSET} AS BIGINT) AS event_id,"
+            f" ts + INTERVAL {k * 90} DAY AS ts,"
+            f" CAST(user_id + {k * OFFSET} AS BIGINT) AS user_id,"
+            f" event_type, value"
+            f" FROM '{ev}'"
+            for k in range(m)
+        ),
+        "events",
+    )
+    # q212 also reads orders: multiply with matching orderkey/custkey
+    # offsets so the bipartite graph grows as disjoint copies
+    od = f"{BASE_SF}/orders.parquet"
+    copy(
+        " UNION ALL ".join(
+            f"SELECT CAST(o_orderkey + {k * OFFSET} AS BIGINT) AS o_orderkey,"
+            f" CAST(o_custkey + {k * OFFSET} AS BIGINT) AS o_custkey"
+            f" FROM '{od}'"
+            for k in range(m)
+        ),
+        "orders",
+    )
     con.close()
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write(str(m))
     return out
 
 
+def _query_set() -> tuple[str, ...]:
+    return QUERIES_R13 if os.environ.get("SPARK_GRAFT_R12X_SET") == "r13" else QUERIES
+
+
 def spark_cell(m: int) -> None:
-    """Run all five Spark queries on the xM dir; one JSON line per query
+    """Run the mode's Spark queries on the xM dir; one JSON line per query
     (flushed immediately, so a timeout keeps the completed rows)."""
     from csv_loader_spark.queries.registry import all_specs
     from csv_loader_spark.session import get_spark
@@ -132,7 +176,7 @@ def spark_cell(m: int) -> None:
     d = _mult_dir(m)
     spark = get_spark("bench_r12x")
     specs = all_specs()
-    for name in QUERIES:
+    for name in _query_set():
         fn = specs[name].fn
         fn(spark, d).count()  # prime (codegen/broadcast/JIT warm)
         runs = []
@@ -154,7 +198,7 @@ def duck_cell(m: int, qname: str) -> None:
     d = _mult_dir(m)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in ("lineitem", "part", "documents"):
+    for t in ("lineitem", "part", "documents", "events", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
         )
@@ -171,8 +215,9 @@ def duck_cell(m: int, qname: str) -> None:
 
 
 def orchestrate(mults: tuple[int, ...]) -> None:
+    qset = _query_set()
     results: dict[str, dict[str, dict[str, object]]] = {
-        q: {} for q in QUERIES
+        q: {} for q in qset
     }
     for m in mults:
         print(f"materialize x{m} ...", file=sys.stderr, flush=True)
@@ -195,11 +240,11 @@ def orchestrate(mults: tuple[int, ...]) -> None:
             got.add(row["query"])
             print(f"  spark x{m} {row['query']}: {row['runs']}",
                   file=sys.stderr, flush=True)
-        for q in QUERIES:
+        for q in qset:
             if q not in got:
                 results[q].setdefault(f"x{m}", {})["spark"] = "DNF"
         # DuckDB: one subprocess per query so a quadratic oracle DNFs alone
-        for q in QUERIES:
+        for q in qset:
             try:
                 p = subprocess.run(
                     [sys.executable, __file__, "--duck-cell", str(m), q],
@@ -216,12 +261,17 @@ def orchestrate(mults: tuple[int, ...]) -> None:
                     f"DNF>{DUCK_CELL_TIMEOUT}s"
                 )
                 print(f"  duck  x{m} {q}: DNF", file=sys.stderr, flush=True)
+    mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
     out = {
-        "metric": "r12_x100_scaling",
+        "metric": f"{mode}_x100_scaling",
         "base_sf_dir": BASE_SF,
         "tool": "tools/bench_r12x.py",
         "method": (
-            "five heaviest r12 operators on sf0.01 tables multiplied xM as "
+            ("five heaviest r12 operators" if mode == "r12" else
+             "heaviest r13 operators (events xM: user_id/event_id remapped "
+             "per copy, ts shifted +k*90d — users and time span grow, "
+             "per-user history constant)")
+            + " on sf0.01 tables multiplied xM as "
             "DISJOINT key-remapped copies (keys + k*1e6; part names "
             "suffixed ' cNN' per copy so distinct-name count grows xM); "
             "Spark local[32] 1 prime + min of 2 timed, DuckDB 32 threads "
@@ -241,6 +291,11 @@ def main() -> None:
     elif argv[:1] == ["--duck-cell"]:
         duck_cell(int(argv[1]), argv[2])
     else:
+        if "--r13" in argv:
+            os.environ["SPARK_GRAFT_R12X_SET"] = "r13"
+            os.environ.setdefault("SPARK_GRAFT_R12X_WORK", "/tmp/r13x")
+            globals()["WORK"] = os.environ["SPARK_GRAFT_R12X_WORK"]
+            argv = [a for a in argv if a != "--r13"]
         mults = MULTS
         if argv[:1] == ["--mults"]:
             mults = tuple(int(x) for x in argv[1].split(","))
