@@ -185,6 +185,8 @@ R13_OPS = (
     "q220_window_funnel",
     "q221_event_runs",
     "q222_status_pivot",
+    "q223_expectation_suite",
+    "q224_fk_orphan_census",
 )
 
 _ALL = (

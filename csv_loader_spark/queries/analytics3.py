@@ -1086,3 +1086,159 @@ def q222_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "o_orderpriority", *cols, total.cast("long").alias("n_total")
     )
+
+
+# --- q223: expectation suite (data-quality assertion report) ------------------
+
+DQ_PRICE_MAX = 1_000_000  # o_totalprice sanity ceiling (dollars)
+
+
+@query(
+    "q223_expectation_suite",
+    oracle=f"""
+    WITH t AS (SELECT * FROM orders)
+    SELECT 'row_count_min' AS check_name,
+           CAST(count(*) AS BIGINT) AS measured,
+           CAST(count(*) >= 1 AS INTEGER) AS passed FROM t
+    UNION ALL
+    SELECT 'orderkey_complete',
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+                AS INTEGER) FROM t
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(count(*) = count(DISTINCT o_orderkey) AS INTEGER) FROM t
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0
+                AS INTEGER) FROM t
+    UNION ALL
+    SELECT 'price_below_ceiling',
+           CAST(sum(CASE WHEN o_totalprice > {DQ_PRICE_MAX} THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice > {DQ_PRICE_MAX} THEN 1 ELSE 0 END)
+                = 0 AS INTEGER) FROM t
+    UNION ALL
+    SELECT 'status_in_domain',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                    THEN 1 ELSE 0 END) = 0 AS INTEGER) FROM t
+    """,
+    tags=("quality", "audit", "r13"),
+)
+def q223_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite over the orders table: completeness,
+    key uniqueness, value bounds and domain membership, reported as one
+    (check_name, measured, passed) row per assertion. All six checks
+    fold into ONE map-side-combinable aggregate pass over the scan (the
+    Deequ 'one scan, many metrics' contract — Schelter et al., VLDB
+    2018); the report frame is built from that single 1-row aggregate,
+    so table width, not row count, bounds the cost."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "null_keys"
+        ),
+        F.countDistinct("o_orderkey").alias("distinct_keys"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") > DQ_PRICE_MAX, 1).otherwise(0)
+        ).alias("over_ceiling"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    ).localCheckpoint(eager=False)
+
+    def check(name: str, measured: str, passed: str) -> DataFrame:
+        return agg.select(
+            F.lit(name).alias("check_name"),
+            F.expr(f"CAST({measured} AS BIGINT)").alias("measured"),
+            F.expr(f"CAST(CASE WHEN {passed} THEN 1 ELSE 0 END AS INT)").alias(
+                "passed"
+            ),
+        )
+
+    checks = [
+        check("row_count_min", "n", "n >= 1"),
+        check("orderkey_complete", "null_keys", "null_keys = 0"),
+        check("orderkey_unique", "n - distinct_keys", "n = distinct_keys"),
+        check("price_positive", "nonpos_price", "nonpos_price = 0"),
+        check("price_below_ceiling", "over_ceiling", "over_ceiling = 0"),
+        check("status_in_domain", "bad_status", "bad_status = 0"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# --- q224: referential-integrity census ---------------------------------------
+
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    legs = []
+    for child, ck, parent, pk in FK_EDGES:
+        legs.append(
+            f"""
+    SELECT '{child}.{ck}' AS fk_edge,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM {child} c
+                 WHERE c.{ck} IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{ck})) AS BIGINT)
+             AS n_orphans"""
+        )
+    return " UNION ALL ".join(legs)
+
+
+@query(
+    "q224_fk_orphan_census",
+    oracle=_fk_oracle(),
+    tags=("quality", "audit", "join", "r13"),
+)
+def q224_fk_orphan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity census over the full star schema: one row
+    per FK edge with the child row count and the orphan count (non-null
+    child keys with no parent). Each leg is a LEFT-ANTI equi-join —
+    dimension parents broadcast, the lineitem legs shuffle once on the
+    key — never a per-row subquery; the oracle's NOT EXISTS decorrelates
+    to the same anti-join on DuckDB's side."""
+    legs = []
+    for child, ck, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("__pk")
+        )
+        n_child = c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orphans = (
+            c.filter(F.col(ck).isNotNull())
+            .join(p, F.col(ck) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        legs.append(
+            n_child.crossJoin(F.broadcast(orphans)).select(
+                F.lit(f"{child}.{ck}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

@@ -893,3 +893,16 @@ def test_q222_pivot_is_one_aggregate_no_discovery(spark):
     assert "Join" not in plan
     assert "pivotfirst" in plan
     assert plan.count("Exchange") <= 2
+
+
+def test_q223_expectations_are_one_scan(spark):
+    """All six checks fold into ONE aggregate over ONE scan; the report
+    legs re-read the checkpointed 1-row aggregate."""
+    plan = _plan(spark, "q223_expectation_suite")
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_q224_fk_legs_are_anti_joins_no_subquery_loop(spark):
+    plan = _plan(spark, "q224_fk_orphan_census")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
