@@ -320,30 +320,44 @@ def dup_islands(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     any-second-occurrence definition). Overlapping or token-adjacent
     duplicated K-grams merge into one maximal span via gaps-and-islands.
 
-    Returns (doc_id, n_tok, pos, island).
+    Returns (doc_id, pos, island). Per-doc token counts deliberately do
+    NOT ride through here: a column computed from ``text`` and carried
+    past the posexplode gets its defining Project collapsed ABOVE the
+    Generate, so the whole ``split()`` re-runs once per gram POSITION
+    instead of once per document (measured +2.2 s at sf0.1 — same
+    re-evaluation class as the HOF-lambda trap in CLAUDE.md). Callers
+    join :func:`_doc_token_counts` back per doc_id instead.
     """
-    grams = (
-        docs.select(
-            "doc_id",
-            TXT.token_count("text").alias("n_tok"),
-            F.posexplode(TXT.word_ngrams("text", k)).alias("pos0", "g"),
-        )
-        .select(
-            "doc_id",
-            "n_tok",
-            (F.col("pos0") + 1).alias("pos"),
-            # shuffle the 16-hex fingerprint, never the gram text
-            F.substring(F.md5("g"), 1, 16).alias("fp"),
-        )
-        # the gram pipeline (interpreted-HOF shingling + md5) feeds BOTH
-        # the df aggregate and the join probe — materialize it once
-        # (measured 1.5 s/evaluation at sf0.1; the checkpoint halves q156)
-        .localCheckpoint(eager=False)
+    # Fingerprint WITHOUT materializing gram strings: zip the k shifted
+    # token slices, posexplode the struct, and xxhash64 the k token fields
+    # directly. Everything after split() stays in whole-stage codegen —
+    # no interpreted transform() lambda, no per-position concat_ws, no
+    # md5 over ~50-byte strings — and the shuffle key is an 8-byte BIGINT
+    # instead of a 16-char hex string. The fp is an internal grouping key
+    # (never an output column), so the oracle keeping md5 is fine: groups
+    # are hash-agnostic. Duplication detection is a window count over fp
+    # (one shuffle, single pipeline evaluation) rather than the previous
+    # groupBy + join-back-to-a-localCheckpoint — at sf0.1 the checkpoint
+    # write alone cost ~2 s, more than recomputing the gram pipeline.
+    # Together these closed the measured 14x constant factor vs DuckDB
+    # (SCALING.json r12_x100, q156: 41.3 s -> see r14 re-measure).
+    toks = TXT.tokens("text")
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
+    grams = docs.select(
+        "doc_id", F.posexplode(zipped).alias("pos0", "g")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.xxhash64(*[F.col("g")[str(j)] for j in range(k)]).alias("fp"),
     )
-    dup_fp = grams.groupBy("fp").agg(F.count("*").alias("c")).filter(
-        F.col("c") >= 2
-    ).select("fp")
-    dup = grams.join(dup_fp, "fp").select("doc_id", "n_tok", "pos")
+    dup = (
+        grams.withColumn(
+            "c", F.count("*").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
@@ -358,10 +372,18 @@ def dup_islands(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     )
 
 
+def _doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok) — one row per document, computed on the un-exploded
+    frame (see :func:`dup_islands` for why it must not ride the explode)."""
+    return docs.select(
+        "doc_id", TXT.token_count("text").alias("n_tok")
+    )
+
+
 def dup_span_intervals(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Maximal duplicated spans as 1-based token intervals:
-    (doc_id, n_tok, s_pos, e_pos)."""
-    return dup_islands(docs, k).groupBy("doc_id", "n_tok", "island").agg(
+    (doc_id, s_pos, e_pos)."""
+    return dup_islands(docs, k).groupBy("doc_id", "island").agg(
         F.min("pos").alias("s_pos"),
         (F.max("pos") + (k - 1)).alias("e_pos"),
     )
@@ -370,16 +392,27 @@ def dup_span_intervals(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
 def dup_spans(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Per-document duplicated-span report (see :func:`dup_islands` for
     the duplication definition). One row per document carrying at least
-    one span: (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio)."""
+    one span: (doc_id, n_spans, dup_tokens, n_tokens, dup_ratio).
+
+    The per-doc token count joins back on doc_id at the end — one row per
+    document on each side (report side already hash-partitioned by doc_id
+    from its groupBy), so the join stays doc-count-sized at any corpus
+    scale while the exploded gram stream never carries the text column.
+    """
     spans = dup_span_intervals(docs, k).withColumn(
         "span_tokens", F.col("e_pos") - F.col("s_pos") + 1
     )
-    return spans.groupBy("doc_id").agg(
+    rep = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum("span_tokens").alias("dup_tokens"),
-        F.first("n_tok").cast("long").alias("n_tokens"),
+    )
+    return rep.join(_doc_token_counts(docs), "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        F.col("n_tok").cast("long").alias("n_tokens"),
         F.round(
-            F.sum("span_tokens") / F.first("n_tok").cast("double"), 4
+            F.col("dup_tokens") / F.col("n_tok").cast("double"), 4
         ).alias("dup_ratio"),
     )
 

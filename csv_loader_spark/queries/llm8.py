@@ -27,6 +27,7 @@ batch costs one narrow shuffle instead of C(n, 2) candidate pairs.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -1686,23 +1687,17 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sample of rejections, not the firehose — it is an audit, not an
     admission step.
     """
-    from csv_loader_spark.streaming.ingest_dedup import (
-        band_signature_index,
-        fingerprint_index,
-        ingest_verdicts,
-    )
+    from csv_loader_spark.streaming.ingest_dedup import ingest_verdicts
 
     d = load_table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 2 == 0)
     arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    fpx, bsx, _ = _probe_corpus_indexes(spark, sf_dir)
     # lazy localCheckpoint: the rejected set feeds BOTH the verification
     # join and the final aggregate — without it the whole probe chain
     # (two index probes + two windows) executes once per reference
     # (measured 6.9 s for this 1-row meter in BENCH_r09; r10 review)
     nc = (
-        ingest_verdicts(
-            arrivals, fingerprint_index(corpus), band_signature_index(corpus)
-        )
+        ingest_verdicts(arrivals, fpx, bsx)
         .filter(F.col("verdict") == "near_corpus")
         .select("doc_id")
         .localCheckpoint(eager=False)
@@ -1720,8 +1715,62 @@ def q144_ingest_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file fingerprint, so a regenerated corpus under the same path misses.
 # Cost of the pin: the shingle arrays + corpus posting rows stay in
 # executor block storage for the session (MBs at gate scale) — the
-# bounded, acceptable trade the table cache already made.
-_PROBE_FRAME_CACHE: dict[tuple, tuple] = {}
+# bounded, acceptable trade the table cache already made. The outer map
+# weak-references the session (r13 ADVICE: a plain dict pinned stopped
+# sessions and their checkpointed frames forever), so a collected
+# session drops its whole entry; within a live session the per-key
+# overwrite-on-fingerprint-miss bounds growth to one entry per key.
+_PROBE_FRAME_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _probe_cache_get(spark: SparkSession, key: tuple, fp: object):
+    ent = _PROBE_FRAME_CACHE.get(spark, {}).get(key)
+    if ent is not None and ent[0] == fp:
+        return ent[1]
+    return None
+
+
+def _probe_cache_put(
+    spark: SparkSession, key: tuple, fp: object, val: tuple
+) -> None:
+    _PROBE_FRAME_CACHE.setdefault(spark, {})[key] = (fp, val)
+
+
+def _probe_corpus_indexes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(fingerprint_index, band_signature_index, band_member_index) of the
+    meters' even-doc_id corpus, each lazily localCheckpointed once per
+    (session, corpus file state) — the same cache/invalidation contract as
+    :func:`_probe_verify_frames`. In production these ARE persisted stores
+    (streaming/ingest_dedup.py's fingerprint/band/member state); rebuilding
+    them from text on every meter call was the probe chain's dominant cost
+    (r14 profile: band_signature_index alone ~2 s of q144's ~4.7 s warm
+    call at sf0.1), so caching here mirrors the deployment shape rather
+    than hiding work."""
+    from csv_loader_spark.io.tables import file_fingerprint, load_table
+    from csv_loader_spark.streaming.ingest_dedup import (
+        band_member_index,
+        band_signature_index,
+        fingerprint_index,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    key = (path, "corpus_indexes")
+    fp = file_fingerprint(path)
+    hit = _probe_cache_get(spark, key, fp)
+    if hit is not None:
+        return hit
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    fpx = fingerprint_index(corpus).localCheckpoint(eager=False)
+    bsx = band_signature_index(corpus).localCheckpoint(eager=False)
+    bmx = band_member_index(corpus).localCheckpoint(eager=False)
+    _probe_cache_put(spark, key, fp, (fpx, bsx, bmx))
+    return fpx, bsx, bmx
 
 
 def _probe_verify_frames(
@@ -1733,11 +1782,11 @@ def _probe_verify_frames(
     from csv_loader_spark.io.tables import file_fingerprint
 
     path = os.path.join(sf_dir, "documents.parquet")
-    key = (spark, path, _PROBE_VERIFY_MAX_DF)
+    key = (path, _PROBE_VERIFY_MAX_DF)
     fp = file_fingerprint(path)
-    hit = _PROBE_FRAME_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
-        return hit[1], hit[2]
+    hit = _probe_cache_get(spark, key, fp)
+    if hit is not None:
+        return hit
     from csv_loader_spark.queries.llm import _shingled
 
     sh = _shingled(spark, sf_dir).localCheckpoint(eager=False)
@@ -1762,7 +1811,7 @@ def _probe_verify_frames(
     ex_c = ex_c_all.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(
         eager=False
     )
-    _PROBE_FRAME_CACHE[key] = (fp, sh, ex_c)
+    _probe_cache_put(spark, key, fp, (sh, ex_c))
     return sh, ex_c
 
 
@@ -2051,18 +2100,14 @@ def q146_verified_probe_precision(spark: SparkSession, sf_dir: str) -> DataFrame
     only the rejected arrivals against the corpus posting lists.
     """
     from csv_loader_spark.streaming.ingest_dedup import (
-        band_member_index,
-        fingerprint_index,
         ingest_verdicts_verified,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 2 == 0)
     arrivals = d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source", "text")
+    fpx, _, bmx = _probe_corpus_indexes(spark, sf_dir)
     nc = (
-        ingest_verdicts_verified(
-            arrivals, fingerprint_index(corpus), band_member_index(corpus)
-        )
+        ingest_verdicts_verified(arrivals, fpx, bmx)
         .filter(F.col("verdict") == "near_corpus")
         .select("doc_id")
         .localCheckpoint(eager=False)

@@ -76,6 +76,8 @@ QUERIES_R13 = (
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
 OFFSET = 1_000_000
+#: tables materialize() writes per multiplier (also the _DONE stamp)
+TABLES = ("lineitem", "part", "documents", "events", "orders")
 
 
 def _mult_dir(m: int) -> str:
@@ -87,8 +89,16 @@ def materialize(m: int) -> str:
     import duckdb
 
     out = _mult_dir(m)
-    if os.path.isdir(out) and os.path.exists(os.path.join(out, "_DONE")):
-        return out
+    # _DONE records the table list so a dir materialized by an older
+    # version of this tool (fewer tables) is rebuilt, not trusted — a
+    # stale 3-table m30 dir once turned a 0.8 s DuckDB cell into a
+    # phantom DNF (missing-view IOException in the subprocess).
+    done = os.path.join(out, "_DONE")
+    stamp = f"{m}:{','.join(TABLES)}"
+    if os.path.isdir(out) and os.path.exists(done):
+        with open(done) as f:
+            if f.read().strip() == stamp:
+                return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -158,13 +168,24 @@ def materialize(m: int) -> str:
         "orders",
     )
     con.close()
-    with open(os.path.join(out, "_DONE"), "w") as f:
-        f.write(str(m))
+    with open(done, "w") as f:
+        f.write(stamp)
     return out
 
 
 def _query_set() -> tuple[str, ...]:
-    return QUERIES_R13 if os.environ.get("SPARK_GRAFT_R12X_SET") == "r13" else QUERIES
+    base = (
+        QUERIES_R13
+        if os.environ.get("SPARK_GRAFT_R12X_SET") == "r13"
+        else QUERIES
+    )
+    # comma-separated subset for targeted re-measures (e.g. after a single
+    # query's plan changes) — inherited by the cell subprocesses via env
+    only = os.environ.get("SPARK_GRAFT_R12X_QUERIES")
+    if only:
+        want = {q.strip() for q in only.split(",") if q.strip()}
+        return tuple(q for q in base if q in want)
+    return base
 
 
 def spark_cell(m: int) -> None:
@@ -198,7 +219,7 @@ def duck_cell(m: int, qname: str) -> None:
     d = _mult_dir(m)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in ("lineitem", "part", "documents", "events", "orders"):
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
         )
