@@ -5,11 +5,17 @@ Prints exactly ONE JSON line:
      "queries": {"q01_pricing_summary": <sec>, ...},
      "groups": {"headline": <sec>, "new_ops": <sec>}, "sf": 0.1}
 
-``value`` stays the HEADLINE total (comparable across every prior round's
-BENCH_r{N}); the r7 operator surface (chunk/pack/CDC/SCD2/Arrow-KNN) is
-timed as a second group (r8) so perf regressions in the new operators are
-visible round-over-round — per-query times for BOTH groups land in
-``queries``, group subtotals in ``groups``.
+``value`` is the HEADLINE total measured in its OWN fresh JVM (the
+``--headline-cell`` subprocess, spawned before the full-suite session):
+r13 measured the in-process headline drifting +25% purely from suite
+growth (each timed pass executes every registered bench query, so the
+ten headline queries run inside an ever-heavier JVM as the tree grows).
+The isolated number is the cross-round comparable one; the in-process
+figure is kept as ``headline_inprocess`` (and ``groups.headline``) for
+continuity with BENCH_r01..r13. Per-query times for all groups land in
+``queries``, group subtotals in ``groups``. Set
+SPARK_GRAFT_BENCH_ISOLATE=0 to skip the cell (value falls back to the
+in-process headline).
 
 Per-query time = plan + execute + collect to the driver (count() for large
 results), measured after a warm-up action so JVM/session startup isn't billed
@@ -246,51 +252,42 @@ def _wait_for_idle(max_wait_s: float) -> float:
     return load
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
-    except ValueError:
-        sf = -1.0
-    # idle gate BEFORE the JVM spawns (its startup threads inflate the
-    # 1-min average); budget overridable for quick smoke runs
-    load_at_start = _wait_for_idle(
-        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
-    )
-    spark = get_spark("bench")
-    specs = all_specs()
+def _timed_passes(
+    spark, specs, sf_dir: str, names: tuple[str, ...]
+) -> tuple[list[dict[str, float]], list[float], list[float]]:
+    """Warm every table + two untimed primes over ``names``, then
+    TIMED_RUNS timed passes. Returns (per-run per-query times, per-run
+    headline totals, per-run end loads).
 
-    # Warm-up: touch every table, then execute each headline query TWICE
-    # untimed so the timed run measures steady-state execution (plan build +
-    # execute + count), not JIT/codegen compilation. Twice, not once: the
-    # HOF-heavy queries (q35's zip_with/aggregate dot products are
-    # CodegenFallback, i.e. interpreted) keep getting faster as C2 compiles
-    # deeper — measured decay 0.89 -> 0.51 s over 8 in-process runs — and a
-    # single prime left a 2x run-to-run spread in driver-recorded numbers
-    # (BENCH_r05's 1.55 s vs 0.75 s judge runs, adjudicated r6: JIT depth,
-    # not plan instability). DuckDB's prime reaches steady state in one run;
-    # two primes is the JVM equivalent, not a benchmark asymmetry.
-    load_avg_start = load_at_start
+    Warm-up is TWICE, not once: the HOF-heavy queries (q35's
+    zip_with/aggregate dot products are CodegenFallback, i.e.
+    interpreted) keep getting faster as C2 compiles deeper — measured
+    decay 0.89 -> 0.51 s over 8 in-process runs — and a single prime left
+    a 2x run-to-run spread in driver-recorded numbers (BENCH_r05's 1.55 s
+    vs 0.75 s judge runs, adjudicated r6: JIT depth, not plan
+    instability). DuckDB's prime reaches steady state in one run; two
+    primes is the JVM equivalent, not a benchmark asymmetry.
+
+    MEDIAN of the timed runs (r11 verdict: a single timed run let mid-run
+    host noise record q143 at 5.6x its real cost in a start-load-clean
+    artifact). The 1-min load average cannot gate MID-run interference:
+    the bench's own 32-thread Spark work dominates it while measuring.
+    What noise cannot fake is AGREEMENT — an interfering process inflates
+    some runs and not others, so the per-run headline totals diverge.
+    The caller gates on that spread; the median absorbs a single
+    disturbed run either way."""
+    head = tuple(n for n in HEADLINE if n in names)
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     for _ in range(2):
-        for name in _ALL:
+        for name in names:
             specs[name].fn(spark, sf_dir).count()
-
-    # MEDIAN of 3 timed runs (r11 verdict: a single timed run let mid-run
-    # host noise record q143 at 5.6x its real cost in a start-load-clean
-    # artifact — three rounds running the committed bench carried noise).
-    # The 1-min load average cannot gate MID-run interference: the bench's
-    # own 32-thread Spark work dominates it while measuring. What noise
-    # cannot fake is AGREEMENT — an interfering process inflates some runs
-    # and not others, so the per-run headline totals diverge. Gate on that
-    # spread; the median absorbs a single disturbed run either way.
     runs: list[dict[str, float]] = []
     run_totals: list[float] = []
     run_loads: list[float] = []
     for r in range(TIMED_RUNS):
         t_run: dict[str, float] = {}
-        for name in _ALL:
+        for name in names:
             fn = specs[name].fn
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -299,16 +296,41 @@ def main() -> None:
             if r == 0:
                 print(f"# {name}: {n} rows in {t_run[name]:.3f}s", file=sys.stderr)
         runs.append(t_run)
-        total = round(sum(t_run[n] for n in HEADLINE), 4)
+        total = round(sum(t_run[n] for n in head), 4)
         run_totals.append(total)
         run_loads.append(round(os.getloadavg()[0], 2))
         print(f"# run {r + 1}/{TIMED_RUNS}: headline {total}s", file=sys.stderr)
+    return runs, run_totals, run_loads
 
+
+def _trim_runs(
+    runs: list[dict[str, float]], run_totals: list[float]
+) -> tuple[list[dict[str, float]], list[float], float, int, float]:
+    """Shared run-selection pipeline for the full suite AND the isolated
+    headline cell. Returns (kept runs, kept totals, untrimmed median,
+    outlier_discarded, spread).
+
+    1. Fixed JIT discard, then ADAPTIVE warm-in discard: keep dropping
+       LEADING runs while the first kept total is the maximum and the
+       kept spread exceeds tolerance (never below 2 kept) — only a
+       leading maximum is attributable to warm-in.
+    2. Single-outlier trim (r12c, symmetrized r13): a mid-run JVM
+       full-GC pause (or a brief host blip) inflates exactly ONE timed
+       run — observed twice on a start-idle host as totals like
+       [4.12, 3.93, 6.23, 4.27]; the leading discard cannot remove a
+       MIDDLE spike. The trim fires only when the MAX deviates from the
+       median beyond tolerance while the MIN does not — a genuinely
+       asymmetric spike, not ordinary dispersion — and the UNTRIMMED
+       median is always kept in the artifact
+       (headline_untrimmed_median). Two disagreeing runs still stamp
+       non-canonical.
+
+    The median is the true median (mean of the two middle elements for
+    even n — the r13 ADVICE caught the upper-middle shortcut);
+    "untrimmed" means pre-OUTLIER-trim (the leading discards have
+    already been applied)."""
     kept = runs[JIT_DISCARD_RUNS:] if len(runs) > JIT_DISCARD_RUNS else runs
     kept_totals = run_totals[len(runs) - len(kept):]
-    # adaptive warm-in discard: drop further LEADING runs while the first
-    # kept total is the maximum and the kept spread still exceeds
-    # tolerance (see JIT_DISCARD_RUNS note); never below 2 kept runs
     while (
         len(kept) > 2
         and kept_totals[0] == max(kept_totals)
@@ -316,21 +338,11 @@ def main() -> None:
     ):
         kept = kept[1:]
         kept_totals = kept_totals[1:]
-    # single-outlier trim (r12c, symmetrized r13): a mid-run JVM full-GC
-    # pause (or a brief host blip) inflates exactly ONE timed run —
-    # observed twice on a start-idle host as totals like
-    # [4.12, 3.93, 6.23, 4.27]. The leading-maximum discard above cannot
-    # remove a MIDDLE spike. The r12 advice flagged the original rule as
-    # one-sided (it only ever questioned the largest run, so recurring
-    # blips get trimmed run after run and the headline biases downward);
-    # the trim now fires only when the MAX deviates from the median
-    # beyond tolerance while the MIN does not — a genuinely asymmetric
-    # spike, not ordinary dispersion — and the UNTRIMMED median is
-    # always kept in the artifact (headline_untrimmed_median) so
-    # round-over-round tooling can see what the trim did. Two
-    # disagreeing runs still stamp non-canonical — agreement of the
-    # remaining majority is required.
-    untrimmed_median = sorted(kept_totals)[len(kept_totals) // 2]
+    _s = sorted(kept_totals)
+    _n = len(_s)
+    untrimmed_median = (
+        _s[_n // 2] if _n % 2 else round((_s[_n // 2 - 1] + _s[_n // 2]) / 2, 4)
+    )
     outlier_discarded = 0
     spread = max(kept_totals) / max(min(kept_totals), 1e-9)
     if spread > SPREAD_TOLERANCE and len(kept) >= 3:
@@ -349,16 +361,125 @@ def main() -> None:
             kept_totals = trial_totals
             outlier_discarded = 1
             spread = max(kept_totals) / max(min(kept_totals), 1e-9)
+    return kept, kept_totals, untrimmed_median, outlier_discarded, spread
+
+
+def headline_cell() -> None:
+    """Internal ``--headline-cell`` entry: time ONLY the headline group in
+    this fresh JVM and print one JSON line of per-run results. Run by
+    main() BEFORE the full-suite session so the cross-round headline
+    number measures the same in-process state every round — r13 measured
+    the full-suite headline drifting +25% as the suite grew 101 -> 114
+    queries (every timed pass executes every query, so suite growth
+    loads the JVM the headline runs inside), which is suite-size noise,
+    not a regression in the ten queries."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_at_start = _wait_for_idle(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+    )
+    spark = get_spark("bench_headline")
+    runs, run_totals, run_loads = _timed_passes(
+        spark, all_specs(), sf_dir, HEADLINE
+    )
+    print(
+        json.dumps(
+            {
+                "runs": runs,
+                "run_totals": run_totals,
+                "run_loads": run_loads,
+                "load_avg_start": round(load_at_start, 2),
+            }
+        )
+    )
+
+
+def _isolated_headline() -> dict | None:
+    """Spawn the headline cell in its own JVM and return its parsed
+    result, or None (fall back to in-process numbers) if the subprocess
+    fails. Disable with SPARK_GRAFT_BENCH_ISOLATE=0."""
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") == "0":
+        return None
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-cell"],
+            capture_output=True,
+            text=True,
+            timeout=float(os.environ.get("SPARK_GRAFT_BENCH_CELL_TIMEOUT", "900")),
+        )
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.TimeoutExpired, ValueError, OSError):
+        pass
+    print("# headline cell failed — falling back to in-process headline",
+          file=sys.stderr)
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+    # the isolated headline cell runs FIRST (before this process holds a
+    # JVM) so it sees the same idle host every round
+    cell = _isolated_headline()
+    # idle gate BEFORE the JVM spawns (its startup threads inflate the
+    # 1-min average); budget overridable for quick smoke runs
+    load_at_start = _wait_for_idle(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+    )
+    spark = get_spark("bench")
+    specs = all_specs()
+    load_avg_start = load_at_start
+    runs, run_totals, run_loads = _timed_passes(spark, specs, sf_dir, _ALL)
+
+    kept, kept_totals, untrimmed_median, outlier_discarded, spread = (
+        _trim_runs(runs, run_totals)
+    )
     times = {
         name: round(sorted(t[name] for t in kept)[len(kept) // 2], 4)
         for name in _ALL
     }
+    inprocess_headline = round(sum(times[n] for n in HEADLINE), 4)
+    # headline VALUE comes from the isolated fresh-JVM cell (same trim
+    # pipeline) when it ran: the r13 in-process headline drifted +25%
+    # purely from suite growth (101 -> 114 queries loading the shared
+    # JVM), so the cross-round comparable number is the one measured in
+    # a constant-size process. The in-process figure stays in groups/
+    # queries for per-query continuity.
+    iso = None
+    if cell is not None:
+        ik, _ikt, _ium, _iod, ispread = _trim_runs(
+            cell["runs"], cell["run_totals"]
+        )
+        itimes = {
+            n: round(sorted(t[n] for t in ik)[len(ik) // 2], 4)
+            for n in HEADLINE
+        }
+        iso = {
+            "value": round(sum(itimes.values()), 4),
+            "queries": itimes,
+            "run_totals": cell["run_totals"],
+            "spread": round(ispread, 3),
+            "load_avg_start": cell["load_avg_start"],
+            "canonical": (
+                cell["load_avg_start"] <= IDLE_LOAD_THRESHOLD
+                and ispread <= SPREAD_TOLERANCE
+            ),
+        }
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(times[n] for n in HEADLINE), 4),
+                "value": iso["value"] if iso else inprocess_headline,
                 "unit": "sec",
+                "headline_isolated": iso,
+                "headline_inprocess": inprocess_headline,
                 "queries": times,
                 "groups": {
                     "headline": round(sum(times[n] for n in HEADLINE), 4),
@@ -382,6 +503,7 @@ def main() -> None:
                 "canonical": (
                     load_avg_start <= IDLE_LOAD_THRESHOLD
                     and spread <= SPREAD_TOLERANCE
+                    and (iso is None or iso["canonical"])
                 ),
                 "load_avg_start": round(load_avg_start, 2),
                 "load_avg_end": round(os.getloadavg()[0], 2),
@@ -399,4 +521,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if sys.argv[1:2] == ["--headline-cell"]:
+        headline_cell()
+    else:
+        main()

@@ -234,6 +234,16 @@ def audio_main(argv: list[str]) -> int:
     spark = get_spark("csv_loader_audio")
     wav_source.register(spark)
     if args.stream:
+        if not os.path.isdir(args.in_dir):
+            # legal under the wavdir allow_empty contract (a lake that
+            # hasn't produced yet), but say so — a typo'd path would
+            # otherwise look like a successful empty run
+            print(
+                f"note: audio lake {args.in_dir} does not exist yet; "
+                "treating as empty (stream mode discovers files on "
+                "later runs)",
+                file=sys.stderr,
+            )
         ckpt = args.checkpoint or args.out.rstrip("/") + "_checkpoint"
         stream = spark.readStream.format("wavdir").load(args.in_dir)
         feats = audio_features(
@@ -248,7 +258,15 @@ def audio_main(argv: list[str]) -> int:
             .start()
         )
         q.awaitTermination()
-        n = spark.read.parquet(args.out).count()
+        # An empty or missing lake is a legal stream run (the wavdir
+        # reader's allow_empty contract: zero batches, nothing landed) —
+        # the sink path then either doesn't exist or holds only
+        # _spark_metadata, and reading it as parquet raises instead of
+        # counting 0. Report the empty outcome in the same format.
+        try:
+            n = spark.read.parquet(args.out).count()
+        except Exception:
+            n = 0
         print(f"audio features landed (stream): {args.out} ({n} assets total)")
         return 0
     df = spark.read.format("wavdir").load(args.in_dir)

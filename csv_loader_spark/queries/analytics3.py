@@ -48,8 +48,9 @@ Scale notes (100 TB):
   (pagerank_fixed_point); q212's fixed 2-round loop skips per-round
   checkpoints — lineage stays shallow and the barriers measured net
   negative. The max-normalization is a 1-row broadcast. Overflow
-  head-room: normalized scores are <= SCALE (1e6), so the next round's
-  raw sums stay < SCALE * max-degree — safe in 64-bit to degrees ~9e12.
+  head-room: raw sums stay < SCALE * max-degree (BIGINT-safe to degrees
+  ~9e12), and the normalization product s * SCALE rides DECIMAL(38,0)
+  (see q212) so the renormalize step is not the binding constraint.
 - q214 is map-only per row (shift + clamp) into one partkey-keyed sum;
   the anchor date is a 1-row broadcast.
 - q215's windows run over the per-(type, hour) AGGREGATE (census-bounded
@@ -235,18 +236,26 @@ def q212_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saves (measured 3.4-3.9 -> 2.8-3.6 s at sf0.1 without them); a
     # deeper-iteration variant should adopt pagerank_fixed_point's
     # lazy-checkpoint-per-round convention instead
+    # Normalization: the product s * SCALE rides DECIMAL(38,0), because in
+    # BIGINT it overflows once max-degree exceeds ~9.2e6 (s <= SCALE * deg
+    # and SCALE^2 = 1e12 — the r13 ADVICE caught the old scale note
+    # claiming ~9e12; ANSI Spark would error loudly, but a hub with 1e7+
+    # neighbors is a plausible 100 TB graph). DIV on the decimal is exact
+    # floored division, so the values are bit-identical to the BIGINT
+    # form wherever both are defined; head-room is now 38 digits
+    # (max-degree ~1e26). The oracle keeps the plain product: DuckDB sums
+    # are already HUGEINT, so its multiply is 128-bit-safe.
+    norm = f"CAST(CAST(s AS DECIMAL(38,0)) * {HITS_SCALE} DIV m AS BIGINT)"
     for _ in range(HITS_ITERS):
         ar = pairs.join(h, "cu").groupBy("su").agg(F.sum("h").alias("s"))
         ma = ar.agg(F.max("s").alias("m"))
         a = ar.crossJoin(F.broadcast(ma)).select(
-            "su",
-            F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("a"),
+            "su", F.expr(norm).alias("a")
         )
         hr = pairs.join(a, "su").groupBy("cu").agg(F.sum("a").alias("s"))
         mh = hr.agg(F.max("s").alias("m"))
         h = hr.crossJoin(F.broadcast(mh)).select(
-            "cu",
-            F.expr(f"CAST(s * {HITS_SCALE} DIV m AS BIGINT)").alias("h"),
+            "cu", F.expr(norm).alias("h")
         )
     w = Window.orderBy(F.col("a").desc(), F.col("su"))
     return (
@@ -635,6 +644,33 @@ def q216_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVM_SPLIT = "2000-01-01"
 
+#: the merge-state columns of the priority view (q217 and its streaming
+#: twin, streaming/continuous_agg.start_priority_view, share these)
+IVM_STATE_COLS = ("n_orders", "sum_cents", "min_cents", "max_cents")
+
+
+def ivm_partial(o: DataFrame) -> DataFrame:
+    """Mergeable partial states of the per-priority view over a slice of
+    orders rows carrying (o_orderpriority, cents)."""
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+
+
+def ivm_merge(partials: DataFrame) -> DataFrame:
+    """Merge any union of per-priority partial states into one state per
+    priority — associative + commutative (sum/sum/min/max over partials),
+    so merge(full) == merge(merge(a), b) for any slicing of the fact."""
+    return partials.groupBy("o_orderpriority").agg(
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.sum("sum_cents").cast("long").alias("sum_cents"),
+        F.min("min_cents").cast("long").alias("min_cents"),
+        F.max("max_cents").cast("long").alias("max_cents"),
+    )
+
 
 @query(
     "q217_incremental_view_merge",
@@ -667,28 +703,10 @@ def q217_incremental_view_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-
-    def _partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("o_orderpriority").agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum("cents").cast("long").alias("sum_cents"),
-            F.min("cents").cast("long").alias("min_cents"),
-            F.max("cents").cast("long").alias("max_cents"),
-        )
-
     split = F.lit(IVM_SPLIT).cast("timestamp")
-    base = _partial(o.filter(F.col("o_orderdate") < split))
-    delta = _partial(o.filter(F.col("o_orderdate") >= split))
-    return (
-        base.unionByName(delta)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum("n_orders").cast("long").alias("n_orders"),
-            F.sum("sum_cents").cast("long").alias("sum_cents"),
-            F.min("min_cents").cast("long").alias("min_cents"),
-            F.max("max_cents").cast("long").alias("max_cents"),
-        )
-    )
+    base = ivm_partial(o.filter(F.col("o_orderdate") < split))
+    delta = ivm_partial(o.filter(F.col("o_orderdate") >= split))
+    return ivm_merge(base.unionByName(delta))
 
 
 # --- q218: portable Bloom-filter join pruning -------------------------------

@@ -385,7 +385,9 @@ def _triangle_oracle() -> str:
 #: overhead (unsafe row header + hash table load factor).
 _TRI_BYTES_PER_EDGE = 32
 #: Broadcast the closing edge list only when its estimated size is under
-#: this many bytes (env-tunable; default 512 MiB — far above Spark's 10 MB
+#: this many bytes (env-tunable; default 256 MiB of row payload — the
+#: estimate is PRE-hash-relation, so the built broadcast relation is
+#: roughly double that — far above Spark's 10 MB
 #: autoBroadcastJoinThreshold because this hint is load-bearing: a shuffled
 #: closing join moves the O(m^1.5) wedge stream, measured 21 s vs 4 s at
 #: sf0.1 — but bounded so a 100 TB-scale co-order edge list of O(100M+)
@@ -395,7 +397,9 @@ _TRI_BROADCAST_MAX_ENV = "SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES"
 
 
 def triangle_nodes(
-    edges: DataFrame, broadcast_max_bytes: int | None = None
+    edges: DataFrame,
+    broadcast_max_bytes: int | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts over an undirected edge
     list (columns ``a`` < ``b``, distinct), via the degree-ordered wedge
@@ -414,18 +418,28 @@ def triangle_nodes(
     checkpoint every downstream branch reuses, so the action is free) and
     the hint applies only while ``m * 32 B`` fits under
     ``broadcast_max_bytes`` (default ``$SPARK_GRAFT_TRI_BROADCAST_MAX_BYTES``
-    or 512 MiB); larger graphs fall back to the shuffled join.
+    or 256 MiB row payload, ~0.5 GiB built relation); larger graphs fall
+    back to the shuffled join. Explain-only callers can pass ``n_edges``
+    to skip the gating count's materialization job.
     """
     import os
 
     if broadcast_max_bytes is None:
         broadcast_max_bytes = int(
-            os.environ.get(_TRI_BROADCAST_MAX_ENV, str(512 << 20))
+            os.environ.get(_TRI_BROADCAST_MAX_ENV, str(256 << 20))
         )
     e = edges.localCheckpoint(eager=False)
-    # one action: materializes the checkpoint (deg / wedges / closing all
-    # reuse it) and yields the edge count the broadcast gate needs
-    n_edges = e.count()
+    if n_edges is None:
+        # one action: materializes the checkpoint (deg / wedges / closing
+        # all reuse it, so an EXECUTING caller pays nothing extra) and
+        # yields the edge count the broadcast gate needs. Explain-only
+        # callers (plan inspection, tests) that don't want the
+        # materialization job pass n_edges explicitly. NOTE the 32 B/row
+        # estimate is the row payload only, PRE-hash-relation (unsafe-row
+        # headers + hash-table load factor roughly double it at build
+        # time) — which is why the default cap sits at 256 MiB, ~0.5 GiB
+        # actual relation, not at the executor-memory edge.
+        n_edges = e.count()
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

@@ -105,3 +105,58 @@ def start_hourly_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_priority_view(
+    orders: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming twin of q217's incremental-view merge: maintain the
+    per-priority (n_orders, sum_cents, min_cents, max_cents) view over a
+    stream of orders rows (o_orderpriority, o_totalprice) using the SAME
+    ``ivm_partial``/``ivm_merge`` pair the batch query proves against its
+    full-recompute oracle — so stream-merged == full recompute is a
+    theorem about those two functions, tested in
+    tests/test_continuous_agg.py, not a separate implementation.
+
+    Per batch: aggregate the batch to partial states (map-side
+    combinable), union with the current view (|priorities| rows — the
+    fact table is never re-read), merge, overwrite. Same exactly-once
+    ledger as :func:`start_hourly_rollup`."""
+    from csv_loader_spark.queries.analytics3 import ivm_merge, ivm_partial
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        if _already_applied(out_path, batch_id):
+            return
+        rows = batch_df.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        partial = ivm_partial(rows)
+        has_table = os.path.exists(out_path) and any(
+            f.endswith(".parquet") for f in os.listdir(out_path)
+        )
+        if has_table:
+            existing = spark.read.parquet(out_path).select(partial.columns)
+            partial = existing.unionByName(partial)
+        merged = ivm_merge(partial)
+        if not merged.take(1):
+            _record_applied(out_path, batch_id)
+            return
+        # materialize BEFORE the overwrite (the plan reads out_path)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(out_path)
+        _record_applied(out_path, batch_id)
+
+    writer = (
+        orders.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -328,3 +328,19 @@ def test_audio_subcommand_missing_dir(tmp_path):
     from csv_loader_spark.cli import main
 
     assert main(["audio", "--in", str(tmp_path / "nope"), "--out", "x"]) == 1
+
+
+def test_audio_stream_empty_lake(tmp_path, spark, capsys):
+    """--stream on a missing/empty lake is a legal zero-batch run (the
+    wavdir allow_empty contract): exit 0 and report 0 assets instead of
+    crashing on the absent/metadata-only parquet sink (r13 ADVICE)."""
+    from csv_loader_spark.cli import main
+
+    out = str(tmp_path / "feats")
+    rc = main(
+        ["audio", "--in", str(tmp_path / "not_yet"), "--out", out, "--stream"]
+    )
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "0 assets total" in captured.out
+    assert "does not exist yet" in captured.err

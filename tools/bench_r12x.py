@@ -73,6 +73,19 @@ QUERIES_R13 = (
     "q220_window_funnel",
     "q221_event_runs",
 )
+#: --r9 mode: the r9 ingest/curation probes — the slowest remaining local
+#: Spark group (r9_ops ~24 s at sf0.1). All five read only `documents`,
+#: which multiplies as disjoint doc_id-remapped copies with text/lang/
+#: source/n_chars passed through: sources and near-dup structure repeat
+#: per copy, so index sizes and candidate sets grow xM — the corpus-growth
+#: shape the ingest loop sees in production.
+QUERIES_R9 = (
+    "q131_ingest_neardup",
+    "q132_admission_manifest",
+    "q133_phash_neardup",
+    "q138_ingest_passage_dedup",
+    "q148_dsir_importance",
+)
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
 OFFSET = 1_000_000
@@ -137,7 +150,8 @@ def materialize(m: int) -> str:
     dc = f"{BASE_SF}/documents.parquet"
     copy(
         " UNION ALL ".join(
-            f"SELECT CAST(doc_id + {k * OFFSET} AS BIGINT) AS doc_id, text"
+            f"SELECT CAST(doc_id + {k * OFFSET} AS BIGINT) AS doc_id,"
+            f" text, lang, source, n_chars"
             f" FROM '{dc}'"
             for k in range(m)
         ),
@@ -174,11 +188,8 @@ def materialize(m: int) -> str:
 
 
 def _query_set() -> tuple[str, ...]:
-    base = (
-        QUERIES_R13
-        if os.environ.get("SPARK_GRAFT_R12X_SET") == "r13"
-        else QUERIES
-    )
+    mode = os.environ.get("SPARK_GRAFT_R12X_SET")
+    base = {"r13": QUERIES_R13, "r9": QUERIES_R9}.get(mode, QUERIES)
     # comma-separated subset for targeted re-measures (e.g. after a single
     # query's plan changes) — inherited by the cell subprocesses via env
     only = os.environ.get("SPARK_GRAFT_R12X_QUERIES")
@@ -288,10 +299,14 @@ def orchestrate(mults: tuple[int, ...]) -> None:
         "base_sf_dir": BASE_SF,
         "tool": "tools/bench_r12x.py",
         "method": (
-            ("five heaviest r12 operators" if mode == "r12" else
-             "heaviest r13 operators (events xM: user_id/event_id remapped "
-             "per copy, ts shifted +k*90d — users and time span grow, "
-             "per-user history constant)")
+            {"r13": "heaviest r13 operators (events xM: user_id/event_id "
+                     "remapped per copy, ts shifted +k*90d — users and time "
+                     "span grow, per-user history constant)",
+             "r9": "r9 ingest/curation probes (documents xM: doc_id remapped "
+                   "per copy, text/lang/source/n_chars passthrough — "
+                   "near-dup structure repeats per copy, index and "
+                   "candidate sets grow xM)"}.get(
+                mode, "five heaviest r12 operators")
             + " on sf0.01 tables multiplied xM as "
             "DISJOINT key-remapped copies (keys + k*1e6; part names "
             "suffixed ' cNN' per copy so distinct-name count grows xM); "
@@ -312,11 +327,14 @@ def main() -> None:
     elif argv[:1] == ["--duck-cell"]:
         duck_cell(int(argv[1]), argv[2])
     else:
-        if "--r13" in argv:
-            os.environ["SPARK_GRAFT_R12X_SET"] = "r13"
-            os.environ.setdefault("SPARK_GRAFT_R12X_WORK", "/tmp/r13x")
-            globals()["WORK"] = os.environ["SPARK_GRAFT_R12X_WORK"]
-            argv = [a for a in argv if a != "--r13"]
+        for flag, mode in (("--r13", "r13"), ("--r9", "r9")):
+            if flag in argv:
+                os.environ["SPARK_GRAFT_R12X_SET"] = mode
+                os.environ.setdefault(
+                    "SPARK_GRAFT_R12X_WORK", f"/tmp/{mode}x"
+                )
+                globals()["WORK"] = os.environ["SPARK_GRAFT_R12X_WORK"]
+                argv = [a for a in argv if a != flag]
         mults = MULTS
         if argv[:1] == ["--mults"]:
             mults = tuple(int(x) for x in argv[1].split(","))

@@ -227,6 +227,9 @@ def main() -> int:
         payload = {
             "sf_dir": sf_dir,
             "mode": "tolerant" if tolerant else "exact",
+            # full registry size, independent of any name filter — the
+            # single source of truth the doc-count test checks against
+            "registered_total": len(all_specs()),
             "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_rowsonly},
             "queries": records,
         }
