@@ -20,8 +20,44 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: edge-count ceiling under which an iterative op narrows its working
+#: frames (env-tunable). 4M edges ~ 64 MB of (long, long) rows — the
+#: point where per-stage scheduling overhead dominates per-task work.
+_SMALL_GRAPH_EDGE_MAX_ENV = "SPARK_GRAFT_SMALL_GRAPH_EDGES"
+_SMALL_GRAPH_EDGE_MAX = 4_000_000
+
+
+def small_graph_coalesce(e: DataFrame, n_rows: int | None = None) -> DataFrame:
+    """Narrow a (lazily checkpointed) iterative working frame when the
+    graph is measurably SMALL, else return it untouched.
+
+    An iterative op on local[32] runs 3-10 rounds of 2-3 stages each at
+    32 tasks/stage; for a graph of ~1M edges each task carries ~1 ms of
+    work, so scheduling overhead IS the runtime (r14 measured q160 at
+    4.6 s on 32-wide stages vs 2.8 s on 8-wide — and AQE's
+    coalescePartitions cannot help because the map-side task count is
+    pinned by the checkpointed RDD's block count, not by the shuffle
+    read). A 100 TB edge list must keep every core busy instead, so the
+    narrowing is SIZE-GATED the same way triangle_nodes gates its
+    broadcast: count once (the action materializes the checkpoint every
+    round reuses — effectively free for an executing caller), coalesce
+    only under ``$SPARK_GRAFT_SMALL_GRAPH_EDGES`` (default 4M) edges.
+    ``coalesce`` on the materialized checkpoint is a narrow read-time
+    merge — no recompute, values untouched.
+    """
+    if n_rows is None:
+        n_rows = e.count()
+    if n_rows > int(
+        os.environ.get(_SMALL_GRAPH_EDGE_MAX_ENV, str(_SMALL_GRAPH_EDGE_MAX))
+    ):
+        return e
+    cpus = e.sparkSession.sparkContext.defaultParallelism
+    return e.coalesce(max(2, cpus // 8))
 
 
 def connected_components(
@@ -123,24 +159,41 @@ def pagerank_fixed_point(
 
     Scale: per round one equi-join of the edge list against the rank
     table (node-keyed, AQE-broadcastable when small) + one map-side
-    combined sum by dst. The edge frame is checkpointed ONCE; ranks are
-    lazily checkpointed per round (lineage stays O(1), same rationale as
-    connected_components above).
+    combined sum by dst; the out-degree is FOLDED into the rank frame
+    (static across rounds), so there is no second join per round. The
+    edge frame is checkpointed ONCE and size-gate-narrowed for small
+    graphs (see small_graph_coalesce); ranks are lazily checkpointed per
+    round (lineage stays O(1), same rationale as connected_components
+    above).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
         eager=False
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = small_graph_coalesce(e)
+    # out-degree FOLDED into the node frame (r14): deg is static across
+    # rounds, so carrying it on the rank frame replaces the per-round
+    # pr-deg join with a filter + projection — one join and its stage
+    # removed from every round; values unchanged (nodes without
+    # out-edges had no contrib row before, the deg > 0 filter drops the
+    # same nodes now).
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    pr = nodes.select("node", F.lit(scale).cast("long").alias("pr"))
+    nd = (
+        nodes.join(deg, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    pr = nd.select("node", "deg", F.lit(scale).cast("long").alias("pr"))
     base = scale * (damping_den - damping_num) // damping_den
     for _ in range(iterations):
-        contrib = pr.join(deg, pr["node"] == deg["src"]).select(
-            "src", F.expr("pr div deg").alias("c")
+        contrib = pr.filter(F.col("deg") > 0).select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("c")
         )
         s = (
             e.join(contrib, "src")
@@ -149,9 +202,10 @@ def pagerank_fixed_point(
             .withColumnRenamed("dst", "node")
         )
         pr = (
-            nodes.join(s, "node", "left")
+            nd.join(s, "node", "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
@@ -159,7 +213,7 @@ def pagerank_fixed_point(
             )
             .localCheckpoint(eager=False)
         )
-    return pr
+    return pr.select("node", "pr")
 
 
 def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
@@ -182,6 +236,11 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     shrinks) + one map-side-combined degree count. Edges and the alive
     frame are lazily checkpointed per round so lineage stays O(1).
     """
+    # NO small_graph_coalesce here (r14, measured): the gate's count job
+    # plus narrowed rounds came out +7% vs leaving the rounds wide —
+    # peeling's semi-joins already shrink to AQE broadcasts as the alive
+    # set collapses, so there is no 32-wide tail for the narrowing to
+    # remove. Fresh-process A/B: 2.40 s -> 2.58 s at sf0.1.
     e = edges.select("a", "b").localCheckpoint(eager=False)
     for _ in range(rounds):
         deg = (

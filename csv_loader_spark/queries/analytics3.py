@@ -227,6 +227,10 @@ def q212_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # NO small_graph_coalesce on pairs (r14, measured): the gate's count
+    # job cancels the narrowed rounds' savings at this fixed 2-round
+    # depth (fresh-process A/B 2.40 s -> 2.49 s at sf0.1); pagerank-depth
+    # loops amortize the count, this one doesn't.
     h = pairs.select("cu").distinct().select(
         "cu", F.lit(HITS_SCALE).cast("long").alias("h")
     )
