@@ -463,9 +463,19 @@ def triangle_nodes(
     rank = (F.col("dv") * F.lit(1 << 32) + F.col("v")).alias("rk")
     w1 = oriented.select("u", F.col("v").alias("v1"), rank.alias("rk1"))
     w2 = oriented.select("u", F.col("v").alias("v2"), rank.alias("rk2"))
-    wedges = w1.join(w2, "u").filter(F.col("rk1") < F.col("rk2"))
+    # the closing-join key (v1, v2) PACKED into one long (same id < 2^31
+    # bound as the rank packing above): a single-BIGINT equi-join key
+    # routes Spark's broadcast hash join through LongHashedRelation (a
+    # dense long-keyed map) instead of the generic UnsafeRow-keyed
+    # relation — the probe side runs once per WEDGE, i.e. O(m^1.5)
+    # times, so the per-probe constant is the whole game at the join.
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("rk1") < F.col("rk2"))
+        .withColumn("pk", F.col("v1") * F.lit(1 << 32) + F.col("v2"))
+    )
     closing = oriented.select(
-        F.col("u").alias("v1"), F.col("v").alias("v2")
+        (F.col("u") * F.lit(1 << 32) + F.col("v")).alias("pk")
     )
     # BROADCAST the closing side when it fits: the wedge stream is
     # O(m^1.5) rows and a shuffled closing join would move ALL of it
@@ -476,7 +486,7 @@ def triangle_nodes(
     # ODE-ing executors, and the m^1.5 wedge bound still holds.
     if n_edges * _TRI_BYTES_PER_EDGE <= broadcast_max_bytes:
         closing = F.broadcast(closing)
-    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    tri = wedges.join(closing, "pk").select("u", "v1", "v2")
     # ONE pass over the triangle stream: explode the 3 corners in-stage
     # (a 3-branch unionAll would re-run the wedge join once per branch —
     # measured 3x the whole enumeration at sf0.1)

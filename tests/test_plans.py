@@ -661,8 +661,10 @@ def test_q166_broadcast_gate_shuffles_past_threshold(spark):
     )
     hinted = triangle_nodes(edges, broadcast_max_bytes=1 << 30)
     plan = hinted._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin [v1" in plan or (
-        "BroadcastHashJoin" in plan and "v1" in plan
+    # closing join key is the PACKED single long (r14: LongHashedRelation
+    # beats the generic two-column relation on the O(m^1.5) probe side)
+    assert "BroadcastHashJoin [pk" in plan or (
+        "BroadcastHashJoin" in plan and "pk" in plan
     )
     # force the over-threshold branch; also pin autoBroadcastJoinThreshold
     # off so Catalyst's own size estimate can't re-introduce the broadcast
@@ -673,7 +675,7 @@ def test_q166_broadcast_gate_shuffles_past_threshold(spark):
         plan2 = gated._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "SortMergeJoin [v1" in plan2 or "ShuffledHashJoin [v1" in plan2
+    assert "SortMergeJoin [pk" in plan2 or "ShuffledHashJoin [pk" in plan2
     # and the gated plan still computes the right answer (path graph: 0
     # triangles)
     assert gated.count() == 0
