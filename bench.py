@@ -195,9 +195,16 @@ R13_OPS = (
     "q224_fk_orphan_census",
 )
 
+# The r14 batch: decontamination meter, assortativity, vocab overlap.
+R14_OPS = (
+    "q225_split_contamination",
+    "q226_degree_assortativity",
+    "q227_source_vocab_overlap",
+)
+
 _ALL = (
     HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS
-    + R13_OPS
+    + R13_OPS + R14_OPS
 )
 
 
@@ -492,6 +499,7 @@ def main() -> None:
                         sum(times[n] for n in R12C_OPS), 4
                     ),
                     "r13_ops": round(sum(times[n] for n in R13_OPS), 4),
+                    "r14_ops": round(sum(times[n] for n in R14_OPS), 4),
                 },
                 "sf": sf,
                 # host-noise provenance (r9-r11 verdicts): canonical means

@@ -908,3 +908,21 @@ def test_q224_fk_legs_are_anti_joins_no_subquery_loop(spark):
     plan = _plan(spark, "q224_fk_orphan_census")
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_r14_queries_plan_shapes(spark):
+    """r14 additions stay in the scalable shapes: equi-joins only (no
+    cartesian/nested-loop anywhere), q225's membership join keyed on the
+    8-byte gram fp, q227's size frames broadcast."""
+    p225 = _plan(spark, "q225_split_contamination")
+    assert "CartesianProduct" not in p225
+    assert "BroadcastNestedLoopJoin" not in p225
+    assert "fp" in p225  # membership join on the gram fingerprint
+    p226 = _plan(spark, "q226_degree_assortativity")
+    assert "CartesianProduct" not in p226
+    assert "BroadcastNestedLoopJoin" not in p226
+    p227 = _plan(spark, "q227_source_vocab_overlap")
+    assert "CartesianProduct" not in p227
+    assert "BroadcastNestedLoopJoin" not in p227
+    # the two per-source size frames ride broadcast hints
+    assert p227.count("BroadcastHashJoin") >= 2
