@@ -1,0 +1,416 @@
+"""r14 analytics, batch 2: recursive hierarchy closure, trailing-window
+actives, distribution drift, and traffic-regularity bot detection.
+
+Public-literature basis:
+- q228: transitive-closure / ancestor-path queries are the canonical
+  example of an operator Spark's DataFrame API lacks (no recursive CTE —
+  SPARK-24497 stayed open for years); the scalable distributed answer is
+  POINTER DOUBLING (path doubling), the classic O(log d) PRAM technique
+  (Wyllie 1979 list ranking; Valiant's parallel prefix lineage), used by
+  every BSP graph system for root-finding. The DuckDB oracle runs the
+  same closure with ``WITH RECURSIVE`` — O(d) sequential steps — proving
+  the log-round jump table reaches the identical fixed point.
+- q229: trailing-window distinct actives (7-day "WAU" per day) — the
+  standard engagement metric; computed by the emit-forward trick
+  (each (day, user) observation votes for the next 7 calendar days)
+  because SQL window frames cannot do COUNT(DISTINCT) over a range.
+- q230: two-sample Kolmogorov-Smirnov drift between each source's
+  document-length distribution and the rest of the corpus — the standard
+  nonparametric drift test (Massey 1951) next to q190's binned PSI; the
+  KS statistic is a max over ECDF gaps, computed here in EXACT integer
+  cross-multiplication (|Fa*Nb - Fb*Na|) with one final rounded division.
+- q231: bot detection by inter-arrival regularity — low coefficient of
+  variation of gap times is the classic signature of scripted traffic
+  (e.g. Gianvecchio et al. 2008, "Measurement and classification of
+  humans and bots in internet chat"); CV is computed from exact integer
+  microsecond sums (n·Σg² − (Σg)²), float only in the final sqrt/ratio.
+
+The reference (CsvLoader.java, 274 lines) has no analytics surface; these
+extend the beyond-reference training-data operators (SURVEY.md §2.3).
+
+Scale notes (100 TB):
+- q228's jump table is (node, anc, depth) — one row per node, re-joined
+  to itself ceil(log2(max_depth)) times (4 rounds here, ~6 at 2^40
+  nodes). Each round is ONE node-keyed shuffle; the naive chase is
+  O(max_depth) rounds. Convergence is checked per round on the pending
+  count (cheap count job on an already-checkpointed frame), so round
+  count adapts to the data instead of being hard-coded. The synthetic
+  forest's parent multiplier is 48271 (MINSTD), keeping parent-key
+  arithmetic < 2^63 up to ~1.9e14 nodes.
+- q229 emits exactly 7 rows per (day, user) observation — linear, one
+  groupBy-day shuffle; the window length is a constant fan-out, never a
+  self-join. The final distinct-count shuffles (day, user) pairs.
+- q230's ECDF grid is |sources| x |distinct lengths| (quantize lengths
+  into fixed-width bins first if the value domain is unbounded); the
+  cumulative sums are one window sort per source — vocabulary-sized,
+  not corpus-sized. All comparisons are exact BIGINT cross-products;
+  the Fa·Nb product needs 128-bit (DECIMAL(38)) promotion once
+  Na·Nb > 2^63, i.e. past ~6e9 rows per side.
+- q231 is a per-user sort (window lag over the user's own partition) and
+  one groupBy — both on the user key; per-user state is O(1) sufficient
+  statistics, no per-user arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_loader_spark.io.tables import load_table
+from csv_loader_spark.queries.registry import query
+
+# --- q228: ancestor closure by pointer doubling ------------------------------
+
+#: MINSTD multiplier/offset for the derived parent edge; parent(p) is
+#: uniform in [1, p-1], so the forest rooted at part 1 is acyclic with
+#: expected depth O(log n) (max observed: 15 at sf0.1).
+_PAR_MUL = 48271
+_PAR_OFF = 12345
+
+#: hard cap on doubling rounds (2^12 depth); the loop exits early on
+#: convergence — this only bounds a pathological chain.
+_MAX_DOUBLING_ROUNDS = 12
+
+
+def _closure_oracle() -> str:
+    return f"""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+      SELECT p_partkey AS node,
+             1 + (p_partkey * {_PAR_MUL} + {_PAR_OFF}) % (p_partkey - 1)
+               AS anc,
+             CAST(1 AS BIGINT) AS depth
+      FROM part WHERE p_partkey >= 2
+      UNION ALL
+      SELECT node,
+             1 + (anc * {_PAR_MUL} + {_PAR_OFF}) % (anc - 1) AS anc,
+             depth + 1
+      FROM walk WHERE anc >= 2
+    ),
+    depths AS (
+      SELECT node, depth FROM walk WHERE anc = 1
+      UNION ALL
+      SELECT 1 AS node, CAST(0 AS BIGINT) AS depth
+    )
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM depths GROUP BY depth ORDER BY depth
+    """
+
+
+def _parent_expr(col: str):
+    """parent(p) = 1 + (p*MUL + OFF) mod (p-1): uniform in [1, p-1]."""
+    c = F.col(col)
+    return F.lit(1) + (c * F.lit(_PAR_MUL) + F.lit(_PAR_OFF)) % (c - F.lit(1))
+
+
+@query(
+    "q228_ancestor_closure",
+    oracle=_closure_oracle(),
+    tags=("graph", "relational", "r14"),
+)
+def q228_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-to-root histogram of a derived part forest (parent(p) =
+    1 + (48271·p + 12345) mod (p−1), root = part 1): (depth, n_parts,
+    min_node, max_node) per depth.
+
+    Spark has no recursive CTE, so the closure runs as POINTER DOUBLING:
+    a (node, anc, depth) jump table self-joined log2(max_depth) times —
+    each round replaces every pending ancestor pointer with its
+    ancestor's pointer and adds the depths, halving the remaining path.
+    4 rounds close depth 15 (sf0.1); the sequential WITH RECURSIVE
+    oracle walks the same forest one step at a time and lands on the
+    identical histogram."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    ptr = (
+        part.filter(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").alias("node"),
+            _parent_expr("p_partkey").alias("anc"),
+            F.lit(1).cast("long").alias("depth"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_MAX_DOUBLING_ROUNDS):
+        pending = ptr.filter(F.col("anc") != 1)
+        if pending.limit(1).count() == 0:
+            break
+        # jump: pending rows splice in their ancestor's (anc, depth);
+        # rows already at the root pass through unchanged. One
+        # node-keyed shuffle per round; depth doubles per round.
+        jump = ptr.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        ptr = (
+            ptr.join(jump, ptr["anc"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.when(F.col("anc") == 1, F.col("anc"))
+                .otherwise(F.col("j_anc"))
+                .alias("anc"),
+                F.when(F.col("anc") == 1, F.col("depth"))
+                .otherwise(F.col("depth") + F.col("j_depth"))
+                .alias("depth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    root = spark.range(1, 2).select(
+        F.col("id").alias("node"), F.lit(0).cast("long").alias("depth")
+    )
+    depths = ptr.select("node", "depth").unionAll(root)
+    return (
+        depths.groupBy("depth")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("depth")
+    )
+
+
+# --- q229: trailing 7-day distinct actives ------------------------------------
+
+_WAU_DAYS = 7
+
+
+@query(
+    "q229_rolling_actives",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    mx AS (SELECT max(CAST(ts AS DATE)) AS last_day FROM events),
+    emit AS (
+      SELECT CAST(d + CAST(i AS INTEGER) AS DATE) AS day, user_id
+      FROM du, range(0, {_WAU_DAYS}) AS t(i)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM emit, mx
+    WHERE day <= last_day
+    GROUP BY day ORDER BY day
+    """,
+    tags=("analytics", "window", "r14"),
+)
+def q229_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{_WAU_DAYS}-day distinct active users per calendar day
+    (rolling WAU): (day, active_users). COUNT(DISTINCT) over a RANGE
+    frame is inexpressible as a window, so each (day, user) observation
+    is emitted forward into the next {_WAU_DAYS} days (constant fan-out,
+    linear) and the trailing window becomes a plain groupBy-day distinct
+    count, clipped at the last observed day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    last = ev.agg(F.max("d").alias("last_day"))
+    emit = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("i"),
+        "d",
+        "user_id",
+    ).select(F.date_add(F.col("d"), F.col("i")).alias("day"), "user_id")
+    return (
+        emit.join(F.broadcast(last), emit["day"] <= last["last_day"])
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "active_users"
+        )
+        .orderBy("day")
+    )
+
+
+# --- q230: two-sample KS drift per source -------------------------------------
+
+
+@query(
+    "q230_ks_drift",
+    oracle="""
+    WITH counts AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, n_chars
+    ),
+    grid AS (
+      SELECT s.source, v.v, coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT source FROM counts) s
+      CROSS JOIN (SELECT DISTINCT v FROM counts) v
+      LEFT JOIN counts c ON c.source = s.source AND c.v = v.v
+    ),
+    cum AS (
+      SELECT source, v,
+             sum(c) OVER (PARTITION BY source ORDER BY v) AS fa
+      FROM grid
+    ),
+    tot AS (
+      SELECT v, sum(c) OVER (ORDER BY v) AS ft
+      FROM (SELECT v, CAST(sum(c) AS BIGINT) AS c
+            FROM grid GROUP BY v) pv
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS na
+      FROM documents GROUP BY source
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    gaps AS (
+      SELECT cum.source,
+             abs(cum.fa * (n.n - s.na) - (tot.ft - cum.fa) * s.na) AS num
+      FROM cum JOIN tot ON cum.v = tot.v
+      JOIN sizes s ON s.source = cum.source
+      CROSS JOIN n
+    )
+    SELECT g.source, s.na AS n_docs,
+           round(CAST(max(g.num) AS DOUBLE) / (s.na * (n.n - s.na)), 4)
+             AS ks
+    FROM gaps g JOIN sizes s ON s.source = g.source CROSS JOIN n
+    GROUP BY g.source, s.na, n.n
+    ORDER BY ks DESC, g.source
+    """,
+    tags=("analytics", "llm", "r14"),
+)
+def q230_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic of each source's document-
+    length distribution against the REST of the corpus: (source, n_docs,
+    ks), ks = max_v |F_src(v) − F_rest(v)| evaluated at every observed
+    length. The max is computed over EXACT integer cross-products
+    |Fa·Nb − Fb·Na| (Fb = Ftotal − Fa, Nb = N − Na); the only float is
+    the final division, rounded to 4dp — no data-sized float sums.
+
+    At unbounded value domains, quantize v into fixed-width bins first;
+    here n_chars is already small-domain."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sources = counts.select("source").distinct()
+    values = counts.select("v").distinct()
+    grid = (
+        sources.crossJoin(values)
+        .join(counts, ["source", "v"], "left")
+        .select("source", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    w_src = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source", "v", F.sum("c").over(w_src).cast("long").alias("fa")
+    )
+    per_v = grid.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
+    w_all = Window.orderBy("v")
+    tot = per_v.select("v", F.sum("c").over(w_all).cast("long").alias("ft"))
+    sizes = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gaps = (
+        cum.join(tot, "v")
+        .join(F.broadcast(sizes), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "na",
+            "n",
+            F.abs(
+                F.col("fa") * (F.col("n") - F.col("na"))
+                - (F.col("ft") - F.col("fa")) * F.col("na")
+            ).alias("num"),
+        )
+    )
+    return (
+        gaps.groupBy("source", "na", "n")
+        .agg(F.max("num").alias("num"))
+        .select(
+            "source",
+            F.col("na").alias("n_docs"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("na") * (F.col("n") - F.col("na"))),
+                4,
+            ).alias("ks"),
+        )
+        .orderBy(F.desc("ks"), "source")
+    )
+
+
+# --- q231: inter-arrival regularity (bot signature) ---------------------------
+
+_BOT_MIN_EVENTS = 20
+_BOT_TOP = 25
+
+
+@query(
+    "q231_bot_regularity",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(g) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS sg,
+             sum(CAST(g AS HUGEINT) * g) AS sgg
+      FROM gaps WHERE g IS NOT NULL
+      GROUP BY user_id
+      HAVING count(g) >= {_BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_gaps,
+           sg // (n_gaps * 1000) AS mean_gap_ms,
+           round(
+             sqrt(CAST(n_gaps * sgg - CAST(sg AS HUGEINT) * sg AS DOUBLE))
+             / sg,
+             4
+           ) AS cv
+    FROM stats
+    ORDER BY cv ASC, user_id
+    LIMIT {_BOT_TOP}
+    """,
+    tags=("analytics", "r14"),
+)
+def q231_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scripted-traffic detector (Gianvecchio et al. 2008 style): the
+    {_BOT_TOP} most REGULAR users by coefficient of variation of their
+    inter-event gaps — (user_id, n_gaps, mean_gap_ms, cv). Gaps are
+    exact BIGINT microseconds (unix_micros lag per user); the CV comes
+    from exact sufficient statistics: var·n² = n·Σg² − (Σg)², std =
+    sqrt(var·n²)/n, mean = Σg/n, so cv = sqrt(n·Σg² − (Σg)²) / Σg —
+    both engines feed the same integers to the same IEEE sqrt/divide.
+    Σg² needs 128-bit headroom (DECIMAL(38) here, HUGEINT in the
+    oracle): a 30-day µs gap squared is ~6.7e24. mean_gap_ms is exact
+    integer division (DIV // on both engines, never a cast-of-double)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    gd = F.col("g").cast("decimal(38,0)")
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sg"),
+            F.sum(gd * gd).cast("decimal(38,0)").alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= _BOT_MIN_EVENTS)
+    )
+    var_n2 = (
+        F.col("n_gaps").cast("decimal(38,0)") * F.col("sgg")
+        - F.col("sg").cast("decimal(38,0)") * F.col("sg").cast("decimal(38,0)")
+    )
+    return (
+        stats.select(
+            "user_id",
+            "n_gaps",
+            F.expr("sg DIV (n_gaps * 1000)").alias("mean_gap_ms"),
+            F.round(
+                F.sqrt(var_n2.cast("double")) / F.col("sg"), 4
+            ).alias("cv"),
+        )
+        .orderBy("cv", "user_id")
+        .limit(_BOT_TOP)
+    )
