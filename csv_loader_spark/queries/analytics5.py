@@ -1,6 +1,8 @@
 """r14 analytics, batch 2: recursive hierarchy closure, trailing-window
 actives, distribution drift, and traffic-regularity bot detection.
 
+Batch 2 (same round): q232 label propagation, q233 autocorrelation.
+
 Public-literature basis:
 - q228: transitive-closure / ancestor-path queries are the canonical
   example of an operator Spark's DataFrame API lacks (no recursive CTE —
@@ -414,3 +416,228 @@ def q231_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv", "user_id")
         .limit(_BOT_TOP)
     )
+
+
+# --- q232: synchronous label propagation (community detection) ---------------
+
+#: fixed synchronous rounds; results are round-count-pinned (the q160 /
+#: q212 convention), so the unrolled-CTE oracle reproduces them exactly.
+_LP_ROUNDS = 3
+_LP_TOP = 25
+
+
+def _lp_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""
+    s{i} AS (
+      SELECT e.dst, {prev}.label, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN {prev} ON e.src = {prev}.node
+      GROUP BY e.dst, {prev}.label
+    ),
+    l{i} AS (
+      SELECT dst AS node, label
+      FROM (
+        SELECT dst, label,
+               row_number() OVER (PARTITION BY dst
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM s{i}
+      ) r WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT cu AS src, su AS dst FROM pairs
+      UNION ALL SELECT su AS src, cu AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    {",".join(rounds)}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM {prev}
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT {_LP_TOP}
+    """
+
+
+@query(
+    "q232_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("graph", "analytics", "r14"),
+)
+def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by {_LP_ROUNDS}-round SYNCHRONOUS label
+    propagation (Raghavan et al. 2007) over the symmetrized customer-
+    supplier trade graph (node ids as in q160): each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    smallest label — fully deterministic, so the unrolled-CTE oracle
+    lands on the identical labeling. Output: top-{_LP_TOP} communities
+    by size — (community, n_members).
+
+    Scale: each round is one edge-keyed join + one (dst, label) count +
+    one per-dst argmax window — all node/edge-keyed shuffles, state one
+    row per node; round frames are lazily checkpointed so the lineage
+    stays flat (the q160/q212 iterative shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cu"),
+            (F.col("l_suppkey") * 2 + 1).alias("su"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = pairs.select(F.col("cu").alias("src"), F.col("su").alias("dst")).unionAll(
+        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LP_TOP)
+    )
+
+
+# --- q233: autocorrelation of daily revenue -----------------------------------
+
+_ACF_MAX_LAG = 10
+
+
+@query(
+    "q233_revenue_acf",
+    oracle=f"""
+    WITH daily0 AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem GROUP BY d
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily0),
+    grid_idx AS (
+      SELECT CAST(i AS BIGINT) AS idx,
+             CAST(d0 + CAST(i AS INTEGER) AS DATE) AS d
+      FROM bounds, unnest(range(0, CAST(d1 - d0 AS BIGINT) + 1)) AS t(i)
+    ),
+    grid AS (
+      SELECT g.idx, coalesce(daily0.x, 0) AS x
+      FROM grid_idx g LEFT JOIN daily0 ON daily0.d = g.d
+    ),
+    lags AS (SELECT CAST(k AS BIGINT) AS lag
+             FROM unnest(range(1, {_ACF_MAX_LAG} + 1)) AS t(k)),
+    prs AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM lags l
+      JOIN grid a ON TRUE
+      JOIN grid b ON b.idx = a.idx + l.lag
+    ),
+    sums AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy
+      FROM prs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           round(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             / sqrt(CAST(n * syy - sy * sy AS DOUBLE)),
+             4
+           ) AS acf
+    FROM sums ORDER BY lag
+    """,
+    tags=("analytics", "timeseries", "r14"),
+)
+def q233_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of DAILY REVENUE at lags 1..{_ACF_MAX_LAG}
+    (the seasonality fingerprint next to q186's seasonal index and
+    q188's cross-correlation): (lag, n_pairs, acf). The day grid is
+    dense (missing days are exact 0), revenue is exact integer CENTS
+    (the q199 convention), and each lag's Pearson r comes from exact
+    128-bit sufficient statistics (DECIMAL(38) here, HUGEINT in the
+    oracle — Σx² at 100 TB daily totals overflows BIGINT); the only
+    floats are the final three casts into sqrt/divide, fed the same
+    integers on both engines.
+
+    Scale: the grid is |days| rows (calendar-sized, not row-sized);
+    the lag fan-out is a constant {_ACF_MAX_LAG}x on the GRID, never on
+    the fact table; the one fact-sized shuffle is the groupBy-day."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    daily = li.groupBy("d").agg(F.sum("cents").cast("long").alias("x"))
+    bounds = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    grid = (
+        bounds.select(
+            F.explode(
+                F.sequence(F.lit(0), F.datediff(F.col("d1"), F.col("d0")))
+            ).alias("idx"),
+            "d0",
+        )
+        .select(
+            F.col("idx").cast("long").alias("idx"),
+            F.date_add(F.col("d0"), F.col("idx")).alias("d"),
+        )
+        .join(daily, "d", "left")
+        .select("idx", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = grid.crossJoin(F.broadcast(lags)).select(
+        "lag", (F.col("idx") + F.col("lag")).alias("jidx"), F.col("x")
+    )
+    b = grid.select(F.col("idx").alias("jidx"), F.col("x").alias("y"))
+    prs = a.join(b, "jidx")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = prs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")),
+            4,
+        ).alias("acf"),
+    ).orderBy("lag")
