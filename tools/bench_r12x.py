@@ -86,6 +86,21 @@ QUERIES_R9 = (
     "q138_ingest_passage_dedup",
     "q148_dsir_importance",
 )
+#: --r14 mode: the heaviest r14 additions. documents/lineitem/orders
+#: multiply as in the other modes; two r14-specific twists: part gets
+#: DENSE offsets (k * base-row-count instead of k * 1e6) because q228's
+#: ancestor walk requires a closed contiguous key space (parent(p) is
+#: uniform in [1, p-1] and every ancestor must itself exist), and
+#: lineitem carries l_shipdate/l_extendedprice through so q233's daily
+#: cents grow xM on a CONSTANT day grid (exercising the 128-bit
+#: sufficient-statistic headroom the query was built for).
+QUERIES_R14 = (
+    "q225_split_contamination",
+    "q226_degree_assortativity",
+    "q228_ancestor_closure",
+    "q232_label_propagation",
+    "q233_revenue_acf",
+)
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
 OFFSET = 1_000_000
@@ -107,7 +122,8 @@ def materialize(m: int) -> str:
     # stale 3-table m30 dir once turned a 0.8 s DuckDB cell into a
     # phantom DNF (missing-view IOException in the subprocess).
     done = os.path.join(out, "_DONE")
-    stamp = f"{m}:{','.join(TABLES)}"
+    mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
+    stamp = f"{m}:{mode}:{','.join(TABLES)}"
     if os.path.isdir(out) and os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == stamp:
@@ -123,20 +139,33 @@ def materialize(m: int) -> str:
         )
 
     li = f"{BASE_SF}/lineitem.parquet"
+    # r14 carries the pricing/date columns through for q233 (daily cents
+    # grow xM on a constant day grid)
+    li_extra = (
+        ", l_shipdate, l_extendedprice" if mode == "r14" else ""
+    )
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(l_orderkey + {k * OFFSET} AS BIGINT) AS l_orderkey,"
             f" CAST(l_partkey + {k * OFFSET} AS BIGINT) AS l_partkey,"
             f" CAST(l_suppkey + {k * OFFSET} AS BIGINT) AS l_suppkey"
+            f"{li_extra}"
             f" FROM '{li}'"
             for k in range(m)
         ),
         "lineitem",
     )
     pt = f"{BASE_SF}/part.parquet"
+    # r14 needs a CLOSED contiguous partkey space (q228's ancestor walk:
+    # parent(p) in [1, p-1] must itself exist) — dense per-copy offsets
+    if mode == "r14":
+        base_n = con.execute(f"SELECT count(*) FROM '{pt}'").fetchone()[0]
+        part_off = int(base_n)
+    else:
+        part_off = OFFSET
     copy(
         " UNION ALL ".join(
-            f"SELECT CAST(p_partkey + {k * OFFSET} AS BIGINT) AS p_partkey,"
+            f"SELECT CAST(p_partkey + {k * part_off} AS BIGINT) AS p_partkey,"
             + (
                 " p_name"
                 if k == 0
@@ -189,7 +218,9 @@ def materialize(m: int) -> str:
 
 def _query_set() -> tuple[str, ...]:
     mode = os.environ.get("SPARK_GRAFT_R12X_SET")
-    base = {"r13": QUERIES_R13, "r9": QUERIES_R9}.get(mode, QUERIES)
+    base = {"r13": QUERIES_R13, "r9": QUERIES_R9, "r14": QUERIES_R14}.get(
+        mode, QUERIES
+    )
     # comma-separated subset for targeted re-measures (e.g. after a single
     # query's plan changes) — inherited by the cell subprocesses via env
     only = os.environ.get("SPARK_GRAFT_R12X_QUERIES")
@@ -305,7 +336,11 @@ def orchestrate(mults: tuple[int, ...]) -> None:
              "r9": "r9 ingest/curation probes (documents xM: doc_id remapped "
                    "per copy, text/lang/source/n_chars passthrough — "
                    "near-dup structure repeats per copy, index and "
-                   "candidate sets grow xM)"}.get(
+                   "candidate sets grow xM)",
+             "r14": "heaviest r14 additions (part gets DENSE k*base_n "
+                    "offsets so q228's ancestor key space stays closed; "
+                    "lineitem carries shipdate/extendedprice so q233's "
+                    "daily cents grow xM on a constant day grid)"}.get(
                 mode, "five heaviest r12 operators")
             + " on sf0.01 tables multiplied xM as "
             "DISJOINT key-remapped copies (keys + k*1e6; part names "
@@ -327,7 +362,7 @@ def main() -> None:
     elif argv[:1] == ["--duck-cell"]:
         duck_cell(int(argv[1]), argv[2])
     else:
-        for flag, mode in (("--r13", "r13"), ("--r9", "r9")):
+        for flag, mode in (("--r13", "r13"), ("--r9", "r9"), ("--r14", "r14")):
             if flag in argv:
                 os.environ["SPARK_GRAFT_R12X_SET"] = mode
                 os.environ.setdefault(
