@@ -287,6 +287,109 @@ def audio_main(argv: list[str]) -> int:
     return 0
 
 
+def build_sql_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv_loader_spark sql",
+        description=(
+            "Ad-hoc SQL gateway over a parquet table directory: registers "
+            "every benchmark table present (region nation customer supplier "
+            "part orders lineitem events documents embeddings) as a temp "
+            "view and runs your SQL — or any registered named query — "
+            "printing rows or landing parquet."
+        ),
+    )
+    p.add_argument(
+        "--data", required=True, help="table directory (sf dir of parquet)"
+    )
+    g = p.add_mutually_exclusive_group(required=True)
+    g.add_argument("--query", help="SQL text over the registered views")
+    g.add_argument("--sql-file", help="read the SQL from this file")
+    g.add_argument(
+        "--name", help="run a registered named query (e.g. q01_pricing_summary)"
+    )
+    p.add_argument(
+        "--out", help="write the result as parquet here instead of printing"
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="max rows to print (default 20)"
+    )
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
+    return p
+
+
+def sql_main(argv: list[str]) -> int:
+    args = build_sql_parser().parse_args(argv)
+    if not os.path.isdir(args.data):
+        print(f"table directory not found: {args.data}", file=sys.stderr)
+        return 1
+    if args.sql_file and not os.path.exists(args.sql_file):
+        print(f"sql file not found: {args.sql_file}", file=sys.stderr)
+        return 1
+
+    from csv_loader_spark.io.tables import TABLES, register_views
+    from csv_loader_spark.session import get_spark
+
+    spark = get_spark("csv_loader_sql")
+    if args.name:
+        from csv_loader_spark.queries.registry import all_specs
+
+        specs = all_specs()
+        if args.name not in specs:
+            print(
+                f"unknown query: {args.name} "
+                f"({len(specs)} registered; see SURVEY.md)",
+                file=sys.stderr,
+            )
+            return 1
+        df = specs[args.name].fn(spark, args.data)
+    else:
+        present = [
+            t
+            for t in TABLES
+            if os.path.exists(os.path.join(args.data, f"{t}.parquet"))
+        ]
+        if not present:
+            print(
+                f"no benchmark tables under {args.data}", file=sys.stderr
+            )
+            return 1
+        register_views(spark, args.data, *present)
+        sql = args.query
+        if args.sql_file:
+            with open(args.sql_file) as fh:
+                sql = fh.read()
+        try:
+            df = spark.sql(sql)
+        except Exception as e:  # AnalysisException/ParseException
+            # message-and-return convention (CsvLoader.java:59-61 shape)
+            print(f"sql error: {str(e).splitlines()[0]}", file=sys.stderr)
+            return 1
+    if args.explain:
+        print(df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        ))
+        return 0
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"result landed: {args.out} ({n} rows)")
+        return 0
+    rows = df.limit(args.limit + 1).collect()
+    cols = df.columns
+    print("\t".join(cols))
+    for r in rows[: args.limit]:
+        print("\t".join("NULL" if v is None else str(v) for v in r))
+    if len(rows) > args.limit:
+        print("... (more rows; raise --limit or use --out)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv[:1] == ["curate"]:
@@ -295,6 +398,8 @@ def main(argv: list[str] | None = None) -> int:
         return monitor_main(argv[1:])
     if argv[:1] == ["audio"]:
         return audio_main(argv[1:])
+    if argv[:1] == ["sql"]:
+        return sql_main(argv[1:])
     args = build_parser().parse_args(argv)
     if not os.path.exists(args.file):
         # reference behavior: message + return, no stack trace (:59-61)

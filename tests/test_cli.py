@@ -344,3 +344,60 @@ def test_audio_stream_empty_lake(tmp_path, spark, capsys):
     assert rc == 0
     assert "0 assets total" in captured.out
     assert "does not exist yet" in captured.err
+
+
+def test_sql_subcommand_adhoc_and_named(tmp_path, spark, capsys):
+    """`python -m csv_loader_spark sql`: ad-hoc SQL over the registered
+    views prints rows; --name runs a registered query; --out lands
+    parquet; the error paths follow the message-and-return convention."""
+    sf = "/root/testdata/sf0.001"
+    # ad-hoc SQL, printed
+    rc = main(
+        ["sql", "--data", sf, "--query",
+         "SELECT count(*) AS n FROM documents"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "n"
+    assert int(out[1]) > 0
+
+    # named registered query, landed as parquet
+    dest = str(tmp_path / "q01")
+    rc = main(["sql", "--data", sf, "--name", "q01_pricing_summary",
+               "--out", dest])
+    assert rc == 0
+    assert "result landed" in capsys.readouterr().out
+    assert spark.read.parquet(dest).count() > 0
+
+    # limit + more-rows marker
+    rc = main(["sql", "--data", sf, "--query",
+               "SELECT doc_id FROM documents ORDER BY doc_id",
+               "--limit", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5  # header + 3 rows + marker
+    assert out[-1].startswith("...")
+
+
+def test_sql_subcommand_error_paths(tmp_path, spark, capsys):
+    from csv_loader_spark.cli import main as cli_main
+
+    rc = cli_main(["sql", "--data", str(tmp_path / "nope"),
+                   "--query", "SELECT 1"])
+    assert rc == 1
+    assert "table directory not found" in capsys.readouterr().err
+
+    sf = "/root/testdata/sf0.001"
+    rc = cli_main(["sql", "--data", sf, "--query",
+                   "SELECT FROM WHERE banana"])
+    assert rc == 1
+    assert "sql error" in capsys.readouterr().err
+
+    rc = cli_main(["sql", "--data", sf, "--name", "q999_nope"])
+    assert rc == 1
+    assert "unknown query" in capsys.readouterr().err
+
+    rc = cli_main(["sql", "--data", sf, "--sql-file",
+                   str(tmp_path / "missing.sql")])
+    assert rc == 1
+    assert "sql file not found" in capsys.readouterr().err

@@ -926,3 +926,30 @@ def test_r14_queries_plan_shapes(spark):
     assert "BroadcastNestedLoopJoin" not in p227
     # the two per-source size frames ride broadcast hints
     assert p227.count("BroadcastHashJoin") >= 2
+
+
+def test_r14_batch2_plan_shapes(spark):
+    """q228-q233 stay in scalable shapes. q228: the doubling loop leaves a
+    checkpointed jump table — the FINAL plan is a plain hash aggregate
+    over it (no lineage blow-up: each round is truncated by
+    localCheckpoint). q229: the only non-equi join is the 1-row max-day
+    clip (broadcast NLJ on a 1-row side is the documented pattern, not a
+    data-sized cartesian). q230/q233: sizes/lags ride broadcasts; the
+    data-sized joins are equi. q232: per-round equi joins only."""
+    p228 = _plan(spark, "q228_ancestor_closure")
+    assert "CartesianProduct" not in p228
+    assert "HashAggregate" in p228
+    p229 = _plan(spark, "q229_rolling_actives")
+    assert "CartesianProduct" not in p229
+    # the day<=last_day clip is a broadcast NLJ against ONE row
+    assert "BroadcastNestedLoopJoin" in p229
+    p230 = _plan(spark, "q230_ks_drift")
+    assert "CartesianProduct" not in p230
+    assert p230.count("BroadcastHashJoin") >= 1
+    p232 = _plan(spark, "q232_label_propagation")
+    assert "CartesianProduct" not in p232
+    assert "BroadcastNestedLoopJoin" not in p232
+    p233 = _plan(spark, "q233_revenue_acf")
+    assert "CartesianProduct" not in p233
+    # the grid x lags fan-out is a broadcast of the 10-row lag frame
+    assert "BroadcastNestedLoopJoin" in p233 or "BroadcastHashJoin" in p233
