@@ -641,3 +641,228 @@ def q233_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("acf"),
     ).orderBy("lag")
+
+
+# --- q234: per-source rank-sum skew (Mann-Whitney) ----------------------------
+
+
+@query(
+    "q234_source_rank_skew",
+    oracle="""
+    WITH ranked AS (
+      SELECT source,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+    per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(rk) AS BIGINT) AS rank_sum
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_docs, rank_sum,
+           round(CAST(rank_sum - n_docs AS DOUBLE)
+                 / (n_docs * (n_total - 1)), 4) AS mean_pct_rank
+    FROM per, n
+    ORDER BY mean_pct_rank DESC, source
+    """,
+    tags=("analytics", "llm", "r14"),
+)
+def q234_source_rank_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney-style rank-sum skew per source: where each source's
+    documents sit in the GLOBAL document-length ranking — (source,
+    n_docs, rank_sum, mean_pct_rank) with mean_pct_rank = the average of
+    the docs' global percent_ranks = (Σrank − n)/(n·(N−1)). One number
+    per source showing long/short-document skew — the rank-based
+    companion to q230's KS (robust to any monotone transform of the
+    length). All sufficient statistics are exact BIGINT (ranks are
+    unique via the doc_id tie-break); the single division is final.
+
+    Scale: the global rank is computed TWO-LEVEL, never as a
+    single-partition window over the table (the llm6/retrieval
+    convention): per-VALUE counts → exclusive cumulative base over the
+    bounded value domain (broadcast back), plus a row_number
+    partitioned BY VALUE for the doc_id tie-break — rank = base + pos.
+    The only single-partition window runs over |distinct lengths|
+    (quantize first if the domain is unbounded, as q230 notes)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    )
+    vals = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    w_v = Window.orderBy("n_chars")
+    base = vals.select(
+        "n_chars", (F.sum("m").over(w_v) - F.col("m")).alias("base")
+    )
+    w_pos = Window.partitionBy("n_chars").orderBy("doc_id")
+    ranked = d.join(F.broadcast(base), "n_chars").select(
+        "source",
+        (F.col("base") + F.row_number().over(w_pos)).alias("rk"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    per = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("rk").cast("long").alias("rank_sum"),
+    )
+    return (
+        per.crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_docs",
+            "rank_sum",
+            F.round(
+                (F.col("rank_sum") - F.col("n_docs")).cast("double")
+                / (F.col("n_docs") * (F.col("n_total") - 1)),
+                4,
+            ).alias("mean_pct_rank"),
+        )
+        .orderBy(F.desc("mean_pct_rank"), "source")
+    )
+
+
+# --- q235: Gini concentration of customer revenue -----------------------------
+
+
+@query(
+    "q235_revenue_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM cust
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS HUGEINT) AS tot,
+             sum(CAST(i AS HUGEINT) * cents) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(CAST(2 * weighted AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / n, 4) AS gini
+    FROM s
+    """,
+    tags=("analytics", "r14"),
+)
+def q235_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue concentration (the
+    one-number companion to q195's ABC/Pareto classes): G =
+    2·Σ(i·x_(i))/(n·Σx) − (n+1)/n over the ascending-sorted per-customer
+    totals — (n_customers, gini). Revenue is exact integer cents (q199
+    convention); rank i is unique via the custkey tie-break (ties in x
+    contribute the same G either way since Σ i over a tie block is
+    fixed); Σ(i·x) takes 128-bit headroom. Floats appear only in the
+    final two divisions, fed the same exact integers on both engines.
+
+    Scale: the ascending rank is TWO-LEVEL (the q234/llm6 shape):
+    customers bucket by cents DIV 1e6, per-bucket counts give exclusive
+    cumulative bases over the bounded bucket domain, and a row_number
+    partitioned BY BUCKET orders (cents, custkey) within — rank =
+    base + pos. No single-partition window over the customer set."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("cents")
+    )
+    bkt = F.expr("cents DIV 1000000").alias("bkt")
+    buckets = cust.select(bkt).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w_b = Window.orderBy("bkt")
+    base = buckets.select(
+        "bkt", (F.sum("m").over(w_b) - F.col("m")).alias("base")
+    )
+    w_pos = Window.partitionBy("bkt").orderBy("cents", "o_custkey")
+    ranked = cust.select("o_custkey", "cents", bkt).join(
+        F.broadcast(base), "bkt"
+    ).select(
+        "cents",
+        (F.col("base") + F.row_number().over(w_pos)).cast("long").alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).cast(
+            "decimal(38,0)"
+        ).alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (F.lit(2) * F.col("weighted")).cast("double")
+            / (nd * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / nd,
+            4,
+        ).alias("gini"),
+    )
+
+
+# --- q236: burstiness (Fano factor) per event type -----------------------------
+
+
+@query(
+    "q236_event_burstiness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, d
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, sc AS n_events,
+           round(CAST(n_days * scc - sc * sc AS DOUBLE)
+                 / (CAST(n_days AS DOUBLE) * sc), 4) AS fano
+    FROM stats
+    ORDER BY fano DESC, event_type
+    """,
+    tags=("analytics", "timeseries", "r14"),
+)
+def q236_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type as the FANO FACTOR of its daily
+    counts (variance-to-mean ratio; 1 = Poisson, >1 = bursty): —
+    (event_type, n_days, n_events, fano) with fano = (n·Σc² − (Σc)²) /
+    (n·Σc), all sufficient statistics exact BIGINT over days the type
+    was active. The index-dispersion companion to q231's per-user gap
+    regularity: q231 ranks users, this ranks event TYPES.
+
+    Scale: one (type, day) count shuffle + one per-type aggregate —
+    state is day-grain, never row-grain. Σc² wants 128-bit promotion
+    (the q231/q233 pattern) once daily per-type counts approach 3e9."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+    )
+    return stats.select(
+        "event_type",
+        "n_days",
+        F.col("sc").alias("n_events"),
+        F.round(
+            (F.col("n_days") * F.col("scc") - F.col("sc") * F.col("sc")).cast(
+                "double"
+            )
+            / (F.col("n_days").cast("double") * F.col("sc")),
+            4,
+        ).alias("fano"),
+    ).orderBy(F.desc("fano"), "event_type")

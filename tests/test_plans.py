@@ -953,3 +953,16 @@ def test_r14_batch2_plan_shapes(spark):
     assert "CartesianProduct" not in p233
     # the grid x lags fan-out is a broadcast of the 10-row lag frame
     assert "BroadcastNestedLoopJoin" in p233 or "BroadcastHashJoin" in p233
+
+
+def test_r14_rank_queries_two_level_no_global_table_window(spark):
+    """q234/q235 compute global ranks TWO-LEVEL: the per-value/bucket
+    row_number window is PARTITIONED (distributed), the cumulative base
+    rides a bounded domain and comes back via broadcast — so each plan
+    shows a partitioned Window plus a BroadcastHashJoin, never a lone
+    unpartitioned Window directly over the table scan."""
+    for name in ("q234_source_rank_skew", "q235_revenue_gini"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan
+        assert plan.count("Window") >= 2  # base cumsum + partitioned pos
+        assert "BroadcastHashJoin" in plan
