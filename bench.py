@@ -195,11 +195,22 @@ R13_OPS = (
     "q224_fk_orphan_census",
 )
 
-# The r14 batch: decontamination meter, assortativity, vocab overlap.
+# The r14 batch: decontamination meter, assortativity, vocab overlap,
+# pointer-doubling closure, rolling actives, KS drift, bot regularity,
+# label propagation, revenue ACF, rank skew, Gini, Fano burstiness.
 R14_OPS = (
     "q225_split_contamination",
     "q226_degree_assortativity",
     "q227_source_vocab_overlap",
+    "q228_ancestor_closure",
+    "q229_rolling_actives",
+    "q230_ks_drift",
+    "q231_bot_regularity",
+    "q232_label_propagation",
+    "q233_revenue_acf",
+    "q234_source_rank_skew",
+    "q235_revenue_gini",
+    "q236_event_burstiness",
 )
 
 _ALL = (
