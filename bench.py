@@ -211,6 +211,8 @@ R14_OPS = (
     "q234_source_rank_skew",
     "q235_revenue_gini",
     "q236_event_burstiness",
+    "q237_bfs_levels",
+    "q238_item_cosine_cf",
 )
 
 _ALL = (

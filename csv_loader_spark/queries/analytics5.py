@@ -866,3 +866,207 @@ def q236_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("fano"),
     ).orderBy(F.desc("fano"), "event_type")
+
+
+# --- q237: BFS hop distances from the hub node --------------------------------
+
+#: hop cap — both engines stop here, so the semantics stay identical
+#: even on a graph whose eccentricity exceeds it.
+_BFS_MAX_HOPS = 12
+
+
+def _bfs_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT cu AS src, su AS dst FROM pairs
+      UNION ALL SELECT su AS src, cu AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    root AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    walk(node, lvl) AS (
+      SELECT node, 0 FROM root
+      UNION
+      SELECT e.dst, walk.lvl + 1
+      FROM walk JOIN e ON e.src = walk.node
+      WHERE walk.lvl < {_BFS_MAX_HOPS}
+    ),
+    lvls AS (SELECT node, CAST(min(lvl) AS BIGINT) AS lvl
+             FROM walk GROUP BY node)
+    SELECT lvl, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM lvls GROUP BY lvl ORDER BY lvl
+    """
+
+
+@query(
+    "q237_bfs_levels",
+    oracle=_bfs_oracle(),
+    tags=("graph", "analytics", "r14"),
+)
+def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram of a BFS from the HUB of the trade graph
+    (the max-degree node, min-id tie-break): (lvl, n_nodes, min_node)
+    per level, capped at {_BFS_MAX_HOPS} hops on both engines. The
+    frontier loop is Spark's native BFS shape — per round one edge-keyed
+    join expands the frontier and one anti-join drops visited nodes, so
+    work per round is O(frontier edges), with lazily-checkpointed
+    visited/frontier frames (the q160 convention). The oracle's
+    recursive CTE explores (node, lvl) pairs and takes min(lvl) — same
+    fixed point, sequential.
+
+    The 1-row root collect is the bounded driver-side pattern
+    (llm5's |Q| matrix note), not a data-sized collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cu"),
+            (F.col("l_suppkey") * 2 + 1).alias("su"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e = pairs.select(
+        F.col("cu").alias("src"), F.col("su").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    root = deg.orderBy(F.desc("d"), "node").limit(1).collect()[0]["node"]
+    visited = spark.createDataFrame(
+        [(int(root), 0)], "node long, lvl long"
+    ).localCheckpoint(eager=False)
+    frontier = visited
+    for i in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).cast("long").alias("lvl"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return (
+        visited.groupBy("lvl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("lvl")
+    )
+
+
+# --- q238: item-item cosine collaborative filtering ---------------------------
+
+#: flood guard: customers with more distinct parts than this are dropped
+#: (the hot-bucket convention; mirrored in the oracle so both engines see
+#: the same pair set).
+_CF_MAX_BASKET = 100
+_CF_TOP = 25
+
+
+@query(
+    "q238_item_cosine_cf",
+    oracle=f"""
+    WITH ui0 AS (
+      SELECT o_custkey AS c, l_partkey AS p,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY c, p
+    ),
+    keep AS (
+      SELECT c FROM ui0 GROUP BY c HAVING count(*) <= {_CF_MAX_BASKET}
+    ),
+    ui AS (SELECT ui0.* FROM ui0 JOIN keep USING (c)),
+    norms AS (
+      SELECT p, CAST(sum(q * q) AS BIGINT) AS nn FROM ui GROUP BY p
+    ),
+    dots AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+      FROM ui a JOIN ui b ON a.c = b.c AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, dot,
+           round(dot / (sqrt(CAST(na.nn AS DOUBLE))
+                        * sqrt(CAST(nb.nn AS DOUBLE))), 4) AS cosine
+    FROM dots JOIN norms na ON na.p = p1 JOIN norms nb ON nb.p = p2
+    ORDER BY cosine DESC, p1, p2
+    LIMIT {_CF_TOP}
+    """,
+    tags=("analytics", "llm", "r14"),
+)
+def q238_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001): top-{TOP}
+    part pairs by quantity-weighted cosine over the customer-part
+    matrix — (p1, p2, dot, cosine). The quantity vector is exact BIGINT
+    (l_quantity is integral; round() makes it so explicitly), dots and
+    norms are exact integer sums, and the cosine is one rounded
+    float expression over them.
+
+    Scale: the pair candidates come from a self-join ON THE CUSTOMER —
+    Σ|basket|² work — with a {_CF_MAX_BASKET}-part basket cap dropping
+    degenerate mega-customers (the hot-bucket convention, mirrored in
+    the oracle; q97/q119's flood-immunity shape). Norms broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ui0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    keep = (
+        ui0.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= _CF_MAX_BASKET)
+        .select("c")
+    )
+    ui = ui0.join(keep, "c").localCheckpoint(eager=False)
+    norms = ui.groupBy("p").agg(
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nn")
+    )
+    a = ui.select("c", F.col("p").alias("p1"), F.col("q").alias("q1"))
+    b = ui.select("c", F.col("p").alias("p2"), F.col("q").alias("q2"))
+    dots = (
+        a.join(b, "c")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.sum(F.col("q1") * F.col("q2")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("p").alias("p1"), F.col("nn").alias("nn1"))
+    nb = norms.select(F.col("p").alias("p2"), F.col("nn").alias("nn2"))
+    return (
+        dots.join(F.broadcast(na), "p1")
+        .join(F.broadcast(nb), "p2")
+        .select(
+            "p1",
+            "p2",
+            "dot",
+            F.round(
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("nn1").cast("double"))
+                    * F.sqrt(F.col("nn2").cast("double"))
+                ),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "p1", "p2")
+        .limit(_CF_TOP)
+    )
