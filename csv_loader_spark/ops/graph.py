@@ -264,3 +264,62 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+
+
+def root_depths(
+    pointers: DataFrame,
+    node: str = "node",
+    parent: str = "parent",
+    root_id: int = 1,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Depth-to-root for every node of a FOREST given as (node, parent)
+    pointer rows (the root itself is not listed; every parent chain must
+    end at ``root_id``).
+
+    POINTER DOUBLING (Wyllie 1979 list ranking): a (node, anc, depth)
+    jump table self-joined until every pointer reaches the root — each
+    round splices every pending node's ancestor pointer with that
+    ancestor's own pointer and adds the depths, halving the remaining
+    path, so convergence takes ceil(log2(max_depth)) node-keyed shuffle
+    rounds (vs O(max_depth) rounds for the naive chase, and vs
+    O(diameter) for connected_components' min-propagation above).
+    Returns (node, depth) for every pointer row; depth >= 1.
+
+    Raises after ``max_rounds`` doublings (2^max_rounds depth) — a chain
+    that deep means the input is not the shallow forest this is for.
+    """
+    ptr = pointers.select(
+        F.col(node).alias("node"),
+        F.col(parent).alias("anc"),
+        F.lit(1).cast("long").alias("depth"),
+    ).localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        pending = ptr.filter(F.col("anc") != root_id)
+        if pending.limit(1).count() == 0:
+            return ptr.select("node", "depth")
+        jump = ptr.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        ptr = (
+            ptr.join(jump, ptr["anc"] == jump["j_node"], "left")
+            .select(
+                "node",
+                F.when(F.col("anc") == root_id, F.col("anc"))
+                .otherwise(F.col("j_anc"))
+                .alias("anc"),
+                F.when(F.col("anc") == root_id, F.col("depth"))
+                .otherwise(F.col("depth") + F.col("j_depth"))
+                .alias("depth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    if ptr.filter(F.col("anc") != root_id).limit(1).count() == 0:
+        return ptr.select("node", "depth")
+    raise RuntimeError(
+        f"root_depths still pending after {max_rounds} doubling rounds "
+        f"(depth > 2^{max_rounds}) — the input is a deep chain, not a "
+        "shallow forest; raise max_rounds or list-contract first"
+    )

@@ -122,46 +122,21 @@ def q228_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ancestor's pointer and adds the depths, halving the remaining path.
     4 rounds close depth 15 (sf0.1); the sequential WITH RECURSIVE
     oracle walks the same forest one step at a time and lands on the
-    identical histogram."""
+    identical histogram. The doubling loop is ops/graph.py
+    root_depths (property-tested against a Python chase on random
+    forests in tests/test_graph_ops.py)."""
+    from csv_loader_spark.ops.graph import root_depths
+
     part = load_table(spark, sf_dir, "part").select("p_partkey")
-    ptr = (
-        part.filter(F.col("p_partkey") >= 2)
-        .select(
-            F.col("p_partkey").alias("node"),
-            _parent_expr("p_partkey").alias("anc"),
-            F.lit(1).cast("long").alias("depth"),
-        )
-        .localCheckpoint(eager=False)
+    ptr = part.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("node"),
+        _parent_expr("p_partkey").alias("parent"),
     )
-    for _ in range(_MAX_DOUBLING_ROUNDS):
-        pending = ptr.filter(F.col("anc") != 1)
-        if pending.limit(1).count() == 0:
-            break
-        # jump: pending rows splice in their ancestor's (anc, depth);
-        # rows already at the root pass through unchanged. One
-        # node-keyed shuffle per round; depth doubles per round.
-        jump = ptr.select(
-            F.col("node").alias("j_node"),
-            F.col("anc").alias("j_anc"),
-            F.col("depth").alias("j_depth"),
-        )
-        ptr = (
-            ptr.join(jump, ptr["anc"] == jump["j_node"], "left")
-            .select(
-                "node",
-                F.when(F.col("anc") == 1, F.col("anc"))
-                .otherwise(F.col("j_anc"))
-                .alias("anc"),
-                F.when(F.col("anc") == 1, F.col("depth"))
-                .otherwise(F.col("depth") + F.col("j_depth"))
-                .alias("depth"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    got = root_depths(ptr, max_rounds=_MAX_DOUBLING_ROUNDS)
     root = spark.range(1, 2).select(
         F.col("id").alias("node"), F.lit(0).cast("long").alias("depth")
     )
-    depths = ptr.select("node", "depth").unionAll(root)
+    depths = got.unionAll(root)
     return (
         depths.groupBy("depth")
         .agg(

@@ -966,3 +966,16 @@ def test_r14_rank_queries_two_level_no_global_table_window(spark):
         assert "CartesianProduct" not in plan
         assert plan.count("Window") >= 2  # base cumsum + partitioned pos
         assert "BroadcastHashJoin" in plan
+
+
+def test_q237_q238_plan_shapes(spark):
+    """q237's final frame is the visited union under hash aggregate (each
+    BFS round was checkpoint-truncated); q238's pair join is customer-
+    keyed equi with broadcast norms — no cartesian anywhere."""
+    p237 = _plan(spark, "q237_bfs_levels")
+    assert "CartesianProduct" not in p237
+    assert "HashAggregate" in p237
+    p238 = _plan(spark, "q238_item_cosine_cf")
+    assert "CartesianProduct" not in p238
+    assert "BroadcastNestedLoopJoin" not in p238
+    assert p238.count("BroadcastHashJoin") >= 2  # the two norm frames

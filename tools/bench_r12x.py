@@ -100,6 +100,8 @@ QUERIES_R14 = (
     "q228_ancestor_closure",
     "q232_label_propagation",
     "q233_revenue_acf",
+    "q237_bfs_levels",
+    "q238_item_cosine_cf",
 )
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
@@ -123,7 +125,9 @@ def materialize(m: int) -> str:
     # phantom DNF (missing-view IOException in the subprocess).
     done = os.path.join(out, "_DONE")
     mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
-    stamp = f"{m}:{mode}:{','.join(TABLES)}"
+    # v2: the stamp versions the COLUMN layout too (adding a passthrough
+    # column to a mode used to leave stale dirs that crash the new query)
+    stamp = f"{m}:{mode}:v2:{','.join(TABLES)}"
     if os.path.isdir(out) and os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == stamp:
@@ -142,7 +146,7 @@ def materialize(m: int) -> str:
     # r14 carries the pricing/date columns through for q233 (daily cents
     # grow xM on a constant day grid)
     li_extra = (
-        ", l_shipdate, l_extendedprice" if mode == "r14" else ""
+        ", l_shipdate, l_extendedprice, l_quantity" if mode == "r14" else ""
     )
     copy(
         " UNION ALL ".join(
