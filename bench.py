@@ -213,6 +213,8 @@ R14_OPS = (
     "q236_event_burstiness",
     "q237_bfs_levels",
     "q238_item_cosine_cf",
+    "q239_churn_hazard",
+    "q240_cuped_ab",
 )
 
 _ALL = (

@@ -1045,3 +1045,234 @@ def q238_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "p1", "p2")
         .limit(_CF_TOP)
     )
+
+
+# --- q239: churn hazard table (Kaplan-Meier risk-set form) ---------------------
+
+
+@query(
+    "q239_churn_hazard",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS DATE)) AS DATE) AS first_d,
+             CAST(max(CAST(ts AS DATE)) AS DATE) AS last_d
+      FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(last_d) AS h FROM span),
+    lives AS (
+      -- churn day t = lifetime in days; users still active at the
+      -- horizon are censored (observed = 0)
+      SELECT CAST(last_d - first_d AS BIGINT) AS t,
+             CASE WHEN last_d < h THEN 1 ELSE 0 END AS observed
+      FROM span, horizon
+    ),
+    times AS (
+      SELECT t,
+             CAST(sum(observed) AS BIGINT) AS d,
+             CAST(count(*) - sum(observed) AS BIGINT) AS censored
+      FROM lives GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, censored,
+             CAST(sum(d + censored) OVER (ORDER BY t DESC) AS BIGINT)
+               AS n_risk
+      FROM times
+    )
+    SELECT t AS lifetime_days, n_risk, d AS n_churned, censored,
+           round(CAST(d AS DOUBLE) / n_risk, 4) AS hazard
+    FROM risk
+    WHERE d > 0
+    ORDER BY lifetime_days
+    """,
+    tags=("analytics", "r14"),
+)
+def q239_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style RISK TABLE for user churn: per observed
+    lifetime t (days between a user's first and last event), the risk
+    set n_risk = users with lifetime >= t (a reverse-cumulative sum),
+    churn events d (users whose last activity precedes the global
+    horizon — horizon-day users are CENSORED, the KM convention), and
+    the discrete hazard d/n_risk — (lifetime_days, n_risk, n_churned,
+    censored, hazard). The hazard column is the exact per-time factor
+    of the KM product-limit estimator; the table deliberately stops
+    short of the cumulative survival product, whose exp/ln chain is
+    libm-dependent across engines (the repo's float-determinism rule) —
+    every emitted number is exact integers plus ONE rounded division.
+
+    Scale: one user-keyed min/max aggregate, one lifetime-keyed count,
+    one reverse cumsum over the bounded lifetime domain (|distinct
+    lifetimes| <= observation days)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("d").alias("first_d"), F.max("d").alias("last_d")
+    )
+    horizon = span.agg(F.max("last_d").alias("h"))
+    lives = span.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("t"),
+        F.when(F.col("last_d") < F.col("h"), 1).otherwise(0).alias("observed"),
+    )
+    times = lives.groupBy("t").agg(
+        F.sum("observed").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("observed")).cast("long").alias("censored"),
+    )
+    w = Window.orderBy(F.desc("t"))
+    risk = times.select(
+        "t",
+        "d",
+        "censored",
+        F.sum(F.col("d") + F.col("censored")).over(w).cast("long").alias(
+            "n_risk"
+        ),
+    )
+    return (
+        risk.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("lifetime_days"),
+            "n_risk",
+            F.col("d").alias("n_churned"),
+            "censored",
+            F.round(F.col("d").cast("double") / F.col("n_risk"), 4).alias(
+                "hazard"
+            ),
+        )
+        .orderBy("lifetime_days")
+    )
+
+
+# --- q240: CUPED variance-reduced A/B readout ----------------------------------
+
+#: experiment split: user parity (deterministic, balanced); pre-period =
+#: the first half of the observation window, post = the second half.
+_CUPED_SPLIT_DAY = 15
+
+
+@query(
+    "q240_cuped_ab",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(ts AS DATE) - (SELECT min(CAST(ts AS DATE)) FROM events)
+               AS dd,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, variant,
+             CAST(sum(CASE WHEN dd < {_CUPED_SPLIT_DAY} THEN cents
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN dd >= {_CUPED_SPLIT_DAY} THEN cents
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM base GROUP BY user_id, variant
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+      FROM per_user
+    ),
+    theta AS (
+      SELECT n, sx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th
+      FROM pooled
+    ),
+    arms AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(y) AS HUGEINT) AS vy,
+             CAST(sum(x) AS HUGEINT) AS vx
+      FROM per_user GROUP BY variant
+    )
+    SELECT variant, n_users,
+           round(CAST(vy AS DOUBLE) / n_users / 100, 4) AS mean_post,
+           round(
+             (CAST(vy AS DOUBLE) / n_users
+              - th * (CAST(vx AS DOUBLE) / n_users
+                      - CAST(sx AS DOUBLE) / n)) / 100,
+             4
+           ) AS mean_cuped
+    FROM arms, theta
+    ORDER BY variant
+    """,
+    tags=("analytics", "r14"),
+)
+def q240_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al., WSDM
+    2013): per variant (user parity), the raw post-period mean spend and
+    the CUPED-adjusted mean  ŷ = ȳ_v − θ·(x̄_v − x̄)  with θ =
+    cov(x,y)/var(x) estimated POOLED on per-user pre/post totals —
+    (variant, n_users, mean_post, mean_cuped). Pre/post totals are exact
+    integer cents; θ and the adjustment are scalar double expressions
+    over exact 128-bit sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)²), so both
+    engines feed identical integers into identical IEEE arithmetic.
+
+    Scale: one user-keyed aggregate + two 1-row reductions; the
+    adjustment itself is O(|variants|)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d"), "value"
+    )
+    d0 = ev.agg(F.min("d").alias("d0"))
+    base = ev.crossJoin(F.broadcast(d0)).select(
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+        F.datediff("d", "d0").alias("dd"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_user = base.groupBy("user_id", "variant").agg(
+        F.sum(
+            F.when(F.col("dd") < _CUPED_SPLIT_DAY, F.col("cents")).otherwise(0)
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.col("dd") >= _CUPED_SPLIT_DAY, F.col("cents")).otherwise(0)
+        ).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * dec("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    theta = pooled.select(
+        "n",
+        "sx",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("th"),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("decimal(38,0)").alias("vy"),
+        F.sum("x").cast("decimal(38,0)").alias("vx"),
+    )
+    return (
+        arms.crossJoin(F.broadcast(theta))
+        .select(
+            "variant",
+            "n_users",
+            F.round(
+                F.col("vy").cast("double") / F.col("n_users") / 100, 4
+            ).alias("mean_post"),
+            F.round(
+                (
+                    F.col("vy").cast("double") / F.col("n_users")
+                    - F.col("th")
+                    * (
+                        F.col("vx").cast("double") / F.col("n_users")
+                        - F.col("sx").cast("double") / F.col("n")
+                    )
+                )
+                / 100,
+                4,
+            ).alias("mean_cuped"),
+        )
+        .orderBy("variant")
+    )
