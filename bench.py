@@ -215,6 +215,7 @@ R14_OPS = (
     "q238_item_cosine_cf",
     "q239_churn_hazard",
     "q240_cuped_ab",
+    "q241_mutual_nn",
 )
 
 _ALL = (

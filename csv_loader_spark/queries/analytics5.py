@@ -1276,3 +1276,108 @@ def q240_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- q241: mutual nearest neighbors (label-blocked) ----------------------------
+
+_MNN_TOP = 25
+
+
+@query(
+    "q241_mutual_nn",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.label AS label,
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                                     i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    best AS (
+      SELECT ia, ib, label, sim,
+             row_number() OVER (PARTITION BY ia
+                                ORDER BY sim DESC, ib) AS rn
+      FROM pairs
+    )
+    SELECT m1.ia AS vec_a, m1.ib AS vec_b,
+           CAST(m1.label AS BIGINT) AS label,
+           round(m1.sim, 4) AS cosine
+    FROM best m1 JOIN best m2 ON m1.ia = m2.ib AND m1.ib = m2.ia
+    WHERE m1.rn = 1 AND m2.rn = 1 AND m1.ia < m1.ib
+    ORDER BY m1.sim DESC, vec_a
+    LIMIT {_MNN_TOP}
+    """,
+    tags=("similarity", "llm", "r14"),
+)
+def q241_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL nearest-neighbor pairs over the embedding corpus — the
+    bitext-mining / reciprocal-best-match primitive (e.g. CCMatrix,
+    Schwenk et al. 2021): vectors a,b where each is the other's cosine
+    top-1 WITHIN ITS LABEL BLOCK — top-{_MNN_TOP} pairs as (vec_a,
+    vec_b, label, cosine). Blocking by label bounds the pair space at
+    Σ|block|² (the SemDeDup cluster-bounded convention — at scale the
+    block key is a coarse quantizer/LSH bucket, here the given label);
+    the per-vector argmax is a window PARTITIONED by vector. Cosine
+    rides the JVM higher-order dot (functions/vectors.py — no Python);
+    ranking uses the RAW double (identical on both engines: same
+    sequential fold over the same arrays), rounded only for output."""
+    from csv_loader_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", V.as_double("embedding").alias("v")
+    )
+    a = e.select(
+        F.col("vec_id").alias("ia"), "label", F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("ib"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        a.join(b, a["label"] == b["label_b"])
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            "label",
+            (
+                V.dot("va", "vb") / (V.norm("va") * V.norm("vb"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("sim"), F.asc("ib"))
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    m1 = best.select(
+        F.col("ia").alias("vec_a"),
+        F.col("ib").alias("vec_b"),
+        "label",
+        "sim",
+    )
+    m2 = best.select(
+        F.col("ia").alias("r_b"), F.col("ib").alias("r_a")
+    )
+    return (
+        m1.join(
+            m2,
+            (m1["vec_a"] == m2["r_a"]) & (m1["vec_b"] == m2["r_b"]),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("label").cast("long").alias("label"),
+            "sim",
+        )
+        .orderBy(F.desc("sim"), "vec_a")
+        .limit(_MNN_TOP)
+        .select("vec_a", "vec_b", "label", F.round("sim", 4).alias("cosine"))
+    )
