@@ -1,9 +1,12 @@
-"""r14 analytics, batch 2: recursive hierarchy closure, trailing-window
-actives, distribution drift, and traffic-regularity bot detection.
+"""r14 analytics, batches 2-4 (q228-q241): recursive hierarchy closure,
+trailing-window actives, distribution drift, traffic-regularity bot
+detection, label propagation, autocorrelation, rank-sum skew, Gini,
+Fano burstiness, frontier BFS, item-item cosine CF, churn hazard,
+CUPED, and mutual nearest neighbors.
 
-Batch 2 (same round): q232 label propagation, q233 autocorrelation.
-
-Public-literature basis:
+Public-literature basis (q232+: Raghavan et al. 2007 LP; Sarwar et al.
+2001 item-item CF; Deng et al. 2013 CUPED; Schwenk et al. 2021 mutual
+NN; Newman/Massey/Kaplan-Meier classics per-docstring):
 - q228: transitive-closure / ancestor-path queries are the canonical
   example of an operator Spark's DataFrame API lacks (no recursive CTE —
   SPARK-24497 stayed open for years); the scalable distributed answer is
