@@ -461,8 +461,12 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each round is one edge-keyed join + one (dst, label) count +
     one per-dst argmax window — all node/edge-keyed shuffles, state one
-    row per node; round frames are lazily checkpointed so the lineage
-    stays flat (the q160/q212 iterative shape)."""
+    row per node. NO per-round checkpoints at this fixed 3-round depth:
+    the edge frame is checkpointed once and the shallow label lineage
+    executes once, so the materialization barriers cost more than they
+    save (measured A/B at sf0.1: 2.9 -> 2.4 s without — the q212
+    finding; a deeper/convergence-looped variant should adopt
+    pagerank_fixed_point's lazy checkpoint per round)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -493,7 +497,6 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("node"), "label")
-            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
