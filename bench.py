@@ -216,6 +216,7 @@ R14_OPS = (
     "q239_churn_hazard",
     "q240_cuped_ab",
     "q241_mutual_nn",
+    "q242_bounded_shortest_path",
 )
 
 _ALL = (

@@ -1397,3 +1397,115 @@ def q241_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MNN_TOP)
         .select("vec_a", "vec_b", "label", F.round("sim", 4).alias("cosine"))
     )
+
+
+# --- q242: hop-bounded weighted shortest paths (Bellman-Ford) ------------------
+
+#: relaxation rounds — results are round-count-pinned (min weight over
+#: paths of <= _BF_ROUNDS edges), the q160/q212/q232 convention.
+_BF_ROUNDS = 4
+
+
+def _bf_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _BF_ROUNDS + 1):
+        rounds.append(
+            f"""
+    d{i} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, {prev}.dist + e.w AS dist
+        FROM {prev} JOIN e ON e.src = {prev}.node
+      ) u GROUP BY node
+    )"""
+        )
+        prev = f"d{i}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e AS (
+      SELECT cu AS src, su AS dst, 1 + (cu + su) % 7 AS w FROM pairs
+      UNION ALL
+      SELECT su AS src, cu AS dst, 1 + (cu + su) % 7 AS w FROM pairs
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    root AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 1),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM root),
+    {",".join(rounds)}
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM {prev} GROUP BY dist ORDER BY dist
+    """
+
+
+@query(
+    "q242_bounded_shortest_path",
+    oracle=_bf_oracle(),
+    tags=("graph", "analytics", "r14"),
+)
+def q242_bounded_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED shortest distances from the trade-graph hub, bounded at
+    {_BF_ROUNDS} hops: {_BF_ROUNDS} rounds of Bellman-Ford min-plus
+    relaxation over edges weighted w = 1 + (cu+su) mod 7 (deterministic,
+    symmetric) — (dist, n_nodes, min_node) per distance value. The
+    weighted companion to q237's unit-hop BFS: BFS frontiers can't carry
+    weights (a later round may find a CHEAPER path to a visited node),
+    so every round re-relaxes the full distance table instead.
+
+    Scale: per round one edge-keyed join + one node-keyed min — the
+    distance table is one row per reached node. Rounds ARE checkpointed
+    here (unlike q232): each round references the previous table TWICE
+    (pass-through + relaxation legs), so without the checkpoint the
+    plan re-executes doubly per round (2^k leaf blow-up)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cu"),
+            (F.col("l_suppkey") * 2 + 1).alias("su"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w_expr = (F.lit(1) + (F.col("cu") + F.col("su")) % 7).alias("w")
+    e = pairs.select(
+        F.col("cu").alias("src"), F.col("su").alias("dst"), w_expr
+    ).unionAll(
+        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"), w_expr)
+    ).localCheckpoint(eager=False)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    root = deg.orderBy(F.desc("d"), "node").limit(1).collect()[0]["node"]
+    dist = spark.createDataFrame(
+        [(int(root), 0)], "node long, dist long"
+    ).localCheckpoint(eager=False)
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").cast("long").alias("min_node"),
+        )
+        .orderBy("dist")
+    )

@@ -102,12 +102,24 @@ QUERIES_R14 = (
     "q233_revenue_acf",
     "q237_bfs_levels",
     "q238_item_cosine_cf",
+    "q241_mutual_nn",
+    "q242_bounded_shortest_path",
 )
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
 OFFSET = 1_000_000
 #: tables materialize() writes per multiplier (also the _DONE stamp)
 TABLES = ("lineitem", "part", "documents", "events", "orders")
+
+
+def _mode_tables() -> tuple[str, ...]:
+    """r14 additionally multiplies embeddings (for q241): vec_id and
+    LABEL both offset per copy, so the label BLOCKS stay constant-size
+    while their count grows xM — the blocked-MNN scale path (finer
+    quantizer buckets), not M^2-bigger blocks."""
+    if os.environ.get("SPARK_GRAFT_R12X_SET") == "r14":
+        return TABLES + ("embeddings",)
+    return TABLES
 
 
 def _mult_dir(m: int) -> str:
@@ -125,9 +137,9 @@ def materialize(m: int) -> str:
     # phantom DNF (missing-view IOException in the subprocess).
     done = os.path.join(out, "_DONE")
     mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
-    # v2: the stamp versions the COLUMN layout too (adding a passthrough
+    # v3: the stamp versions the COLUMN layout too (adding a passthrough
     # column to a mode used to leave stale dirs that crash the new query)
-    stamp = f"{m}:{mode}:v2:{','.join(TABLES)}"
+    stamp = f"{m}:{mode}:v3:{','.join(_mode_tables())}"
     if os.path.isdir(out) and os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == stamp:
@@ -214,6 +226,18 @@ def materialize(m: int) -> str:
         ),
         "orders",
     )
+    if "embeddings" in _mode_tables():
+        eb = f"{BASE_SF}/embeddings.parquet"
+        copy(
+            " UNION ALL ".join(
+                f"SELECT CAST(vec_id + {k * OFFSET} AS BIGINT) AS vec_id,"
+                f" embedding,"
+                f" CAST(label + {k * 100} AS INTEGER) AS label"
+                f" FROM '{eb}'"
+                for k in range(m)
+            ),
+            "embeddings",
+        )
     con.close()
     with open(done, "w") as f:
         f.write(stamp)
@@ -265,7 +289,7 @@ def duck_cell(m: int, qname: str) -> None:
     d = _mult_dir(m)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
-    for t in TABLES:
+    for t in _mode_tables():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'"
         )
