@@ -1410,9 +1410,15 @@ def _bf_oracle() -> str:
     rounds = []
     prev = "d0"
     for i in range(1, _BF_ROUNDS + 1):
+        # AS MATERIALIZED: each round references the previous table
+        # TWICE — DuckDB's default CTE inlining would re-evaluate the
+        # whole chain per reference, 2^rounds-fold (the q181 k-core
+        # finding: 202 s -> 0.07 s; here the inlined form DNF'd >900 s
+        # at x100 while the materialized chain matches Spark's
+        # per-round checkpoints)
         rounds.append(
             f"""
-    d{i} AS (
+    d{i} AS MATERIALIZED (
       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM {prev}
         UNION ALL
