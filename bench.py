@@ -217,6 +217,7 @@ R14_OPS = (
     "q240_cuped_ab",
     "q241_mutual_nn",
     "q242_bounded_shortest_path",
+    "q243_seasonal_anomaly_days",
 )
 
 _ALL = (

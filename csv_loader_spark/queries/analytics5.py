@@ -1515,3 +1515,125 @@ def q242_bounded_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# --- q243: seasonal-hybrid anomaly days (S-H-ESD-style) ------------------------
+
+_ESD_TOP = 15
+
+
+@query(
+    "q243_seasonal_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem GROUP BY day
+    ),
+    d0 AS (SELECT min(day) AS d0 FROM daily),
+    keyed AS (
+      SELECT day, x,
+             CAST(day - d0 AS BIGINT) % 7 AS dow
+      FROM daily, d0
+    ),
+    season AS (
+      SELECT dow, CAST(sum(x) // count(*) AS BIGINT) AS s
+      FROM keyed GROUP BY dow
+    ),
+    resid AS (
+      SELECT day, x, keyed.dow, x - s AS r, abs(x - s) AS ar
+      FROM keyed JOIN season ON keyed.dow = season.dow
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY ar, day) AS rn,
+             count(*) OVER () AS n
+      FROM resid
+    ),
+    tm AS (
+      SELECT CAST(sum(ar * (CASE WHEN (n + 1) // 2 = (n + 2) // 2
+                                 THEN 2 ELSE 1 END)) AS BIGINT) AS tmad
+      FROM ranked
+      WHERE rn BETWEEN (n + 1) // 2 AND (n + 2) // 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, x AS cents, dow, r AS resid,
+           round(CAST(2 * ar AS DOUBLE) / tmad, 4) AS z_mad
+    FROM resid, tm
+    WHERE tmad > 0
+    ORDER BY z_mad DESC, day
+    LIMIT {_ESD_TOP}
+    """,
+    tags=("analytics", "timeseries", "r14"),
+)
+def q243_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid anomaly days (the S-H-ESD recipe: deseasonalize,
+    then rank by robust deviation — Hochenbaum et al. 2017): daily
+    revenue in exact cents, day-of-week seasonal component as the exact
+    integer mean per weekday slot (dow = days-since-first mod 7 — pure
+    arithmetic, no engine weekday-numbering mismatch), residual ranked
+    by |r| / MAD — (day, cents, dow, resid, z_mad) for the top
+    {_ESD_TOP}. The MAD is carried as the exact-integer TWICE-median
+    (sum of the two middle |r|, doubling the single middle for odd n),
+    so z = 2|r|/tmad is one rounded division over exact BIGINTs — no
+    float median, no engine interpolation differences.
+
+    Scale: day-grain throughout (the ranking window runs over the
+    calendar-sized residual table, q230's bounded-domain convention);
+    the one fact-sized shuffle is the groupBy-day."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    daily = li.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    d0 = daily.agg(F.min("day").alias("d0"))
+    keyed = daily.crossJoin(F.broadcast(d0)).select(
+        "day", "x", (F.datediff("day", "d0") % 7).cast("long").alias("dow")
+    )
+    season = keyed.groupBy("dow").agg(
+        F.expr("sum(x) DIV count(*)").cast("long").alias("s")
+    )
+    resid = keyed.join(F.broadcast(season), "dow").select(
+        "day",
+        "x",
+        "dow",
+        (F.col("x") - F.col("s")).alias("r"),
+        F.abs(F.col("x") - F.col("s")).alias("ar"),
+    )
+    w = Window.orderBy("ar", "day")
+    ranked = resid.select(
+        "ar",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    m1 = F.expr("(n + 1) DIV 2")
+    m2 = F.expr("(n + 2) DIV 2")
+    tm = (
+        ranked.filter((F.col("rn") >= m1) & (F.col("rn") <= m2))
+        .agg(
+            F.sum(
+                F.col("ar")
+                * F.when(m1 == m2, F.lit(2)).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias("tmad")
+        )
+    )
+    return (
+        resid.crossJoin(F.broadcast(tm))
+        .filter(F.col("tmad") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("cents"),
+            "dow",
+            F.col("r").alias("resid"),
+            F.round((2 * F.col("ar")).cast("double") / F.col("tmad"), 4).alias(
+                "z_mad"
+            ),
+        )
+        .orderBy(F.desc("z_mad"), "day")
+        .limit(_ESD_TOP)
+    )
