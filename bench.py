@@ -218,6 +218,8 @@ R14_OPS = (
     "q241_mutual_nn",
     "q242_bounded_shortest_path",
     "q243_seasonal_anomaly_days",
+    "q244_sample_bias_chi2",
+    "q245_vocab_growth",
 )
 
 _ALL = (

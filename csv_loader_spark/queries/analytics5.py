@@ -1637,3 +1637,164 @@ def q243_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("z_mad"), "day")
         .limit(_ESD_TOP)
     )
+
+
+# --- q244: sample-bias chi-square audit ----------------------------------------
+
+
+def _q244_oracle() -> str:
+    from csv_loader_spark.queries.llm2 import _hash16_sql
+
+    h = _hash16_sql("CAST(doc_id AS STRING)")
+    return f"""
+    WITH pop AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    samp AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS o
+      FROM documents WHERE {h} % 2 = 0 GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS big_n,
+             CAST((SELECT sum(o) FROM samp) AS BIGINT) AS k
+      FROM pop
+    ),
+    terms AS (
+      SELECT pop.source,
+             CAST(pow(coalesce(samp.o, 0) * big_n - k * pop.n, 2) AS DOUBLE)
+               / (CAST(k AS DOUBLE) * pop.n * big_n) AS term
+      FROM pop LEFT JOIN samp ON pop.source = samp.source
+      CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           (SELECT k FROM tot) AS sample_n,
+           round(list_sum(list_transform(
+             list_sort(list(ROW(source, term))), r -> r[2])), 4) AS chi2
+    FROM terms
+    """
+
+
+@query(
+    "q244_sample_bias_chi2",
+    oracle=_q244_oracle(),
+    tags=("analytics", "llm", "r14"),
+)
+def q244_sample_bias_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the q66-style deterministic 50%
+    hash sample against the population SOURCE distribution — (n_sources,
+    sample_n, chi2): the sampling-bias audit every reproducible-sampling
+    pipeline should run. Per-source terms are (o·N − k·n)²/(k·n·N) —
+    exact integer numerators (128-bit once counts pass ~3e9), one
+    division per term — and the cross-source float SUM is an ORDERED
+    FOLD over the source-sorted term array (collect_list → sort_array →
+    aggregate here, list(ROW ORDER) → list_sum in the oracle): both
+    engines add the same doubles in the same sequence, so the
+    summation-order nondeterminism that rules out plain float SUM()
+    (CLAUDE.md) does not apply. |sources| is group-bounded, so the
+    array is tiny."""
+    from csv_loader_spark.queries.llm2 import _hash16_spark_sql
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pop = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    samp = (
+        d.filter(F.expr(_hash16_spark_sql("CAST(doc_id AS STRING)")) % 2 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    tot = pop.agg(F.sum("n").cast("long").alias("big_n")).crossJoin(
+        samp.agg(F.sum("o").cast("long").alias("k"))
+    )
+    terms = (
+        pop.join(samp, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "k",
+            (
+                F.pow(
+                    (
+                        F.coalesce(F.col("o"), F.lit(0)) * F.col("big_n")
+                        - F.col("k") * F.col("n")
+                    ).cast("double"),
+                    F.lit(2),
+                )
+                / (
+                    F.col("k").cast("double")
+                    * F.col("n")
+                    * F.col("big_n")
+                )
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.first("k").alias("sample_n"),
+        F.round(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("source", "term"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            4,
+        ).alias("chi2"),
+    )
+
+
+# --- q245: vocabulary growth curve (Heaps' law) ---------------------------------
+
+_VOCAB_BUCKETS = 10
+
+
+@query(
+    "q245_vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+    firsts AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+             CAST(doc_id * {_VOCAB_BUCKETS} // (mid + 1) AS BIGINT) AS b
+      FROM documents, mx
+    ),
+    first_b AS (
+      SELECT term, CAST(min(b) AS BIGINT) AS fb FROM firsts GROUP BY term
+    ),
+    per AS (
+      SELECT fb, CAST(count(*) AS BIGINT) AS new_terms
+      FROM first_b GROUP BY fb
+    )
+    SELECT fb AS bucket, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY fb) AS BIGINT) AS cum_vocab
+    FROM per ORDER BY bucket
+    """,
+    tags=("llm", "analytics", "r14"),
+)
+def q245_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law meter): the corpus in doc_id
+    order split into {_VOCAB_BUCKETS} equal id-range buckets; per bucket
+    the count of unigrams whose FIRST occurrence falls there, plus the
+    running vocabulary size — (bucket, new_terms, cum_vocab). The
+    sub-linear flattening of cum_vocab is the standard crawl-health /
+    dedup-effectiveness signal (a re-crawled corpus goes flat early).
+
+    Scale: one term-keyed min aggregate (vocabulary-sized state) and a
+    {_VOCAB_BUCKETS}-row cumsum. All exact integers."""
+    from csv_loader_spark.functions import text as TXT
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = d.agg(F.max("doc_id").alias("mid"))
+    firsts = d.crossJoin(F.broadcast(mx)).select(
+        F.explode(TXT.tokens("text")).alias("term"),
+        F.expr(f"doc_id * {_VOCAB_BUCKETS} DIV (mid + 1)")
+        .cast("long")
+        .alias("b"),
+    )
+    first_b = firsts.groupBy("term").agg(F.min("b").cast("long").alias("fb"))
+    per = first_b.groupBy("fb").agg(
+        F.count(F.lit(1)).cast("long").alias("new_terms")
+    )
+    w = Window.orderBy("fb")
+    return per.select(
+        F.col("fb").alias("bucket"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")
