@@ -220,6 +220,10 @@ R14_OPS = (
     "q243_seasonal_anomaly_days",
     "q244_sample_bias_chi2",
     "q245_vocab_growth",
+    "q246_spearman_brand",
+    "q247_mann_whitney",
+    "q248_anova_priority",
+    "q249_winsorized_mean",
 )
 
 _ALL = (

@@ -104,6 +104,9 @@ QUERIES_R14 = (
     "q238_item_cosine_cf",
     "q241_mutual_nn",
     "q242_bounded_shortest_path",
+    "q246_spearman_brand",
+    "q247_mann_whitney",
+    "q249_winsorized_mean",
 )
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
@@ -137,9 +140,10 @@ def materialize(m: int) -> str:
     # phantom DNF (missing-view IOException in the subprocess).
     done = os.path.join(out, "_DONE")
     mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
-    # v3: the stamp versions the COLUMN layout too (adding a passthrough
-    # column to a mode used to leave stale dirs that crash the new query)
-    stamp = f"{m}:{mode}:v3:{','.join(_mode_tables())}"
+    # v4: the stamp versions the COLUMN layout too (adding a passthrough
+    # column to a mode used to leave stale dirs that crash the new query;
+    # v4 adds l_returnflag/p_brand passthrough for q246/q247/q249)
+    stamp = f"{m}:{mode}:v4:{','.join(_mode_tables())}"
     if os.path.isdir(out) and os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == stamp:
@@ -158,7 +162,9 @@ def materialize(m: int) -> str:
     # r14 carries the pricing/date columns through for q233 (daily cents
     # grow xM on a constant day grid)
     li_extra = (
-        ", l_shipdate, l_extendedprice, l_quantity" if mode == "r14" else ""
+        ", l_shipdate, l_extendedprice, l_quantity, l_returnflag"
+        if mode == "r14"
+        else ""
     )
     copy(
         " UNION ALL ".join(
@@ -182,6 +188,7 @@ def materialize(m: int) -> str:
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(p_partkey + {k * part_off} AS BIGINT) AS p_partkey,"
+            + (" p_brand," if mode == "r14" else "")
             + (
                 " p_name"
                 if k == 0
