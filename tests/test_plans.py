@@ -979,3 +979,33 @@ def test_q237_q238_plan_shapes(spark):
     assert "CartesianProduct" not in p238
     assert "BroadcastNestedLoopJoin" not in p238
     assert p238.count("BroadcastHashJoin") >= 2  # the two norm frames
+
+
+def test_q247_q249_window_runs_over_histogram_not_fact(spark):
+    """q247/q249 claim their rank windows sort the per-(group, value)
+    HISTOGRAM, never the fact table: below every Window, a HashAggregate
+    (the histogram build) must sit between it and the next parquet scan,
+    and the lineitem scan must be pruned to the columns each query
+    reads."""
+    for name, ncols in (("q247_mann_whitney", 3), ("q249_winsorized_mean", 2)):
+        plan = _plan(spark, name)
+        w = plan.find("Window")
+        assert w != -1, f"{name}: no window in plan"
+        while w != -1:
+            scan_after = plan.find("FileScan parquet", w)
+            assert scan_after != -1
+            assert plan.find("HashAggregate", w, scan_after) != -1, (
+                f"{name}: a Window sits directly on a scan (no histogram)"
+            )
+            w = plan.find("Window", w + 1)
+        cols = plan[plan.index("FileScan parquet") :].split("[", 1)[1]
+        cols = cols.split("]", 1)[0]
+        assert cols.count(",") + 1 <= ncols, f"{name}: scan not pruned: {cols}"
+
+
+def test_q246_broadcasts_part_dimension(spark):
+    """q246's brand lookup must broadcast the part dimension (the fact
+    side keeps its single combinable aggregate shuffle)."""
+    plan = _plan(spark, "q246_spearman_brand")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
