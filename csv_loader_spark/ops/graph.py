@@ -288,15 +288,40 @@ def root_depths(
 
     Raises after ``max_rounds`` doublings (2^max_rounds depth) — a chain
     that deep means the input is not the shallow forest this is for.
+    Also raises on DANGLING parents (a non-root ``anc`` with no own
+    pointer row): the splice join would otherwise leave a NULL ``anc``
+    that fails the ``anc != root_id`` pending filter, so the loop would
+    silently "converge" returning NULL depths — a contract violation
+    must fail loudly instead (the deep-chain RuntimeError's sibling).
     """
     ptr = pointers.select(
         F.col(node).alias("node"),
         F.col(parent).alias("anc"),
         F.lit(1).cast("long").alias("depth"),
     ).localCheckpoint(eager=False)
+
+    def _probe(frame: DataFrame) -> tuple[int, int]:
+        """(pending, dangling) in ONE job over the round's checkpoint."""
+        row = frame.agg(
+            F.sum(
+                F.when(F.col("anc") != root_id, 1).otherwise(0)
+            ).alias("pending"),
+            F.sum(F.when(F.col("anc").isNull(), 1).otherwise(0)).alias(
+                "dangling"
+            ),
+        ).collect()[0]
+        return int(row["pending"] or 0), int(row["dangling"] or 0)
+
     for _ in range(max_rounds):
-        pending = ptr.filter(F.col("anc") != root_id)
-        if pending.limit(1).count() == 0:
+        n_pending, n_dangling = _probe(ptr)
+        if n_dangling:
+            raise RuntimeError(
+                f"root_depths: {n_dangling} pointer row(s) reference a "
+                f"parent that is absent and not root {root_id} (dangling "
+                "parent — the input is not a forest rooted at root_id); "
+                "NULL depths would otherwise be returned silently"
+            )
+        if n_pending == 0:
             return ptr.select("node", "depth")
         jump = ptr.select(
             F.col("node").alias("j_node"),
@@ -316,7 +341,13 @@ def root_depths(
             )
             .localCheckpoint(eager=False)
         )
-    if ptr.filter(F.col("anc") != root_id).limit(1).count() == 0:
+    n_pending, n_dangling = _probe(ptr)
+    if n_dangling:
+        raise RuntimeError(
+            f"root_depths: {n_dangling} pointer row(s) reference a parent "
+            f"that is absent and not root {root_id} (dangling parent)"
+        )
+    if n_pending == 0:
         return ptr.select("node", "depth")
     raise RuntimeError(
         f"root_depths still pending after {max_rounds} doubling rounds "

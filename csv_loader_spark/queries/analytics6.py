@@ -159,39 +159,39 @@ def q246_spearman_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("brand", "n", rho.alias("rho")).orderBy("brand")
 
 
-# --- q247: Mann-Whitney U test (tie-corrected, per ship mode) -----------------
+# --- q247: Mann-Whitney U test (tie-corrected, per ship year) -----------------
 
 
 @query(
     "q247_mann_whitney",
     oracle="""
     WITH v AS (
-      SELECT CAST(year(l_shipdate) AS BIGINT) AS sm, l_returnflag AS flag,
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, l_returnflag AS flag,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS x
       FROM lineitem WHERE l_returnflag IN ('N', 'R')
     ),
     r AS (
-      SELECT sm, flag,
-             2 * rank() OVER (PARTITION BY sm ORDER BY x)
-               + count(*) OVER (PARTITION BY sm, x) - 1 AS r2
+      SELECT yr, flag,
+             2 * rank() OVER (PARTITION BY yr ORDER BY x)
+               + count(*) OVER (PARTITION BY yr, x) - 1 AS r2
       FROM v
     ),
     t AS (
-      SELECT sm, CAST(sum(tc * tc * tc - tc) AS BIGINT) AS ties
-      FROM (SELECT sm, CAST(count(*) AS BIGINT) AS tc FROM v GROUP BY sm, x)
-      GROUP BY sm
+      SELECT yr, CAST(sum(tc * tc * tc - tc) AS BIGINT) AS ties
+      FROM (SELECT yr, CAST(count(*) AS BIGINT) AS tc FROM v GROUP BY yr, x)
+      GROUP BY yr
     ),
     s AS (
-      SELECT sm,
+      SELECT yr,
              CAST(sum(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
                AS n1,
              CAST(sum(CASE WHEN flag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
                AS n2,
              CAST(sum(CASE WHEN flag = 'R' THEN r2 ELSE 0 END) AS BIGINT)
                AS s1
-      FROM r GROUP BY sm
+      FROM r GROUP BY yr
     )
-    SELECT s.sm AS ship_year, n1, n2, s1 - n1 * (n1 + 1) AS u2,
+    SELECT s.yr AS ship_year, n1, n2, s1 - n1 * (n1 + 1) AS u2,
            CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
              round((CAST(s1 - n1 * (n1 + 1) AS DOUBLE)
                     - CAST(n1 * n2 AS DOUBLE))
@@ -202,7 +202,7 @@ def q246_spearman_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (CAST(n1 + n2 AS DOUBLE)
                                * (CAST(n1 + n2 AS DOUBLE) - 1.0))))), 4)
            END AS z
-    FROM s JOIN t ON s.sm = t.sm
+    FROM s JOIN t ON s.yr = t.yr
     ORDER BY ship_year
     """,
     tags=("analytics", "stats", "r14"),
@@ -229,30 +229,30 @@ def q247_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").isin("N", "R")
     )
     v = li.select(
-        F.year("l_shipdate").cast("long").alias("sm"),
+        F.year("l_shipdate").cast("long").alias("yr"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
         F.when(F.col("l_returnflag") == "R", F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_r"),
     )
-    h = v.groupBy("sm", "x").agg(
+    h = v.groupBy("yr", "x").agg(
         F.count(F.lit(1)).cast("long").alias("t"),
         F.sum("is_r").cast("long").alias("t1"),
     )
     wcum = (
-        Window.partitionBy("sm")
+        Window.partitionBy("yr")
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     ranked = h.select(
-        "sm",
+        "yr",
         "t",
         "t1",
         (
             2 * F.coalesce(F.sum("t").over(wcum), F.lit(0)) + F.col("t") + 1
         ).alias("r2"),
     )
-    s = ranked.groupBy("sm").agg(
+    s = ranked.groupBy("yr").agg(
         F.sum("t1").cast("long").alias("n1"),
         F.sum(F.col("t") - F.col("t1")).cast("long").alias("n2"),
         F.sum(F.col("t1") * F.col("r2")).cast("long").alias("s1"),
@@ -282,7 +282,7 @@ def q247_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s.select(
-        F.col("sm").alias("ship_year"),
+        F.col("yr").alias("ship_year"),
         "n1",
         "n2",
         u2.alias("u2"),

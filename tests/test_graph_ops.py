@@ -53,6 +53,17 @@ def test_root_depths_deep_chain_raises(spark):
         root_depths(df, max_rounds=5)
 
 
+def test_root_depths_dangling_parent_raises(spark):
+    # node 3 points at 99, which has no pointer row and is not the root:
+    # the splice join would leave a NULL anc that silently passes the
+    # pending filter — must raise, not return NULL depths
+    df = spark.createDataFrame(
+        [(2, 1), (3, 99)], "node long, parent long"
+    )
+    with pytest.raises(RuntimeError, match="dangling"):
+        root_depths(df)
+
+
 def test_root_depths_converges_at_exact_power(spark):
     # depth-8 path closes in exactly 3 doublings (2^3 = 8)
     parent = [(i, i - 1) for i in range(2, 10)]

@@ -140,10 +140,14 @@ def materialize(m: int) -> str:
     # phantom DNF (missing-view IOException in the subprocess).
     done = os.path.join(out, "_DONE")
     mode = os.environ.get("SPARK_GRAFT_R12X_SET", "r12")
-    # v4: the stamp versions the COLUMN layout too (adding a passthrough
-    # column to a mode used to leave stale dirs that crash the new query;
-    # v4 adds l_returnflag/p_brand passthrough for q246/q247/q249)
-    stamp = f"{m}:{mode}:v4:{','.join(_mode_tables())}"
+    # v5: the stamp versions the COLUMN layout AND key mapping (adding a
+    # passthrough column to a mode used to leave stale dirs that crash the
+    # new query; v4 added l_returnflag/p_brand passthrough for
+    # q246/q247/q249; v5 remaps l_partkey with the same DENSE per-copy
+    # offset as p_partkey in r14 mode — with the old k*1e6 l_partkey
+    # offsets, q246's lineitem-part join matched only the copy-0 slice at
+    # every multiplier, measuring a degenerate constant-size join)
+    stamp = f"{m}:{mode}:v5:{','.join(_mode_tables())}"
     if os.path.isdir(out) and os.path.exists(done):
         with open(done) as f:
             if f.read().strip() == stamp:
@@ -159,6 +163,16 @@ def materialize(m: int) -> str:
         )
 
     li = f"{BASE_SF}/lineitem.parquet"
+    pt = f"{BASE_SF}/part.parquet"
+    # r14 needs a CLOSED contiguous partkey space (q228's ancestor walk:
+    # parent(p) in [1, p-1] must itself exist) — dense per-copy offsets.
+    # l_partkey MUST use the SAME dense offset so the lineitem-part join
+    # (q246) matches every copy, not just the copy-0 slice.
+    if mode == "r14":
+        base_n = con.execute(f"SELECT count(*) FROM '{pt}'").fetchone()[0]
+        part_off = int(base_n)
+    else:
+        part_off = OFFSET
     # r14 carries the pricing/date columns through for q233 (daily cents
     # grow xM on a constant day grid)
     li_extra = (
@@ -169,7 +183,7 @@ def materialize(m: int) -> str:
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(l_orderkey + {k * OFFSET} AS BIGINT) AS l_orderkey,"
-            f" CAST(l_partkey + {k * OFFSET} AS BIGINT) AS l_partkey,"
+            f" CAST(l_partkey + {k * part_off} AS BIGINT) AS l_partkey,"
             f" CAST(l_suppkey + {k * OFFSET} AS BIGINT) AS l_suppkey"
             f"{li_extra}"
             f" FROM '{li}'"
@@ -177,14 +191,6 @@ def materialize(m: int) -> str:
         ),
         "lineitem",
     )
-    pt = f"{BASE_SF}/part.parquet"
-    # r14 needs a CLOSED contiguous partkey space (q228's ancestor walk:
-    # parent(p) in [1, p-1] must itself exist) — dense per-copy offsets
-    if mode == "r14":
-        base_n = con.execute(f"SELECT count(*) FROM '{pt}'").fetchone()[0]
-        part_off = int(base_n)
-    else:
-        part_off = OFFSET
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(p_partkey + {k * part_off} AS BIGINT) AS p_partkey,"
