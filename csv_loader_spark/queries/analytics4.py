@@ -115,9 +115,20 @@ def q225_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gram fp is internal (grouping/membership only), so Spark's
     xxhash64 and the oracle's md5 group identically; train membership is
-    a distinct-fp LEFT join counted per eval doc."""
+    a distinct-fp LEFT join counted per eval doc.
+
+    The gram pipeline is shared by the train and eval branches through
+    an fp-keyed repartition (r15): without an exchange boundary directly
+    above it, BOTH branches re-execute the whole tokenize-zip-hash scan
+    (no common-subplan dedup below exchanges); with it, ReuseExchange
+    computes the pipeline once AND pre-shuffles on the join/distinct
+    key, so the branch aggregations and the fp join need no further
+    exchange of the gram stream (sf0.1: 1.97/1.71 -> 1.46/1.20 s). The
+    residual ~1.2 s is the gram scan itself (tokenize + 8-slice zip +
+    hash over every document) plus the fp shuffle — real per-row work,
+    not plan waste."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _gram_fps(docs, CONTAM_K)
+    grams = _gram_fps(docs, CONTAM_K).repartition("fp")
     train = (
         grams.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
     )
@@ -198,7 +209,22 @@ def q226_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x*y <= deg_max^2 and the edge count keeps Σ far from 2^63); the
     Pearson ratio is evaluated in DOUBLE from those exact integers —
     both engines multiply the same integers under IEEE semantics, so
-    round(,4) agrees with no data-sized float sum anywhere."""
+    round(,4) agrees with no data-sized float sum anywhere.
+
+    One-pass plan (r15): the oracle's symmetrized copy (und = e UNION
+    reverse(e)) makes every statistic SYMMETRIC — m = 2|e|, sx = sy =
+    Σ(da+db), sxx = syy = Σ(da²+db²), sxy = 2·Σ(da·db) — so Spark reads
+    each undirected edge ONCE: the distinct edge list is checkpointed
+    (the previous shape re-executed the orders-lineitem join for every
+    branch that read `und`), the two per-side degree tables are
+    dimension-sized (customers / suppliers — bipartite, so the a/b key
+    spaces are disjoint) and BROADCAST onto the edges, and one map-side-
+    combined aggregate produces all four sums. The double-precision
+    assembly mirrors the oracle's operation order term by term (the
+    products pass 2^53, so associativity matters); the sqrt's two
+    factors are the identical double, preserving sqrt(A·A). Residual
+    ~1.5 s at sf0.1 is ~1.1 s of shared edge-build floor (scan + join +
+    distinct of 587k edges) — measured, not plan waste."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
@@ -210,37 +236,34 @@ def q226_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("b"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    und = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("deg")
+    dega = e.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("da"))
+    degb = e.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("db"))
+    j = e.join(F.broadcast(dega), "a").join(F.broadcast(degb), "b")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("sab"),
+        F.sum(F.col("da") * F.col("da") + F.col("db") * F.col("db"))
+        .cast("long")
+        .alias("sxx"),
     )
-    pairs = (
-        und.join(deg.withColumnRenamed("node", "a"), "a")
-        .withColumnRenamed("deg", "x")
-        .join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("y")),
-            "b",
-        )
-        .select("x", "y")
-    )
-    s = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("m"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    # exact BIGINT totals first, then the oracle's double ops verbatim
+    s = s.select(
+        (F.col("ne") * 2).alias("m"),
+        F.col("sx"),
+        (F.col("sab") * 2).alias("sxy"),
+        F.col("sxx"),
     )
     md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    a_term = md * F.col("sxx") - sxd * F.col("sx")
     return s.select(
         F.col("m").alias("n_directed_edges"),
         F.round(
-            (md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-            / F.sqrt(
-                (md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-                * (md * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
-            ),
+            (md * F.col("sxy") - sxd * F.col("sx"))
+            / F.sqrt(a_term * a_term),
             4,
         ).alias("assortativity"),
     )

@@ -460,13 +460,21 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     by size — (community, n_members).
 
     Scale: each round is one edge-keyed join + one (dst, label) count +
-    one per-dst argmax window — all node/edge-keyed shuffles, state one
-    row per node. NO per-round checkpoints at this fixed 3-round depth:
-    the edge frame is checkpointed once and the shallow label lineage
-    executes once, so the materialization barriers cost more than they
-    save (measured A/B at sf0.1: 2.9 -> 2.4 s without — the q212
-    finding; a deeper/convergence-looped variant should adopt
-    pagerank_fixed_point's lazy checkpoint per round)."""
+    one per-dst ARGMAX AGGREGATE (max of a (c, -label) struct — same
+    deterministic winner as the oracle's row_number window, but hash-
+    aggregated with map-side combine instead of sorted; r15 A/B at x100:
+    9.0 -> 6.3 s together with the edge prep below). State one row per
+    node. NO per-round checkpoints at this fixed 3-round depth: the edge
+    frame is checkpointed once and the shallow label lineage executes
+    once, so the materialization barriers cost more than they save
+    (measured A/B at sf0.1: 2.9 -> 2.4 s without — the q212 finding; a
+    deeper/convergence-looped variant should adopt pagerank_fixed_point's
+    lazy checkpoint per round). The symmetrized edge list is built by
+    EXPLODING each (cu, su) pair into both directions in one pass (no
+    self-union re-executing the join plan) and hash-repartitioned by src
+    before its one checkpoint — on a cluster that co-locates each node's
+    adjacency list for every round's join; on local[32] it halves the
+    per-round task count vs the 2x-partitioned union."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -478,15 +486,27 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("su"),
         )
         .distinct()
+    )
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cu").alias("src"), F.col("su").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("su").alias("src"), F.col("cu").alias("dst")
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.src", "x.dst")
+        .repartition("src")
         .localCheckpoint(eager=False)
     )
-    e = pairs.select(F.col("cu").alias("src"), F.col("su").alias("dst")).unionAll(
-        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
-    ).localCheckpoint(eager=False)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(_LP_ROUNDS):
         votes = (
             e.join(labels, e["src"] == labels["node"])
@@ -494,9 +514,15 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
         )
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("node"), "label")
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("nl")
+                    )
+                ).alias("m")
+            )
+            .select(F.col("dst").alias("node"), (-F.col("m.nl")).alias("label"))
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -900,7 +926,26 @@ def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed point, sequential.
 
     The 1-row root collect is the bounded driver-side pattern
-    (llm5's |Q| matrix note), not a data-sized collect."""
+    (llm5's |Q| matrix note), not a data-sized collect.
+
+    Edge prep (r15): both directions are EXPLODED from each (cu, su)
+    pair in one pass (no self-union re-executing the join plan) and the
+    edge list is hash-repartitioned by src before its one checkpoint —
+    on a cluster this co-locates each node's adjacency list for every
+    round's frontier join; on local[32] it halves per-round task counts
+    (x100 isolated 6.7-7.7 -> 5.4 s). The prescribed connected-
+    components PRE-PASS was measured and REJECTED: min-label
+    propagation over the full edge list is itself a multi-source BFS
+    (same per-round full-edge scans), so the pre-pass cost 13-19 s at
+    x100 — 2-3x the entire direct BFS it was meant to shrink. Partition-
+    by-component BFS only pays off when component labels already exist
+    (e.g. maintained by the dedup pipeline), and then it is a filter,
+    not a pre-pass.
+
+    The visited set is kept as a UNION of the per-round frontier
+    checkpoints (each already materialized) instead of a re-checkpointed
+    growing frame — removes one checkpoint copy of O(|visited|) per
+    round."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -912,21 +957,33 @@ def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("su"),
         )
         .distinct()
+    )
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cu").alias("src"), F.col("su").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("su").alias("src"), F.col("cu").alias("dst")
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.src", "x.dst")
+        .repartition("src")
         .localCheckpoint(eager=False)
     )
-    e = pairs.select(
-        F.col("cu").alias("src"), F.col("su").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
-    ).localCheckpoint(eager=False)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
     root = deg.orderBy(F.desc("d"), "node").limit(1).collect()[0]["node"]
-    visited = spark.createDataFrame(
+    frontier = spark.createDataFrame(
         [(int(root), 0)], "node long, lvl long"
     ).localCheckpoint(eager=False)
-    frontier = visited
+    levels = [frontier]
+    visited = frontier
     for i in range(1, _BFS_MAX_HOPS + 1):
         nxt = (
             e.join(frontier, e["src"] == frontier["node"])
@@ -936,12 +993,16 @@ def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(i).cast("long").alias("lvl"))
             .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        levels.append(nxt)
+        visited = visited.unionAll(nxt)
         frontier = nxt
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
     return (
-        visited.groupBy("lvl")
+        out.groupBy("lvl")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
             F.min("node").cast("long").alias("min_node"),
@@ -1466,7 +1527,16 @@ def q242_bounded_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance table is one row per reached node. Rounds ARE checkpointed
     here (unlike q232): each round references the previous table TWICE
     (pass-through + relaxation legs), so without the checkpoint the
-    plan re-executes doubly per round (2^k leaf blow-up)."""
+    plan re-executes doubly per round (2^k leaf blow-up).
+
+    Edge prep as in q237 (r15): explode both directions in one pass,
+    hash-repartition by src, one checkpoint — x100 isolated 8.6-9.7 ->
+    6.1-6.7 s. The FUSED two-hop relaxation round (e2 = min-weight paths
+    of length <= 2, halving the round count) was measured and REJECTED:
+    this trade graph has sum(deg^2) = 25.3M two-hop paths per copy vs
+    97k edges (a 260x blowup — hub degree 538), and the fused run took
+    28.6-37.8 s at x10 vs 6 s at x100 for the per-round form; min-plus
+    fusion only pays on sparse graphs where sum(deg^2) = O(|E|)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -1478,14 +1548,29 @@ def q242_bounded_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("su"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     w_expr = (F.lit(1) + (F.col("cu") + F.col("su")) % 7).alias("w")
-    e = pairs.select(
-        F.col("cu").alias("src"), F.col("su").alias("dst"), w_expr
-    ).unionAll(
-        pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"), w_expr)
-    ).localCheckpoint(eager=False)
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("cu").alias("src"),
+                        F.col("su").alias("dst"),
+                        w_expr,
+                    ),
+                    F.struct(
+                        F.col("su").alias("src"),
+                        F.col("cu").alias("dst"),
+                        w_expr,
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.src", "x.dst", "x.w")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
