@@ -524,10 +524,17 @@ def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a score (n_chars as the stand-in model score), cut into
     {LIFT_DECILES} ntile buckets (deterministic (score, doc_id) order),
     and report per-decile positive rate, lift over base rate, and
-    cumulative capture. The windows run after the join reduces to
-    (doc_id, score, pos) — and the decile aggregate is
-    {LIFT_DECILES} rows before any ratio math. At corpus scale swap
-    ntile's global sort for q170's sketch-banded rank select."""
+    cumulative capture.
+
+    TWO-LEVEL rank (r15 — the q234/q235 pattern, replacing the global
+    ntile sort the class guard in tests/test_plans.py flagged): the
+    score domain is small, so the exact global rank of each row is the
+    broadcast cumulative count of strictly-better scores plus a
+    row_number PARTITIONED by score (doc_id tie-break) — no
+    single-partition sort of the doc-level frame anywhere. The ntile
+    bucket then derives arithmetically from (rank, n): with q = n div k
+    and rem = n mod k, the first rem buckets hold q+1 rows — identical
+    to the oracle's ntile() by definition."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label"
@@ -537,9 +544,42 @@ def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("label").isin(*LIFT_POS_LABELS).cast("int").alias("pos"),
     )
-    w = W.orderBy(F.col("n_chars").desc(), "doc_id")
+    hist = j.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w_v = W.orderBy(F.col("n_chars").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    base = hist.select(
+        "n_chars",
+        F.coalesce(F.sum("cnt").over(w_v), F.lit(0)).alias("base"),
+        F.sum("cnt").over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_all_rows"),
+    )
+    w_pos = W.partitionBy("n_chars").orderBy("doc_id")
+    ranked = j.join(F.broadcast(base), "n_chars").select(
+        "pos",
+        (F.col("base") + F.row_number().over(w_pos)).alias("r"),
+        F.col("n_all_rows").alias("nn"),
+    )
+    k = F.lit(LIFT_DECILES)
+    qsz = F.expr(f"nn DIV {LIFT_DECILES}")
+    rem = F.col("nn") % k
+    cut = rem * (qsz + 1)
+    decile = (
+        F.when(
+            F.col("r") <= cut,
+            F.expr(f"(r - 1) DIV (nn DIV {LIFT_DECILES} + 1)") + 1,
+        )
+        .otherwise(
+            rem + F.expr(
+                f"(r - nn % {LIFT_DECILES} * (nn DIV {LIFT_DECILES} + 1) - 1)"
+                f" DIV (nn DIV {LIFT_DECILES})"
+            ) + 1
+        )
+        .cast("int")
+    )
     agg = (
-        j.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+        ranked.withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

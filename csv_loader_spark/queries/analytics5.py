@@ -259,11 +259,26 @@ def q230_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final division, rounded to 4dp — no data-sized float sums.
 
     At unbounded value domains, quantize v into fixed-width bins first;
-    here n_chars is already small-domain."""
+    here n_chars is already small-domain.
+
+    The post-histogram algebra lives in :func:`ks_from_length_counts`
+    so the streaming twin (streaming/ks_drift.py) provably computes the
+    SAME statistic from its incrementally-maintained histogram store —
+    stream-final == batch is a theorem about one shared function."""
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     counts = d.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
+    return ks_from_length_counts(counts)
+
+
+def ks_from_length_counts(counts: DataFrame) -> DataFrame:
+    """(source, v, c) length-histogram → (source, n_docs, ks), the exact
+    integer KS algebra of q230 (see its docstring). `counts` is the
+    MERGEABLE sufficient statistic: histograms from disjoint row sets
+    merge by summing c per (source, v) — the property the streaming twin
+    relies on. Sizes and the total derive from the histogram itself
+    (na = Σ_v c, n = ΣΣ c), so callers need only the counts frame."""
     sources = counts.select("source").distinct()
     values = counts.select("v").distinct()
     grid = (
@@ -278,10 +293,10 @@ def q230_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = grid.groupBy("v").agg(F.sum("c").cast("long").alias("c"))
     w_all = Window.orderBy("v")
     tot = per_v.select("v", F.sum("c").over(w_all).cast("long").alias("ft"))
-    sizes = d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("na")
+    sizes = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("na")
     )
-    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n = counts.agg(F.sum("c").cast("long").alias("n"))
     gaps = (
         cum.join(tot, "v")
         .join(F.broadcast(sizes), "source")
@@ -302,10 +317,17 @@ def q230_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("na").alias("n_docs"),
-            F.round(
-                F.col("num").cast("double")
-                / (F.col("na") * (F.col("n") - F.col("na"))),
-                4,
+            # guard the single-source degenerate (rest-of-corpus empty:
+            # na*(n-na) = 0, which ANSI mode would throw on) — NULL ks;
+            # on any multi-source corpus the branch is never taken, so
+            # oracle parity is untouched
+            F.when(
+                F.col("na") < F.col("n"),
+                F.round(
+                    F.col("num").cast("double")
+                    / (F.col("na") * (F.col("n") - F.col("na"))),
+                    4,
+                ),
             ).alias("ks"),
         )
         .orderBy(F.desc("ks"), "source")

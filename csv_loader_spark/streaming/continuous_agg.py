@@ -128,9 +128,20 @@ def start_priority_view(
     ledger as :func:`start_hourly_rollup`."""
     from csv_loader_spark.queries.analytics3 import ivm_merge, ivm_partial
 
+    # SIBLING-dir ledger (r15): the view write below is a FULL overwrite
+    # of out_path, which deletes a ledger kept inside it — after batch k
+    # the ledger would record only batch k, so a fresh-checkpoint replay
+    # re-applies every earlier batch and double-merges. (start_hourly_
+    # rollup keeps its ledger inside out_path safely because its dynamic
+    # partition overwrite never touches non-partition files; the
+    # ks_drift monitor found the full-overwrite variant of the bug.)
+    meta_path = out_path.rstrip("/") + "_meta"
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark: SparkSession = batch_df.sparkSession
-        if _already_applied(out_path, batch_id):
+        if _already_applied(meta_path, batch_id) or _already_applied(
+            out_path, batch_id
+        ):  # second check: ledgers written by the pre-r15 layout
             return
         rows = batch_df.select(
             "o_orderpriority",
@@ -145,12 +156,12 @@ def start_priority_view(
             partial = existing.unionByName(partial)
         merged = ivm_merge(partial)
         if not merged.take(1):
-            _record_applied(out_path, batch_id)
+            _record_applied(meta_path, batch_id)
             return
         # materialize BEFORE the overwrite (the plan reads out_path)
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(out_path)
-        _record_applied(out_path, batch_id)
+        _record_applied(meta_path, batch_id)
 
     writer = (
         orders.writeStream.foreachBatch(_merge)

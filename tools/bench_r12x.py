@@ -108,6 +108,23 @@ QUERIES_R14 = (
     "q247_mann_whitney",
     "q249_winsorized_mean",
 )
+#: --r15 mode: same materialization semantics as r14 (dense part offsets,
+#: lineitem pricing/date passthrough, embeddings multiplied). Covers the
+#: two entries the r14 verdict flagged as having no scale curve (q170's
+#: band select is claimed linear in group size; q200's five monitoring
+#: legs grow with the xM-shifted event time span) plus the six queries
+#: whose plans changed in r15 (graph de-floor, q225/q226 one-pass, q246's
+#: now-valid lineitem-part join).
+QUERIES_R15 = (
+    "q170_exact_quantile",
+    "q200_monitoring_capstone",
+    "q225_split_contamination",
+    "q226_degree_assortativity",
+    "q232_label_propagation",
+    "q237_bfs_levels",
+    "q242_bounded_shortest_path",
+    "q246_spearman_brand",
+)
 SPARK_CELL_TIMEOUT = 3600
 DUCK_CELL_TIMEOUT = 900
 OFFSET = 1_000_000
@@ -120,7 +137,7 @@ def _mode_tables() -> tuple[str, ...]:
     LABEL both offset per copy, so the label BLOCKS stay constant-size
     while their count grows xM — the blocked-MNN scale path (finer
     quantizer buckets), not M^2-bigger blocks."""
-    if os.environ.get("SPARK_GRAFT_R12X_SET") == "r14":
+    if os.environ.get("SPARK_GRAFT_R12X_SET") in ("r14", "r15"):
         return TABLES + ("embeddings",)
     return TABLES
 
@@ -168,7 +185,7 @@ def materialize(m: int) -> str:
     # parent(p) in [1, p-1] must itself exist) — dense per-copy offsets.
     # l_partkey MUST use the SAME dense offset so the lineitem-part join
     # (q246) matches every copy, not just the copy-0 slice.
-    if mode == "r14":
+    if mode in ("r14", "r15"):
         base_n = con.execute(f"SELECT count(*) FROM '{pt}'").fetchone()[0]
         part_off = int(base_n)
     else:
@@ -177,7 +194,7 @@ def materialize(m: int) -> str:
     # grow xM on a constant day grid)
     li_extra = (
         ", l_shipdate, l_extendedprice, l_quantity, l_returnflag"
-        if mode == "r14"
+        if mode in ("r14", "r15")
         else ""
     )
     copy(
@@ -194,7 +211,7 @@ def materialize(m: int) -> str:
     copy(
         " UNION ALL ".join(
             f"SELECT CAST(p_partkey + {k * part_off} AS BIGINT) AS p_partkey,"
-            + (" p_brand," if mode == "r14" else "")
+            + (" p_brand," if mode in ("r14", "r15") else "")
             + (
                 " p_name"
                 if k == 0
@@ -259,9 +276,8 @@ def materialize(m: int) -> str:
 
 def _query_set() -> tuple[str, ...]:
     mode = os.environ.get("SPARK_GRAFT_R12X_SET")
-    base = {"r13": QUERIES_R13, "r9": QUERIES_R9, "r14": QUERIES_R14}.get(
-        mode, QUERIES
-    )
+    base = {"r13": QUERIES_R13, "r9": QUERIES_R9, "r14": QUERIES_R14,
+            "r15": QUERIES_R15}.get(mode, QUERIES)
     # comma-separated subset for targeted re-measures (e.g. after a single
     # query's plan changes) — inherited by the cell subprocesses via env
     only = os.environ.get("SPARK_GRAFT_R12X_QUERIES")
@@ -381,7 +397,11 @@ def orchestrate(mults: tuple[int, ...]) -> None:
              "r14": "heaviest r14 additions (part gets DENSE k*base_n "
                     "offsets so q228's ancestor key space stays closed; "
                     "lineitem carries shipdate/extendedprice so q233's "
-                    "daily cents grow xM on a constant day grid)"}.get(
+                    "daily cents grow xM on a constant day grid)",
+             "r15": "r14 materialization semantics; sweeps the two "
+                    "unswept weak entries (q170 quantile band, q200 "
+                    "monitoring capstone over the xM-long event span) "
+                    "plus the six queries whose plans changed in r15"}.get(
                 mode, "five heaviest r12 operators")
             + " on sf0.01 tables multiplied xM as "
             "DISJOINT key-remapped copies (keys + k*1e6; part names "
@@ -403,7 +423,8 @@ def main() -> None:
     elif argv[:1] == ["--duck-cell"]:
         duck_cell(int(argv[1]), argv[2])
     else:
-        for flag, mode in (("--r13", "r13"), ("--r9", "r9"), ("--r14", "r14")):
+        for flag, mode in (("--r13", "r13"), ("--r9", "r9"), ("--r14", "r14"),
+                           ("--r15", "r15")):
             if flag in argv:
                 os.environ["SPARK_GRAFT_R12X_SET"] = mode
                 os.environ.setdefault(
