@@ -226,9 +226,15 @@ R14_OPS = (
     "q249_winsorized_mean",
 )
 
+# The r15 batch: Kendall tau-b (joint-histogram pair algebra), Cramér's V.
+R15_OPS = (
+    "q250_kendall_tau",
+    "q251_cramers_v",
+)
+
 _ALL = (
     HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS + R12C_OPS
-    + R13_OPS + R14_OPS
+    + R13_OPS + R14_OPS + R15_OPS
 )
 
 
@@ -524,6 +530,7 @@ def main() -> None:
                     ),
                     "r13_ops": round(sum(times[n] for n in R13_OPS), 4),
                     "r14_ops": round(sum(times[n] for n in R14_OPS), 4),
+                    "r15_ops": round(sum(times[n] for n in R15_OPS), 4),
                 },
                 "sf": sf,
                 # host-noise provenance (r9-r11 verdicts): canonical means

@@ -32,6 +32,7 @@ from csv_loader_spark.queries import analytics3  # noqa: E402,F401
 from csv_loader_spark.queries import analytics4  # noqa: E402,F401
 from csv_loader_spark.queries import analytics5  # noqa: E402,F401
 from csv_loader_spark.queries import analytics6  # noqa: E402,F401
+from csv_loader_spark.queries import analytics7  # noqa: E402,F401
 from csv_loader_spark.queries import geo  # noqa: E402,F401
 from csv_loader_spark.queries import retrieval  # noqa: E402,F401
 from csv_loader_spark.queries import parity  # noqa: E402,F401

@@ -328,28 +328,45 @@ def dup_islands(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     re-evaluation class as the HOF-lambda trap in CLAUDE.md). Callers
     join :func:`_doc_token_counts` back per doc_id instead.
     """
-    # Fingerprint WITHOUT materializing gram strings: zip the k shifted
-    # token slices, posexplode the struct, and xxhash64 the k token fields
-    # directly. Everything after split() stays in whole-stage codegen —
-    # no interpreted transform() lambda, no per-position concat_ws, no
-    # md5 over ~50-byte strings — and the shuffle key is an 8-byte BIGINT
-    # instead of a 16-char hex string. The fp is an internal grouping key
-    # (never an output column), so the oracle keeping md5 is fine: groups
-    # are hash-agnostic. Duplication detection is a window count over fp
-    # (one shuffle, single pipeline evaluation) rather than the previous
-    # groupBy + join-back-to-a-localCheckpoint — at sf0.1 the checkpoint
-    # write alone cost ~2 s, more than recomputing the gram pipeline.
-    # Together these closed the measured 14x constant factor vs DuckDB
-    # (SCALING.json r12_x100, q156: 41.3 s -> see r14 re-measure).
-    toks = TXT.tokens("text")
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(k)])
-    grams = docs.select(
-        "doc_id", F.posexplode(zipped).alias("pos0", "g")
+    # Fingerprint WITHOUT materializing gram strings, r15 shape: explode
+    # the token array ONCE, hash each token ONCE (xxhash64 over the
+    # string), then build each position's gram fp as xxhash64 over the
+    # k per-token hashes gathered by k-1 lead() calls in a single
+    # doc-keyed window pass — every operator whole-stage-codegen, the
+    # only per-token string work is one hash. This replaced the r14
+    # arrays_zip-of-k-shifted-slices + posexplode-struct shape, whose
+    # struct-array materialization copied every token k times (the
+    # residual the r14 verdict flagged): gram generation measured 0.86
+    # -> 0.42 s and the whole q156 1.8-2.2 -> 1.0-1.15 s at sf0.1,
+    # landing inside the standing <=3x-DuckDB bar. The extra doc-keyed
+    # shuffle the window costs is gram-stream-sized and doc-bounded per
+    # partition group. The fp is an internal grouping key (never an
+    # output column), so the oracle keeping md5 is fine: groups are
+    # hash-agnostic. Duplication detection stays a window count over fp
+    # (one shuffle, single pipeline evaluation); the r15 profile
+    # re-measured the groupBy + broadcast-semi-join alternatives at
+    # 2.6-3.2 s — the window still wins.
+    tr = docs.select(
+        "doc_id", F.posexplode(TXT.tokens("text")).alias("pos0", "t")
     ).select(
         "doc_id",
         (F.col("pos0") + 1).alias("pos"),
-        F.xxhash64(*[F.col("g")[str(j)] for j in range(k)]).alias("fp"),
+        F.xxhash64("t").alias("h"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.col("h")] + [
+        F.lead("h", i).over(w_doc).alias(f"h{i}") for i in range(1, k)
+    ]
+    grams = (
+        tr.select("doc_id", "pos", *lead_cols)
+        .filter(F.col(f"h{k - 1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                F.col("h"), *[F.col(f"h{i}") for i in range(1, k)]
+            ).alias("fp"),
+        )
     )
     dup = (
         grams.withColumn(

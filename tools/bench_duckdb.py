@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import (  # noqa: E402
     HEADLINE, NEW_OPS, R8_OPS, R9_OPS, R10_OPS, R12_OPS, R12C_OPS, R13_OPS,
-    R14_OPS,
+    R14_OPS, R15_OPS,
 )
 from csv_loader_spark.io.tables import TABLES  # noqa: E402
 from csv_loader_spark.queries.registry import all_specs  # noqa: E402
@@ -31,7 +31,7 @@ def main() -> None:
     specs = all_specs()
     times: dict[str, float] = {}
     for name in (HEADLINE + NEW_OPS + R8_OPS + R9_OPS + R10_OPS + R12_OPS
-                 + R12C_OPS + R13_OPS + R14_OPS):
+                 + R12C_OPS + R13_OPS + R14_OPS + R15_OPS):
         sql = specs[name].oracle
         con.execute(sql).fetchall()  # prime
         t0 = time.perf_counter()
@@ -56,6 +56,7 @@ def main() -> None:
                     ),
                     "r13_ops": round(sum(times[n] for n in R13_OPS), 4),
                     "r14_ops": round(sum(times[n] for n in R14_OPS), 4),
+                    "r15_ops": round(sum(times[n] for n in R15_OPS), 4),
                 },
             }
         )
