@@ -60,6 +60,26 @@ def small_graph_coalesce(e: DataFrame, n_rows: int | None = None) -> DataFrame:
     return e.coalesce(max(2, cpus // 8))
 
 
+def explode_both_directions(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """(a, b) pair rows → (src, dst) rows in BOTH directions in one pass.
+
+    The r15 symmetrization shape: a self-union (`e UNION ALL
+    reverse(e)`) executes the pair plan twice (or forces a checkpoint
+    just to share it) and doubles the partition count every downstream
+    stage inherits; exploding a 2-element struct array emits both
+    directed copies from one whole-stage-codegen pass over each pair
+    row. Callers typically follow with ``.repartition("src")`` +
+    ``.localCheckpoint()`` (see pagerank_fixed_point, q237/q242/q232)."""
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("x")
+    ).select("x.src", "x.dst")
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iterations: int = 20
 ) -> DataFrame:
@@ -166,8 +186,16 @@ def pagerank_fixed_point(
     round (lineage stays O(1), same rationale as connected_components
     above).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
-        eager=False
+    # hash-repartition by src before the one checkpoint (r15): co-locates
+    # each node's out-adjacency for the per-round contrib join on a
+    # cluster; locally it pins a clean 1-materialization block layout
+    # (the q237/q242 edge-prep finding). small_graph_coalesce may then
+    # narrow it for small graphs — coalesce on the materialized
+    # checkpoint is a read-time merge, compatible with either layout.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
     e = small_graph_coalesce(e)
     # out-degree FOLDED into the node frame (r14): deg is static across

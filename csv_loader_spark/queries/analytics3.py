@@ -68,7 +68,10 @@ from pyspark.sql import functions as F
 
 from csv_loader_spark.functions import text as TXT
 from csv_loader_spark.io.tables import load_table
-from csv_loader_spark.ops.graph import pagerank_fixed_point
+from csv_loader_spark.ops.graph import (
+    explode_both_directions,
+    pagerank_fixed_point,
+)
 from csv_loader_spark.queries.registry import query
 
 # --- q211: ordered conversion funnel ----------------------------------------
@@ -355,11 +358,11 @@ def q213_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a", "b").alias("pa"), F.greatest("a", "b").alias("pb")
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # one-pass symmetrization (r15, the q160 note): the explode emits
+    # both directions from a single execution of the ngram+distinct
+    # plan; pagerank_fixed_point checkpoints the exploded frame once
+    edges = explode_both_directions(pairs, "pa", "pb")
     pr = pagerank_fixed_point(
         edges, "src", "dst", iterations=TR_ITERS, scale=TR_SCALE
     )

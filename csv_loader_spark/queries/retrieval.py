@@ -56,7 +56,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv_loader_spark.io.tables import load_table
-from csv_loader_spark.ops.graph import pagerank_fixed_point
+from csv_loader_spark.ops.graph import (
+    explode_both_directions,
+    pagerank_fixed_point,
+)
 from csv_loader_spark.queries.registry import query
 
 # --- q159: BM25 top-k -------------------------------------------------------
@@ -247,14 +250,13 @@ def q160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("su"),
         )
         .distinct()
-        # checkpoint BEFORE the symmetrizing union: both branches read
-        # this frame, and without it each would re-run the join+distinct
-        # (measured 2x ~5.6 s at sf0.1 — the connected_components note)
-        .localCheckpoint(eager=False)
     )
-    edges = pairs.select(
-        F.col("cu").alias("src"), F.col("su").alias("dst")
-    ).unionAll(pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst")))
+    # one-pass symmetrization (r15): the explode emits both directions
+    # from a single execution of the join+distinct plan, so the pairs
+    # checkpoint the old self-union needed (2x ~5.6 s re-run without it)
+    # is gone too — pagerank_fixed_point checkpoints the exploded frame
+    # once itself
+    edges = explode_both_directions(pairs, "cu", "su")
     pr = pagerank_fixed_point(
         edges, "src", "dst", iterations=PR_ITERS, scale=PR_SCALE
     )
