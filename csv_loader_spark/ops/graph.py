@@ -340,43 +340,57 @@ def root_depths(
         ).collect()[0]
         return int(row["pending"] or 0), int(row["dangling"] or 0)
 
-    for _ in range(max_rounds):
-        n_pending, n_dangling = _probe(ptr)
-        if n_dangling:
-            raise RuntimeError(
-                f"root_depths: {n_dangling} pointer row(s) reference a "
-                f"parent that is absent and not root {root_id} (dangling "
-                "parent — the input is not a forest rooted at root_id); "
-                "NULL depths would otherwise be returned silently"
-            )
-        if n_pending == 0:
-            return ptr.select("node", "depth")
-        jump = ptr.select(
+    def _splice(frame: DataFrame) -> DataFrame:
+        jump = frame.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
             F.col("depth").alias("j_depth"),
         )
-        ptr = (
-            ptr.join(jump, ptr["anc"] == jump["j_node"], "left")
-            .select(
-                "node",
-                F.when(F.col("anc") == root_id, F.col("anc"))
-                .otherwise(F.col("j_anc"))
-                .alias("anc"),
-                F.when(F.col("anc") == root_id, F.col("depth"))
-                .otherwise(F.col("depth") + F.col("j_depth"))
-                .alias("depth"),
+        return frame.join(
+            jump, frame["anc"] == jump["j_node"], "left"
+        ).select(
+            "node",
+            F.when(F.col("anc") == root_id, F.col("anc"))
+            .otherwise(F.col("j_anc"))
+            .alias("anc"),
+            F.when(F.col("anc") == root_id, F.col("depth"))
+            .otherwise(F.col("depth") + F.col("j_depth"))
+            .alias("depth"),
+        )
+
+    # r15: TWO splices per materialization/probe. Each probe is a
+    # driver-side job; probing after every splice cost one job per
+    # doubling round (5 jobs for a depth-15 forest: initial probe + 4
+    # rounds). Chaining two splice joins inside one lineage before the
+    # lazy checkpoint + probe halves the job count (2 probe jobs for the
+    # same forest) while the JOIN count is unchanged — on a scheduler-
+    # latency-bound host the job floor, not the join width, is the cost
+    # (guide §1.2: fix the number of passes first). A splice over an
+    # already-converged frame is a values-level no-op (the when(anc ==
+    # root) arms keep converged rows), so overshooting convergence by
+    # one fused splice is harmless; the total splice count stays capped
+    # at max_rounds, preserving the 2^max_rounds depth bound and the
+    # deep-chain RuntimeError contract. NULL ancs from a DANGLING parent
+    # propagate to descendant rows within a fused pair, so the raise
+    # reports rows RESOLVED THROUGH a missing parent (>= the number of
+    # directly-dangling rows) — same failure, loud either way.
+    splices = 0
+    while splices < max_rounds:
+        for _ in range(min(2, max_rounds - splices)):
+            ptr = _splice(ptr)
+            splices += 1
+        ptr = ptr.localCheckpoint(eager=False)
+        n_pending, n_dangling = _probe(ptr)
+        if n_dangling:
+            raise RuntimeError(
+                f"root_depths: {n_dangling} pointer row(s) resolved "
+                f"through a parent that is absent and not root {root_id} "
+                "(dangling parent — the input is not a forest rooted at "
+                "root_id); NULL depths would otherwise be returned "
+                "silently"
             )
-            .localCheckpoint(eager=False)
-        )
-    n_pending, n_dangling = _probe(ptr)
-    if n_dangling:
-        raise RuntimeError(
-            f"root_depths: {n_dangling} pointer row(s) reference a parent "
-            f"that is absent and not root {root_id} (dangling parent)"
-        )
-    if n_pending == 0:
-        return ptr.select("node", "depth")
+        if n_pending == 0:
+            return ptr.select("node", "depth")
     raise RuntimeError(
         f"root_depths still pending after {max_rounds} doubling rounds "
         f"(depth > 2^{max_rounds}) — the input is a deep chain, not a "

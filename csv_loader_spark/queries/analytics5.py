@@ -1105,13 +1105,24 @@ def q238_item_cosine_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = ui.groupBy("p").agg(
         F.sum(F.col("q") * F.col("q")).cast("long").alias("nn")
     )
-    a = ui.select("c", F.col("p").alias("p1"), F.col("q").alias("q1"))
-    b = ui.select("c", F.col("p").alias("p2"), F.col("q").alias("q2"))
+    # r15: the Σ|basket|² pair space is generated by collecting each
+    # surviving customer's (p, q) rows into one in-stage list and
+    # double-exploding it (both Generate nodes codegen'd), replacing the
+    # c-keyed SELF-JOIN of ui against itself — the pair multiset and
+    # every dot are identical (verified by two-sided exceptAll at sf0.1
+    # plus the unchanged oracle), but the two join-side exchanges of ui
+    # collapse into ONE c-keyed collect exchange and the join operator
+    # disappears (guide §2.4). The {_CF_MAX_BASKET}-part cap is enforced
+    # BEFORE the expansion, so the per-task blowup stays <= cap² rows.
+    baskets = ui.groupBy("c").agg(
+        F.collect_list(F.struct("p", "q")).alias("items")
+    )
     dots = (
-        a.join(b, "c")
-        .filter(F.col("p1") < F.col("p2"))
-        .groupBy("p1", "p2")
-        .agg(F.sum(F.col("q1") * F.col("q2")).cast("long").alias("dot"))
+        baskets.select(F.explode("items").alias("x"), "items")
+        .select("x", F.explode("items").alias("y"))
+        .filter(F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").alias("p1"), F.col("y.p").alias("p2"))
+        .agg(F.sum(F.col("x.q") * F.col("y.q")).cast("long").alias("dot"))
     )
     na = norms.select(F.col("p").alias("p1"), F.col("nn").alias("nn1"))
     nb = norms.select(F.col("p").alias("p2"), F.col("nn").alias("nn2"))
