@@ -185,9 +185,10 @@ def _minhash_sig_cols():
     Lexicographic min over fixed-width md5 hex == numeric min — portable to
     any engine with md5, unlike murmur3-based `F.hash`.
     """
+    # single-F.expr construction (1 round trip per column instead of ~8;
+    # identical tree — see functions/text.py's fast-path rationale)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(_N_HASHES)
+        F.expr(f"min(md5(concat('{i}:', s))) AS h{i}") for i in range(_N_HASHES)
     ]
 
 
@@ -292,8 +293,8 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     for b in range(_N_HASHES // _BAND_SIZE):
         part = sigs.select(
             "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("bkey"),
+            F.expr(f"{b} AS band"),
+            F.expr(f"concat(h{2*b}, h{2*b+1}) AS bkey"),
         )
         bands = part if bands is None else bands.unionAll(part)
     return bands
@@ -627,15 +628,16 @@ def q36_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_sql = VEC.as_double_sql("embedding")
 
     def table_sig(t: int):
-        bits = [
-            F.when(
-                F.expr(VEC.dot_sql("v", VEC.lit_array_sql(planes[t * _LSH_BITS + i])))
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
+        # one F.expr per table (r15): the composed when/cast/concat form
+        # cost ~45 py4j round trips per table × 24 tables per build;
+        # identical tree (CASE WHEN dot >= 0 THEN 1 ELSE 0 → cast string)
+        bits = ", ".join(
+            "CAST(CASE WHEN "
+            + VEC.dot_sql("v", VEC.lit_array_sql(planes[t * _LSH_BITS + i]))
+            + " >= 0 THEN 1 ELSE 0 END AS STRING)"
             for i in range(_LSH_BITS)
-        ]
-        return F.concat(F.lit(f"{t}:"), *[b.cast("string") for b in bits])
+        )
+        return F.expr(f"concat('{t}:', {bits})")
 
     tagged = (
         e.select(F.col("vec_id"), F.expr(v_sql).alias("v"))

@@ -68,22 +68,36 @@ ED_MINLEN = ED_Q * (ED_D + 1)
 ED_SEGS = ED_D + 1
 
 
-def _seg_len(l, i):  # noqa: E741 - l is the conventional length symbol
-    """Length of segment ``i`` (0-based) of an ``l``-char string under the
-    even-partition scheme: the first (SEGS - l%SEGS) segments get
-    floor(l/SEGS) chars, the rest one extra (PASS-JOIN's convention —
-    both the index and probe side derive the SAME scheme from l alone)."""
-    base = F.floor(l / ED_SEGS)
-    rem = l % ED_SEGS
-    return (base + F.when(F.lit(i) >= ED_SEGS - rem, 1).otherwise(0)).cast("int")
+def _seg_len_sql(l: str, i: int) -> str:  # noqa: E741
+    """SQL fragment: length of segment ``i`` (0-based) of an ``l``-char
+    string under the even-partition scheme — the first (SEGS - l%SEGS)
+    segments get floor(l/SEGS) chars, the rest one extra (PASS-JOIN's
+    convention; index and probe side derive the SAME scheme from l alone).
+
+    SQL-fragment form (r15): the Column-composed original cost ~10 py4j
+    round trips per use and the probe loop below uses it 75 times per
+    build (q155's build issued 14k round trips, multi-ms each under
+    driver-host load); one F.expr over the assembled array parses the
+    same integer arithmetic in a single trip. Pure integer/floor math —
+    no float-rounding sensitivity — and the q155/q119 oracles plus the
+    PASS-JOIN losslessness test pin the results."""
+    base = f"FLOOR({l} / {ED_SEGS})"
+    rem = f"({l} % {ED_SEGS})"
+    return (
+        f"CAST(({base} + (CASE WHEN {i} >= ({ED_SEGS} - {rem}) "
+        f"THEN 1 ELSE 0 END)) AS INT)"
+    )
 
 
-def _seg_start(l, i):  # noqa: E741
-    """1-based start of segment ``i``: 1 + i*base + #longer-segments-before."""
-    base = F.floor(l / ED_SEGS)
-    rem = l % ED_SEGS
-    longer_before = F.greatest(F.lit(0), F.lit(i) - (ED_SEGS - rem))
-    return (F.lit(1) + F.lit(i) * base + longer_before).cast("int")
+def _seg_start_sql(l: str, i: int) -> str:  # noqa: E741
+    """SQL fragment: 1-based start of segment ``i`` —
+    1 + i*base + #longer-segments-before (see :func:`_seg_len_sql`)."""
+    base = f"FLOOR({l} / {ED_SEGS})"
+    rem = f"({l} % {ED_SEGS})"
+    return (
+        f"CAST((1 + ({i} * {base}) + GREATEST(0, {i} - ({ED_SEGS} - {rem})))"
+        f" AS INT)"
+    )
 
 
 def _parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,47 +133,38 @@ def _name_candidate_pairs(names: DataFrame) -> DataFrame:
     filter is Ω(n²/64) no matter how selective — q155 folds multiplicity
     back in arithmetically from per-name (count, key-sum) stats instead.
     """
-    ln = F.length("s")
+    seg_structs = ", ".join(
+        f"struct({i} AS i, "
+        f"substring(s, {_seg_start_sql('length(s)', i)}, "
+        f"{_seg_len_sql('length(s)', i)}) AS sub)"
+        for i in range(ED_SEGS)
+    )
     index = names.select(
         F.col("s").alias("pa"),
-        ln.alias("l"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.col("s")
-                        .substr(_seg_start(ln, i), _seg_len(ln, i))
-                        .alias("sub"),
-                    )
-                    for i in range(ED_SEGS)
-                ]
-            )
-        ).alias("seg"),
+        F.expr("length(s) AS l"),
+        F.explode(F.expr(f"array({seg_structs})")).alias("seg"),
     ).select("pa", "l", F.col("seg.i").alias("i"), F.col("seg.sub").alias("sub"))
     # probe side: for every source length l = m+dl (|dl| <= D), segment i,
     # and shift in [-D, +D], the substring of THIS string that an
-    # untouched segment could equal
+    # untouched segment could equal. One F.expr for the whole 75-struct
+    # array (see _seg_len_sql's rationale).
     probes = []
     for dl in range(-ED_D, ED_D + 1):
-        l_src = ln + dl
+        l_src = f"(length(s) + ({dl}))"
         for i in range(ED_SEGS):
-            start0 = _seg_start(l_src, i)
-            slen = _seg_len(l_src, i)
+            start0 = _seg_start_sql(l_src, i)
+            slen = _seg_len_sql(l_src, i)
             for shift in range(-ED_D, ED_D + 1):
                 probes.append(
-                    F.struct(
-                        F.lit(dl).alias("dl"),
-                        F.lit(i).alias("i"),
-                        (start0 + shift).cast("int").alias("st"),
-                        slen.alias("sl"),
-                    )
+                    f"struct({dl} AS dl, {i} AS i, "
+                    f"CAST(({start0} + {shift}) AS INT) AS st, "
+                    f"{slen} AS sl)"
                 )
     probe = (
         names.select(
             F.col("s").alias("pb"),
-            ln.alias("m"),
-            F.explode(F.array(*probes)).alias("p"),
+            F.expr("length(s) AS m"),
+            F.explode(F.expr("array({})".format(", ".join(probes)))).alias("p"),
         )
         .select(
             "pb",

@@ -112,19 +112,23 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.expr(_hash16_spark_sql("tok")).alias("h")
     hashed = toks.select("doc_id", h)
+    # single-F.expr construction for the 16 per-bit sums and the fp fold
+    # (r15): the composed when/shiftright loops cost ~300 py4j round trips
+    # per build; identical integer trees (see functions/text.py rationale)
     scores = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h").cast("int"), i) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
+            F.expr(
+                f"sum(CASE WHEN shiftright(CAST(h AS INT), {i}) % 2 = 1 "
+                f"THEN 1 ELSE -1 END) AS s{i}"
+            )
             for i in range(_SIMHASH_BITS)
         ]
     )
-    fp = None
-    for i in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    sigs = scores.select("doc_id", fp.cast("long").alias("fp"))
+    fp_sql = " + ".join(
+        f"(CASE WHEN s{i} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    sigs = scores.select("doc_id", F.expr(f"CAST({fp_sql} AS BIGINT) AS fp"))
 
     band_ids = spark.range(_SIMHASH_BANDS).select(F.col("id").cast("int").alias("band"))
     bands = sigs.crossJoin(F.broadcast(band_ids)).select(

@@ -210,18 +210,24 @@ def q172_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = W.partitionBy("event_type").orderBy("hr")
-    num = None
-    den = None
-    for d in range(EWMA_TAPS):
-        tap = F.lag("cnt", d).over(w)
-        weight = F.lit(0.5**d)
-        term = F.coalesce(tap, F.lit(0)) * weight
-        avail = F.when(tap.isNotNull(), weight).otherwise(F.lit(0.0))
-        num = term if num is None else num + term
-        den = avail if den is None else den + avail
+    # the 16-tap num/den stacks as two F.expr strings with inline window
+    # specs (r15): the composed lag/when/coalesce loop cost ~1.3k py4j
+    # round trips per build; same lag trees, same exact binary-fraction
+    # weights ({w!r}D round-trips the double literal exactly), and Spark
+    # collapses the same-spec window functions into one Window operator
+    # either way (see functions/text.py fast-path rationale)
+    over = "OVER (PARTITION BY event_type ORDER BY hr)"
+    num_sql = " + ".join(
+        f"(coalesce(lag(cnt, {d}) {over}, 0) * {0.5 ** d!r}D)"
+        for d in range(EWMA_TAPS)
+    )
+    den_sql = " + ".join(
+        f"(CASE WHEN lag(cnt, {d}) {over} IS NOT NULL "
+        f"THEN {0.5 ** d!r}D ELSE 0.0D END)"
+        for d in range(EWMA_TAPS)
+    )
     return (
-        hourly.withColumn("s", num / den)
+        hourly.withColumn("s", F.expr(f"({num_sql}) / ({den_sql})"))
         .filter(F.col("hr") % 24 == 0)
         .select("event_type", "hr", "cnt", F.round("s", 4).alias("smoothed"))
     )
