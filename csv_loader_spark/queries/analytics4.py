@@ -117,16 +117,27 @@ def q225_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 and the oracle's md5 group identically; train membership is
     a distinct-fp LEFT join counted per eval doc.
 
-    The gram pipeline is shared by the train and eval branches through
-    an fp-keyed repartition (r15): without an exchange boundary directly
-    above it, BOTH branches re-execute the whole tokenize-zip-hash scan
-    (no common-subplan dedup below exchanges); with it, ReuseExchange
-    computes the pipeline once AND pre-shuffles on the join/distinct
-    key, so the branch aggregations and the fp join need no further
-    exchange of the gram stream (sf0.1: 1.97/1.71 -> 1.46/1.20 s). The
-    residual ~1.2 s is the gram scan itself (tokenize + 8-slice zip +
-    hash over every document) plus the fp shuffle — real per-row work,
-    not plan waste."""
+    The gram stream is terminated by an fp-keyed repartition (r15).
+    The original intent — share one gram-pipeline execution between the
+    train/eval branches via ReuseExchange — does NOT happen: the
+    optimizer pushes each branch's parity filter below the repartition,
+    splitting it into two disjoint half-corpus exchanges
+    (plans/r15/q225_split_contamination_after.txt), so each document is
+    tokenized exactly once in both forms and there is no common subplan
+    to reuse. The exchange still wins, for a different, plan-visible
+    reason: without it the train branch runs its partial DISTINCT
+    map-side, inside the tokenize+explode stage — a per-task hash table
+    over a gram stream whose fingerprints are near-unique, so it
+    thrashes memory while deduplicating almost nothing — and the eval
+    branch fuses tokenize+probe+aggregate into one oversized stage.
+    With the exchange, dedup happens once post-shuffle and AQE sizes
+    the downstream stages. Measured at x100 (3 interleaved
+    fresh-process pairs, 1 prime + min of 2 timed): 7.65/4.98/6.87 s
+    with vs 8.79/14.18/9.14 s without — faster in all three pairs;
+    at sf0.1 the difference is inside host noise. The residual ~1.2 s
+    at sf0.1 is the gram scan itself (tokenize + 8-slice zip + hash
+    over every document) plus the fp shuffle — real per-row work, not
+    plan waste."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     grams = _gram_fps(docs, CONTAM_K).repartition("fp")
     train = (
