@@ -80,6 +80,42 @@ def explode_both_directions(pairs: DataFrame, a: str, b: str) -> DataFrame:
     ).select("x.src", "x.dst")
 
 
+def symmetrized_dedup_edges(raw_pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """RAW (possibly duplicated) undirected pair rows → the deduplicated
+    symmetrized (src, dst) edge list, shuffled exactly ONCE, partitioned
+    by ``src``.
+
+    The r15b edge-prep shape: ``raw.distinct()`` → explode → ``
+    .repartition("src")`` pays TWO shuffles of the pair set (the
+    distinct's (a, b) exchange, then the src one). Exploding the RAW
+    pairs first and deduplicating ABOVE the src repartition pays one:
+    ``HashPartitioning(src)`` satisfies the ``(src, dst)`` dedup's
+    clustering requirement, so the ``dropDuplicates`` plans with NO
+    exchange of its own. The multisets are identical (dup (a, b) rows
+    collapse either way; (a, b) vs (b, a) never collide across the
+    even/odd id encoding the callers use).
+
+    Distribution bound: this wins when raw pairs are NEAR-UNIQUE — the
+    trade graph's dup ratio is ~1.1, so the pre-shuffle partial distinct
+    the old shape ran map-side was a per-task hash table that deduped
+    almost nothing (the q225 finding, see llm10.py), while this shape
+    shuffles ~27% fewer rows in total (1.2M one-exchange vs 0.55M+1.1M
+    two-exchange at sf0.1). A HEAVILY duplicated corpus (raw >> distinct
+    pairs) inverts the trade — there, dedup before the shuffle and eat
+    the second exchange. Measured (sf0.1, 8 interleaved reps, noop
+    sink): medians 1.343 s (two-shuffle) vs 1.307 s (this) — local
+    parity, the win is the removed exchange/stage at scale.
+
+    Callers follow with ``.localCheckpoint(eager=False)`` (and may add
+    payload columns derived from src+dst first — e.g. q242's weight,
+    symmetric in the endpoints, is computed POST-dedup)."""
+    return (
+        explode_both_directions(raw_pairs, a, b)
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iterations: int = 20
 ) -> DataFrame:

@@ -496,35 +496,24 @@ def q232_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-union re-executing the join plan) and hash-repartitioned by src
     before its one checkpoint — on a cluster that co-locates each node's
     adjacency list for every round's join; on local[32] it halves the
-    per-round task count vs the 2x-partitioned union."""
+    per-round task count vs the 2x-partitioned union. r15b: the pair
+    dedup is folded ABOVE that src shuffle
+    (ops/graph.symmetrized_dedup_edges) — near-unique trade pairs made
+    the old pre-explode distinct a second full exchange that deduped
+    almost nothing; edge multiset proven identical, 2 shuffles -> 1
+    (plans/r15/q232_edge_build_before/after.txt)."""
+    from csv_loader_spark.ops.graph import symmetrized_dedup_edges
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cu"),
-            (F.col("l_suppkey") * 2 + 1).alias("su"),
-        )
-        .distinct()
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cu"),
+        (F.col("l_suppkey") * 2 + 1).alias("su"),
     )
-    e = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("cu").alias("src"), F.col("su").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("su").alias("src"), F.col("cu").alias("dst")
-                    ),
-                )
-            ).alias("x")
-        )
-        .select("x.src", "x.dst")
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    e = symmetrized_dedup_edges(pairs, "cu", "su").localCheckpoint(
+        eager=False
     )
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -955,7 +944,12 @@ def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list is hash-repartitioned by src before its one checkpoint —
     on a cluster this co-locates each node's adjacency list for every
     round's frontier join; on local[32] it halves per-round task counts
-    (x100 isolated 6.7-7.7 -> 5.4 s). The prescribed connected-
+    (x100 isolated 6.7-7.7 -> 5.4 s). r15b: the pair dedup is folded
+    ABOVE that src shuffle (ops/graph.symmetrized_dedup_edges) — the
+    trade pairs are near-unique (dup ratio ~1.1), so the old pre-explode
+    distinct paid a second full exchange to dedup almost nothing; edge
+    multiset proven identical, 2 shuffles -> 1 in the edge build
+    (plans/r15/q237_edge_build_before/after.txt). The prescribed connected-
     components PRE-PASS was measured and REJECTED: min-label
     propagation over the full edge list is itself a multi-source BFS
     (same per-round full-edge scans), so the pre-pass cost 13-19 s at
@@ -968,34 +962,18 @@ def q237_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints (each already materialized) instead of a re-checkpointed
     growing frame — removes one checkpoint copy of O(|visited|) per
     round."""
+    from csv_loader_spark.ops.graph import symmetrized_dedup_edges
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cu"),
-            (F.col("l_suppkey") * 2 + 1).alias("su"),
-        )
-        .distinct()
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cu"),
+        (F.col("l_suppkey") * 2 + 1).alias("su"),
     )
-    e = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("cu").alias("src"), F.col("su").alias("dst")
-                    ),
-                    F.struct(
-                        F.col("su").alias("src"), F.col("cu").alias("dst")
-                    ),
-                )
-            ).alias("x")
-        )
-        .select("x.src", "x.dst")
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    e = symmetrized_dedup_edges(pairs, "cu", "su").localCheckpoint(
+        eager=False
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
@@ -1564,44 +1542,29 @@ def q242_bounded_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Edge prep as in q237 (r15): explode both directions in one pass,
     hash-repartition by src, one checkpoint — x100 isolated 8.6-9.7 ->
-    6.1-6.7 s. The FUSED two-hop relaxation round (e2 = min-weight paths
+    6.1-6.7 s; r15b folds the pair dedup above the src shuffle
+    (ops/graph.symmetrized_dedup_edges, 2 shuffles -> 1) with the weight
+    computed POST-dedup — w is symmetric in the endpoints
+    (cu + su == src + dst in both directions), so the value per edge is
+    unchanged. The FUSED two-hop relaxation round (e2 = min-weight paths
     of length <= 2, halving the round count) was measured and REJECTED:
     this trade graph has sum(deg^2) = 25.3M two-hop paths per copy vs
     97k edges (a 260x blowup — hub degree 538), and the fused run took
     28.6-37.8 s at x10 vs 6 s at x100 for the per-round form; min-plus
     fusion only pays on sparse graphs where sum(deg^2) = O(|E|)."""
+    from csv_loader_spark.ops.graph import symmetrized_dedup_edges
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cu"),
-            (F.col("l_suppkey") * 2 + 1).alias("su"),
-        )
-        .distinct()
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cu"),
+        (F.col("l_suppkey") * 2 + 1).alias("su"),
     )
-    w_expr = (F.lit(1) + (F.col("cu") + F.col("su")) % 7).alias("w")
     e = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("cu").alias("src"),
-                        F.col("su").alias("dst"),
-                        w_expr,
-                    ),
-                    F.struct(
-                        F.col("su").alias("src"),
-                        F.col("cu").alias("dst"),
-                        w_expr,
-                    ),
-                )
-            ).alias("x")
-        )
-        .select("x.src", "x.dst", "x.w")
-        .repartition("src")
+        symmetrized_dedup_edges(pairs, "cu", "su")
+        .withColumn("w", F.lit(1) + (F.col("src") + F.col("dst")) % 7)
         .localCheckpoint(eager=False)
     )
     deg = e.groupBy(F.col("src").alias("node")).agg(

@@ -79,3 +79,30 @@ def test_kcore_peel_fixed_rounds_is_prefix_of_fixpoint(spark):
     # k=1: everything survives (every node has deg >= 1)
     all_nodes = {r["node"] for r in kcore_peel(edges, 1, 3).collect()}
     assert all_nodes == {0, 1, 2, 3, 4}
+
+
+def test_symmetrized_dedup_edges_multiset_and_plan(spark):
+    """The r15b one-shuffle edge build: equals distinct-then-symmetrize
+    on a duplicated pair list (both orders, both directions, no spurious
+    rows), and its physical plan carries exactly ONE shuffle exchange —
+    the (src, dst) dedup must plan exchange-free on top of the src
+    repartition (HashPartitioning(src) satisfies its clustering)."""
+    from pyspark.sql import functions as F
+
+    from csv_loader_spark.ops.graph import (
+        explode_both_directions,
+        symmetrized_dedup_edges,
+    )
+
+    raw = spark.createDataFrame(
+        [(2, 3), (2, 3), (4, 3), (2, 5), (4, 3), (4, 7)], "cu long, su long"
+    )
+    got = symmetrized_dedup_edges(raw, "cu", "su")
+    want = explode_both_directions(raw.distinct(), "cu", "su")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # one "Exchange hashpartitioning" (the src repartition), none for the
+    # dedup aggregate; createDataFrame feeds a local scan so no broadcast
+    # exchange muddies the count
+    assert plan.count("Exchange hashpartitioning") == 1, plan
