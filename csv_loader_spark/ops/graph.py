@@ -85,15 +85,24 @@ def symmetrized_dedup_edges(raw_pairs: DataFrame, a: str, b: str) -> DataFrame:
     symmetrized (src, dst) edge list, shuffled exactly ONCE, partitioned
     by ``src``.
 
+    PRECONDITION (r15 ADVICE): equivalence to distinct-then-explode
+    holds only when the raw pairs contain NO self-pairs (a == b) and no
+    reversed counterparts ((b, a) alongside (a, b)) — outside that, a
+    self-pair yields 1 edge here vs 2 from the explode-after-distinct
+    form, and (a, b)+(b, a) collapse to 2 edges instead of 4, altering
+    degree counts. Every current caller guarantees it structurally:
+    q160/q232/q237/q242 encode endpoints even/odd (2*custkey vs
+    2*suppkey+1 — disjoint domains, so neither collision can occur), and
+    ordered-pair builders (least/greatest a < b) exclude both by
+    construction. See test_graph.py for the covering cases.
+
     The r15b edge-prep shape: ``raw.distinct()`` → explode → ``
     .repartition("src")`` pays TWO shuffles of the pair set (the
     distinct's (a, b) exchange, then the src one). Exploding the RAW
     pairs first and deduplicating ABOVE the src repartition pays one:
     ``HashPartitioning(src)`` satisfies the ``(src, dst)`` dedup's
     clustering requirement, so the ``dropDuplicates`` plans with NO
-    exchange of its own. The multisets are identical (dup (a, b) rows
-    collapse either way; (a, b) vs (b, a) never collide across the
-    even/odd id encoding the callers use).
+    exchange of its own.
 
     Distribution bound: this wins when raw pairs are NEAR-UNIQUE — the
     trade graph's dup ratio is ~1.1, so the pre-shuffle partial distinct
@@ -194,6 +203,7 @@ def pagerank_fixed_point(
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list in EXACT integer arithmetic.
 
@@ -228,11 +238,18 @@ def pagerank_fixed_point(
     # (the q237/q242 edge-prep finding). small_graph_coalesce may then
     # narrow it for small graphs — coalesce on the materialized
     # checkpoint is a read-time merge, compatible with either layout.
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .localCheckpoint(eager=False)
-    )
+    # ``pre_partitioned`` (r16): a caller handing over
+    # symmetrized_dedup_edges output is ALREADY hash-partitioned by src
+    # — repartitioning again here would re-shuffle the identical layout
+    # (same key, and the partition-count default matches: both sides
+    # plan at spark.sql.shuffle.partitions), so the flag skips it and
+    # the edge prep keeps exactly ONE src exchange end to end (q160:
+    # plans/r16/q160_edge_build_*). Callers whose edge frame is NOT
+    # src-partitioned must leave it False.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not pre_partitioned:
+        e = e.repartition("src")
+    e = e.localCheckpoint(eager=False)
     e = small_graph_coalesce(e)
     # out-degree FOLDED into the node frame (r14): deg is static across
     # rounds, so carrying it on the rank frame replaces the per-round

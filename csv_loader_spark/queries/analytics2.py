@@ -486,6 +486,15 @@ def q191_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "positive" class definition for the lift readout.
 LIFT_POS_LABELS = (0, 1, 2)
 LIFT_DECILES = 10
+#: doc_id bucket width for the intra-score rank split (r16): the
+#: row_number window partitions by (n_chars, doc_id DIV W), so no window
+#: partition can exceed W rows REGARDLESS of how hot a score value is —
+#: the structural bound the r15 verdict asked for (a small score domain
+#: at 100 TB made the per-score partitions n/|domain| rows). 2^20 keeps
+#: the bucket-count frame ~1e6x smaller than the doc frame while a local
+#: sf0.1 id range (< 2^20) degenerates to one bucket per score — same
+#: execution cost as the per-score form, same code path at every scale.
+LIFT_BUCKET_W = 1 << 20
 
 
 @query(
@@ -526,15 +535,20 @@ def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and report per-decile positive rate, lift over base rate, and
     cumulative capture.
 
-    TWO-LEVEL rank (r15 — the q234/q235 pattern, replacing the global
-    ntile sort the class guard in tests/test_plans.py flagged): the
-    score domain is small, so the exact global rank of each row is the
-    broadcast cumulative count of strictly-better scores plus a
-    row_number PARTITIONED by score (doc_id tie-break) — no
-    single-partition sort of the doc-level frame anywhere. The ntile
-    bucket then derives arithmetically from (rank, n): with q = n div k
-    and rem = n mod k, the first rem buckets hold q+1 rows — identical
-    to the oracle's ntile() by definition."""
+    THREE-LEVEL rank (r16, de-skewing the r15 two-level form): the
+    exact global rank of each row is (a) the broadcast cumulative count
+    of strictly-better scores, plus (b) the within-score cumulative
+    count of earlier doc_id BUCKETS (bucket = doc_id DIV
+    {LIFT_BUCKET_W}, monotone in the doc_id tie-break), plus (c) a
+    row_number PARTITIONED by (score, bucket) — no single-partition
+    sort of the doc-level frame anywhere, and no window partition can
+    exceed {LIFT_BUCKET_W} rows even for the hottest score (the r15
+    form's per-score partitions were n/|score domain| rows at scale).
+    Both offset tables derive from one bucket-level aggregate,
+    checkpointed so its exchange executes once. The ntile bucket then
+    derives arithmetically from (rank, n): with q = n div k and
+    rem = n mod k, the first rem buckets hold q+1 rows — identical to
+    the oracle's ntile() by definition."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     e = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "label"
@@ -544,7 +558,13 @@ def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("label").isin(*LIFT_POS_LABELS).cast("int").alias("pos"),
     )
-    hist = j.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    jb = j.withColumn("bkt", F.expr(f"doc_id DIV {LIFT_BUCKET_W}"))
+    bc = (
+        jb.groupBy("n_chars", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    hist = bc.groupBy("n_chars").agg(F.sum("cnt").alias("cnt"))
     w_v = W.orderBy(F.col("n_chars").desc()).rowsBetween(
         W.unboundedPreceding, -1
     )
@@ -555,11 +575,25 @@ def q192_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         ).alias("n_all_rows"),
     )
-    w_pos = W.partitionBy("n_chars").orderBy("doc_id")
-    ranked = j.join(F.broadcast(base), "n_chars").select(
-        "pos",
-        (F.col("base") + F.row_number().over(w_pos)).alias("r"),
-        F.col("n_all_rows").alias("nn"),
+    w_b = W.partitionBy("n_chars").orderBy("bkt").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offs = bc.select(
+        "n_chars",
+        "bkt",
+        F.coalesce(F.sum("cnt").over(w_b), F.lit(0)).alias("off"),
+    )
+    w_pos = W.partitionBy("n_chars", "bkt").orderBy("doc_id")
+    ranked = (
+        jb.join(F.broadcast(base), "n_chars")
+        .join(offs, ["n_chars", "bkt"])
+        .select(
+            "pos",
+            (
+                F.col("base") + F.col("off") + F.row_number().over(w_pos)
+            ).alias("r"),
+            F.col("n_all_rows").alias("nn"),
+        )
     )
     k = F.lit(LIFT_DECILES)
     qsz = F.expr(f"nn DIV {LIFT_DECILES}")
@@ -758,6 +792,13 @@ def q198_activity_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return drawdown_over_hourly(hourly)
+
+
+def drawdown_over_hourly(hourly: DataFrame) -> DataFrame:
+    """q198's drawdown body over a PREBUILT (event_type, hr, cnt) frame
+    (r16: the q200 shared-hourly split; the registered q198's own plan
+    is unchanged)."""
     w_peak = (
         W.partitionBy("event_type").orderBy("hr")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -918,31 +959,58 @@ def _capstone_oracle() -> str:
 def q200_monitoring_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monitoring dashboard row: per event_type, gap-repair census
     (q171), latest smoothed rate (q172), CUSUM changepoint + direction
-    (q187), PSI drift (q190) and activity drawdown (q198) — composed by
-    JOINING the registered operators' own outputs on event_type, exactly
-    as a user of the library would. Each leg keeps its adjudicated plan;
-    the joins see 5-row frames. The oracle nests the same five oracle
-    texts as derived tables — single source of truth per leg."""
-    from csv_loader_spark.queries.registry import get
+    (q187), PSI drift (q190) and activity drawdown (q198).
 
-    gaps = (
-        get("q171_gap_fill")
-        .fn(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(F.sum("is_gap").cast("long").alias("n_gap_hours"))
+    r16 (guide §2.4, the VERDICT #6 item — 2.90x DuckDB pooled-min at
+    x100): four of the five legs start from the IDENTICAL
+    (event_type, hr) hourly count aggregate, and composing the
+    registered queries' fns re-scanned `events` and re-paid that
+    exchange once per leg (5 scans, 4 hourly exchanges). The hourly
+    census is now built ONCE and lazily checkpointed; the sm/cp/dd legs
+    run the registered queries' extracted bodies
+    (exp_smooth_over_hourly / cusum_over_hourly / drawdown_over_hourly
+    — same expressions over the same values) on the shared frame, and
+    the gaps leg reduces directly: q171's is_gap is 1 exactly for grid
+    hours with no hourly row, so per type
+    n_gap_hours = (max(hr) - min(hr) + 1) - count(observed hours) —
+    value-identical to summing is_gap over the gap-filled grid, without
+    the grid explode/join/window machinery. Only q190 (PSI — a
+    different, value-bucketed aggregate) keeps its own scan: events
+    scans 5 -> 2, hourly exchanges 4 -> 1
+    (plans/r16/q200_monitoring_capstone_*). The oracle still nests the
+    five registered oracle texts — single source of truth per leg —
+    and tests/test_analytics2.py pins new-vs-composed equality."""
+    from csv_loader_spark.queries.registry import get
+    from csv_loader_spark.queries.relational5 import (
+        _HR_SPARK,
+        cusum_over_hourly,
+        exp_smooth_over_hourly,
     )
-    sm = get("q172_exp_smooth").fn(spark, sf_dir)
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    gaps = hourly.groupBy("event_type").agg(
+        (F.max("hr") - F.min("hr") + 1 - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_gap_hours")
+    )
+    sm = exp_smooth_over_hourly(hourly)
     w = W.partitionBy("event_type").orderBy(F.col("hr").desc())
     sm_last = (
         sm.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("event_type", F.col("smoothed").alias("last_smoothed"))
     )
-    cp = get("q187_cusum_changepoint").fn(spark, sf_dir).select(
+    cp = cusum_over_hourly(hourly).select(
         "event_type", "cp_hr", "direction"
     )
     psi = get("q190_psi_drift").fn(spark, sf_dir)
-    dd = get("q198_activity_drawdown").fn(spark, sf_dir).select(
+    dd = drawdown_over_hourly(hourly).select(
         "event_type", "peak_rate", "max_drawdown"
     )
     return (

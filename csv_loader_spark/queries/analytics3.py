@@ -224,10 +224,26 @@ def q212_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration bit-for-bit."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r16 edge build (the r15b/q225 finding applied to the bipartite
+    # family member): the trade pairs are NEAR-UNIQUE (600k raw -> 587k
+    # distinct at sf0.1), so `.distinct()`'s map-side partial aggregate
+    # was a per-task hash table that deduped almost nothing, and its
+    # (cu, su) exchange left the checkpoint partitioned by a key no
+    # downstream op uses. Repartitioning by CU first and deduplicating
+    # ABOVE that exchange keeps the shuffle count at one while (a)
+    # dropping the useless map-side distinct (dedup happens once,
+    # post-shuffle — HashPartitioning(cu) satisfies the (cu, su)
+    # dedup's clustering) and (b) leaving the checkpointed frame
+    # CU-partitioned, which the per-round hub aggregate (groupBy("cu")
+    # after the broadcast su-join) and the seed-hub distinct reuse
+    # exchange-free (plans/r16/q212_*). At cluster scale, rounds where
+    # the score frames exceed the broadcast threshold still re-exchange
+    # by su for the authority leg — same trade as pagerank's rank join.
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(F.col("o_custkey").alias("cu"), F.col("l_suppkey").alias("su"))
-        .distinct()
+        .repartition("cu")
+        .dropDuplicates(["cu", "su"])
         .localCheckpoint(eager=False)
     )
     # NO small_graph_coalesce on pairs (r14, measured): the gate's count
@@ -361,7 +377,14 @@ def q213_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one-pass symmetrization (r15, the q160 note): the explode emits
     # both directions from a single execution of the ngram+distinct
-    # plan; pagerank_fixed_point checkpoints the exploded frame once
+    # plan; pagerank_fixed_point checkpoints the exploded frame once.
+    # r16: the symmetrized_dedup_edges fold q160 adopted was MEASURED
+    # AND REJECTED here — bigram pairs dedup 592x (163,379 raw -> 276
+    # distinct at sf0.1), exactly the heavily-duplicated regime the
+    # helper's docstring bounds out: the fold would shuffle 2x the raw
+    # stream where this shape's distinct exchange carries the map-side-
+    # deduped rows and the internal src repartition moves only 552 edge
+    # rows. Distinct-first stays.
     edges = explode_both_directions(pairs, "pa", "pb")
     pr = pagerank_fixed_point(
         edges, "src", "dst", iterations=TR_ITERS, scale=TR_SCALE

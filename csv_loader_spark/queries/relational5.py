@@ -195,21 +195,11 @@ def _ewma_oracle() -> str:
     oracle=_ewma_oracle(),
     tags=("timeseries", "window", "r12"),
 )
-def q172_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponentially-weighted smoothing of the hourly event-count series
-    (alpha=0.5, {EWMA_TAPS}-tap truncated horizon, weights renormalized
-    over the taps available near the series start). The recursive EWMA
-    y_i = a*x_i + (1-a)*y_(i-1) is re-expressed as a FIR filter so the
-    whole computation is a stack of lag() expressions inside one
-    window — no iteration, no UDF, exact binary-fraction arithmetic.
-    Output sampled at day boundaries (hr % 24 = 0) to keep the gate row
-    set small; the plan computes every hour."""
-    e = load_table(spark, sf_dir, "events")
-    hourly = (
-        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
-        .groupBy("event_type", "hr")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+def exp_smooth_over_hourly(hourly: DataFrame) -> DataFrame:
+    """q172's FIR smoothing over a PREBUILT (event_type, hr, cnt)
+    hourly-count frame (r16: extracted so q200 can feed all its hourly
+    legs from ONE shared events aggregate; the registered q172 builds
+    its own hourly exactly as before, so its plan is unchanged)."""
     # the 16-tap num/den stacks as two F.expr strings with inline window
     # specs (r15): the composed lag/when/coalesce loop cost ~1.3k py4j
     # round trips per build; same lag trees, same exact binary-fraction
@@ -231,6 +221,24 @@ def q172_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hr") % 24 == 0)
         .select("event_type", "hr", "cnt", F.round("s", 4).alias("smoothed"))
     )
+
+
+def q172_exp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted smoothing of the hourly event-count series
+    (alpha=0.5, {EWMA_TAPS}-tap truncated horizon, weights renormalized
+    over the taps available near the series start). The recursive EWMA
+    y_i = a*x_i + (1-a)*y_(i-1) is re-expressed as a FIR filter so the
+    whole computation is a stack of lag() expressions inside one
+    window — no iteration, no UDF, exact binary-fraction arithmetic.
+    Output sampled at day boundaries (hr % 24 = 0) to keep the gate row
+    set small; the plan computes every hour."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.expr(_HR_SPARK).alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return exp_smooth_over_hourly(hourly)
 
 
 # --- q173: MAD (median absolute deviation) outlier detection ----------------
@@ -486,6 +494,13 @@ def q187_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hr")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return cusum_over_hourly(hourly)
+
+
+def cusum_over_hourly(hourly: DataFrame) -> DataFrame:
+    """q187's CUSUM body over a PREBUILT (event_type, hr, cnt) frame
+    (r16: the q200 shared-hourly split; the registered q187's own plan
+    is unchanged — same expressions over its own hourly)."""
     w_pre = (
         W.partitionBy("event_type").orderBy("hr")
         .rowsBetween(W.unboundedPreceding, W.currentRow)

@@ -57,8 +57,8 @@ from pyspark.sql import functions as F
 
 from csv_loader_spark.io.tables import load_table
 from csv_loader_spark.ops.graph import (
-    explode_both_directions,
     pagerank_fixed_point,
+    symmetrized_dedup_edges,
 )
 from csv_loader_spark.queries.registry import query
 
@@ -243,22 +243,29 @@ def q160_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces it exactly."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("cu"),
-            (F.col("l_suppkey") * 2 + 1).alias("su"),
-        )
-        .distinct()
+    pairs = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("cu"),
+        (F.col("l_suppkey") * 2 + 1).alias("su"),
     )
-    # one-pass symmetrization (r15): the explode emits both directions
-    # from a single execution of the join+distinct plan, so the pairs
-    # checkpoint the old self-union needed (2x ~5.6 s re-run without it)
-    # is gone too — pagerank_fixed_point checkpoints the exploded frame
-    # once itself
-    edges = explode_both_directions(pairs, "cu", "su")
+    # r16 (the r15b fold, finally applied here): the trade pairs are
+    # NEAR-UNIQUE (600k raw -> 587k distinct at sf0.1, dup ratio 1.02),
+    # so the old distinct-then-explode shape paid a (cu, su) exchange
+    # whose map-side partial distinct deduped almost nothing, and then
+    # pagerank's internal repartition("src") paid a SECOND shuffle.
+    # symmetrized_dedup_edges explodes the raw pairs, shuffles ONCE by
+    # src, and dedups exchange-free above it; pre_partitioned=True tells
+    # pagerank_fixed_point to checkpoint that layout as-is. Edge prep:
+    # 2 shuffle exchanges -> 1 (plans/r16/q160_edge_build_*). Contrast
+    # q213, where the bigram pairs dedup 592x and the fold would shuffle
+    # 2x the raw stream — measured and kept on the distinct-first shape.
+    edges = symmetrized_dedup_edges(pairs, "cu", "su")
     pr = pagerank_fixed_point(
-        edges, "src", "dst", iterations=PR_ITERS, scale=PR_SCALE
+        edges,
+        "src",
+        "dst",
+        iterations=PR_ITERS,
+        scale=PR_SCALE,
+        pre_partitioned=True,
     )
     return (
         pr.select(F.col("node").cast("long").alias("node_id"), F.col("pr").alias("pr_e6"))

@@ -148,6 +148,13 @@ def test_dup_payments_cross_band_pair_found(spark, tmp_path):
 
 
 def test_capstone_matches_legs(spark):
+    """q200 must equal the registered legs' own outputs — ALL five legs
+    (r16: the shared-hourly restructure computes sm/cp/dd from one
+    checkpointed census and the gaps leg arithmetically, so this is the
+    equivalence pin for that rewrite, alongside the nested oracle)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
     from csv_loader_spark.queries.analytics2 import q200_monitoring_capstone
     from csv_loader_spark.queries.registry import get
 
@@ -158,10 +165,34 @@ def test_capstone_matches_legs(spark):
         r["event_type"]: (r["cp_hr"], r["direction"])
         for r in get("q187_cusum_changepoint").fn(spark, sf).collect()
     }
+    gaps = {
+        r["event_type"]: r["n_gap_hours"]
+        for r in get("q171_gap_fill")
+        .fn(spark, sf)
+        .groupBy("event_type")
+        .agg(F.sum("is_gap").cast("long").alias("n_gap_hours"))
+        .collect()
+    }
+    w = W.partitionBy("event_type").orderBy(F.col("hr").desc())
+    sm_last = {
+        r["event_type"]: r["smoothed"]
+        for r in get("q172_exp_smooth")
+        .fn(spark, sf)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .collect()
+    }
+    dd = {
+        r["event_type"]: (r["peak_rate"], r["max_drawdown"])
+        for r in get("q198_activity_drawdown").fn(spark, sf).collect()
+    }
     assert set(cap) == set(psi)
     for et, r in cap.items():
         assert r["psi"] == psi[et]
         assert (r["cp_hr"], r["direction"]) == cp[et]
+        assert r["n_gap_hours"] == gaps[et]
+        assert r["last_smoothed"] == sm_last[et]
+        assert (r["peak_rate"], r["max_drawdown"]) == dd[et]
 
 
 def test_hard_negatives_labels_differ_and_sims_ordered(spark):

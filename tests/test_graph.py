@@ -106,3 +106,48 @@ def test_symmetrized_dedup_edges_multiset_and_plan(spark):
     # dedup aggregate; createDataFrame feeds a local scan so no broadcast
     # exchange muddies the count
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_symmetrized_dedup_edges_precondition_edge_cases(spark):
+    """ADVICE r15: outside the no-self-pair / no-reversed-counterpart
+    precondition the helper is NOT multiset-equivalent to
+    distinct-then-explode — pin the actual divergent behavior so a
+    future caller outside the even/odd or ordered-pair encodings trips
+    over a documented fact, not a silent degree-count change."""
+    from csv_loader_spark.ops.graph import symmetrized_dedup_edges
+
+    # self-pair (5, 5): distinct-then-explode emits (5,5) TWICE; the
+    # dedup form collapses them to ONE row
+    self_pair = spark.createDataFrame([(5, 5)], "cu long, su long")
+    got = symmetrized_dedup_edges(self_pair, "cu", "su").collect()
+    assert [(r["src"], r["dst"]) for r in got] == [(5, 5)]
+
+    # reversed counterparts (2, 3) and (3, 2): distinct keeps both pair
+    # rows (4 exploded edges, each direction twice); the dedup form
+    # returns each direction ONCE
+    rev = spark.createDataFrame([(2, 3), (3, 2)], "cu long, su long")
+    got = sorted(
+        (r["src"], r["dst"])
+        for r in symmetrized_dedup_edges(rev, "cu", "su").collect()
+    )
+    assert got == [(2, 3), (3, 2)]
+
+
+def test_pagerank_pre_partitioned_matches_default(spark):
+    """pre_partitioned=True only skips the internal src repartition —
+    ranks must be bit-identical either way (r16, the q160 edge-prep
+    fold)."""
+    from csv_loader_spark.ops.graph import (
+        pagerank_fixed_point,
+        symmetrized_dedup_edges,
+    )
+
+    raw = spark.createDataFrame(
+        [(2, 3), (2, 5), (4, 3), (4, 7), (2, 3)], "cu long, su long"
+    )
+    e = symmetrized_dedup_edges(raw, "cu", "su")
+    a = pagerank_fixed_point(e, "src", "dst", iterations=3, scale=1_000_000)
+    b = pagerank_fixed_point(
+        e, "src", "dst", iterations=3, scale=1_000_000, pre_partitioned=True
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
